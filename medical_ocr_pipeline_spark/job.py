@@ -1,0 +1,79 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Usage:
+    spark-submit --py-files dist/medical_ocr_pipeline_spark.zip \
+        medical_ocr_pipeline_spark/job.py \
+        --n-convs 1000 --out /tmp/run1 [--master local[32]] [--resume]
+
+Runs: synthesize (or read) transcripts -> per-turn extraction ->
+stage sink + per-partition metrics sink + conversation-level assembly.
+On a real cluster, --input points at the Iceberg/parquet transcripts
+table instead of synthesizing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-convs", type=int, default=1000)
+    ap.add_argument("--input", help="parquet path of transcripts (else synthesize)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--run-id", default="run_001")
+    ap.add_argument("--no-fuzzy", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip extraction if the stage output already exists")
+    args = ap.parse_args(argv)
+
+    from medical_ocr_pipeline_spark.pipeline import (
+        conversation_text,
+        extract_transcripts,
+        partition_metrics,
+        resume_or_compute,
+        write_stage,
+    )
+    from medical_ocr_pipeline_spark.session import get_spark
+    from medical_ocr_pipeline_spark.synth import spark_transcripts
+
+    spark = get_spark(app=f"extract:{args.run_id}", master=args.master)
+    t0 = time.time()
+
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        transcripts = spark_transcripts(spark, args.n_convs, args.partitions)
+
+    extract_path = f"{args.out}/01_extracted"
+
+    def compute():
+        extracted = extract_transcripts(
+            transcripts, enable_fuzzy=not args.no_fuzzy
+        )
+        write_stage(extracted, extract_path)
+        return spark.read.parquet(extract_path)
+
+    if args.resume:
+        extracted = resume_or_compute(spark, extract_path, compute)
+    else:
+        extracted = compute()
+
+    write_stage(
+        partition_metrics(extracted, args.run_id, "01_extracted"),
+        f"{args.out}/metrics",
+        mode="append",
+    )
+    write_stage(conversation_text(extracted), f"{args.out}/02_conversations")
+
+    n = extracted.count()
+    dt = time.time() - t0
+    print(f"RESULT turns={n} secs={dt:.1f} turns_per_sec={n / dt:.1f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Spark-side extraction pipeline: pure DataFrame transforms + Arrow-batch
+UDFs.  This replaces the reference's 13 FastAPI OCR services + notebook
+stage chain (SURVEY.md §3.1) with ONE lazy DataFrame program.
+
+Scale design (the part the reference never had):
+
+  * extraction is embarrassingly parallel per turn -> mapInPandas with NO
+    shuffle; partition count is whatever the scan gives us (AQE coalesces).
+  * conversation-level assembly is the skew hazard (megaconversations) ->
+    two-phase ordered aggregation: partial concat per (conv_id,
+    turn-bucket), then final concat per conv_id ordered by bucket.  A
+    500k-turn conversation never funnels through one reduce task in
+    phase 1.
+  * per-partition lineage/metrics (turns_processed, bytes_stripped,
+    parse_failures) via spark_partition_id() — the reference's
+    metadata.json / CSV sinks (S6/S7) as a metrics table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from medical_ocr_pipeline_spark.core.extract import extract_turn
+
+EXTRACT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("text_final", T.StringType()),
+    T.StructField("n_blocks", T.IntegerType()),
+    T.StructField("mean_conf", T.DoubleType()),
+    T.StructField("bytes_stripped", T.LongType()),
+    T.StructField("parse_failures", T.IntegerType()),
+    T.StructField("variant", T.StringType()),
+])
+
+
+def extract_transcripts(df: DataFrame, enable_fuzzy: bool = True) -> DataFrame:
+    """Per-turn main-content extraction over Arrow batches (no shuffle).
+
+    Input: transcripts (conv_id, turn_idx, role, text, tool, ts).
+    Output: EXTRACT_SCHEMA, one row per input turn.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "conv_id": pdf["conv_id"].to_numpy(),
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+                "role": pdf["role"].to_numpy(),
+                "text_final": [None] * n,
+                "n_blocks": [0] * n,
+                "mean_conf": [0.0] * n,
+                "bytes_stripped": [0] * n,
+                "parse_failures": [0] * n,
+                "variant": [None] * n,
+            }
+            for i, payload in enumerate(pdf["text"].tolist()):
+                r = extract_turn(payload, enable_fuzzy=enable_fuzzy)
+                out["text_final"][i] = r.text_final
+                out["n_blocks"][i] = r.n_blocks
+                out["mean_conf"][i] = r.mean_conf
+                out["bytes_stripped"][i] = r.bytes_stripped
+                out["parse_failures"][i] = r.parse_failures
+                out["variant"][i] = r.variant
+            yield pd.DataFrame(out)
+
+    return df.select("conv_id", "turn_idx", "role", "text").mapInPandas(
+        run, schema=EXTRACT_SCHEMA
+    )
+
+
+def repartition_by_conv(df: DataFrame, n: int, salt_buckets: int = 0) -> DataFrame:
+    """hash(conv_id) repartition; optional salted-key splitting so a
+    megaconversation spreads over `salt_buckets` partitions (per-turn ops
+    don't need co-location — unsalt only for conv-level aggregates)."""
+    if salt_buckets > 1:
+        return df.repartition(
+            n, F.col("conv_id"), F.pmod(F.hash("turn_idx"), F.lit(salt_buckets))
+        )
+    return df.repartition(n, F.col("conv_id"))
+
+
+def ordered_turns(df: DataFrame) -> DataFrame:
+    """Stable turn ordering invariant: Window over (conv_id) ordered by
+    turn_idx gives every turn its in-conversation position regardless of
+    physical row order."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.withColumn("turn_rank", F.row_number().over(w))
+
+
+def conversation_text(extracted: DataFrame, bucket_size: int = 64) -> DataFrame:
+    """Skew-safe ordered per-conversation document assembly.
+
+    Phase 1 groups (conv_id, turn_idx // bucket_size) — a megaconversation
+    fans out over many reduce keys; phase 2 concatenates the (few) bucket
+    strings per conversation in bucket order.  Output:
+    (conv_id, conv_text, n_turns).
+    """
+    bucketed = extracted.withColumn(
+        "bucket", (F.col("turn_idx") / F.lit(bucket_size)).cast("long")
+    )
+    partial = bucketed.groupBy("conv_id", "bucket").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", "text_final"))
+                ),
+                lambda s: s["text_final"],
+            ),
+        ).alias("bucket_text"),
+        F.count("*").alias("n_turns"),
+    )
+    return partial.groupBy("conv_id").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "bucket_text"))),
+                lambda s: s["bucket_text"],
+            ),
+        ).alias("conv_text"),
+        F.sum("n_turns").cast("int").alias("n_turns"),
+    )
+
+
+def partition_metrics(extracted: DataFrame, run_id: str, stage: str) -> DataFrame:
+    """S6/S7/S8 analogue: per-partition lineage + extraction metrics row."""
+    return (
+        extracted.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("turns_processed"),
+            F.sum("bytes_stripped").alias("bytes_stripped"),
+            F.sum("parse_failures").alias("parse_failures"),
+            F.avg("mean_conf").alias("avg_conf"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("stage", F.lit(stage))
+        .withColumn("ts", F.current_timestamp())
+    )
+
+
+def write_stage(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Stage sink: parquet (Iceberg DataFrameWriterV2 upstream; parquet
+    fallback keeps pytest hermetic per SURVEY.md §7.3.5)."""
+    df.write.mode(mode).parquet(path)
+
+
+def resume_or_compute(spark, path: str, compute) -> DataFrame:
+    """S9 analogue: newest-stage fallback discovery -> read the completed
+    stage output if it exists, else compute it.  (Checkpoint/resume.)"""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return compute()
