@@ -86,6 +86,32 @@ def apply_dictionary(text: str) -> tuple[str, int]:
     return text, n
 
 
+# Executor-global memo: fuzzy lookup is a pure function of the lowered
+# token (VOCAB and cutoff are constants), so caching across turns/batches
+# cannot change results — it only removes repeated difflib work.  Bounded
+# to keep long-lived python workers from growing without limit.
+_FUZZY_MEMO: dict[str, str | None] = {}
+_FUZZY_MEMO_MAX = 262_144
+
+
+def _fuzzy_lookup(low: str, cutoff: float) -> str | None:
+    if low in _FUZZY_MEMO:
+        return _FUZZY_MEMO[low]
+    if (
+        len(low) < FUZZY_MIN_TOKEN_LEN
+        or low in STOPWORDS
+        or low in DO_NOT_TOUCH
+        or low in VOCAB
+    ):
+        fix = None
+    else:
+        matches = difflib.get_close_matches(low, VOCAB, n=1, cutoff=cutoff)
+        fix = matches[0] if matches else None
+    if len(_FUZZY_MEMO) < _FUZZY_MEMO_MAX:
+        _FUZZY_MEMO[low] = fix
+    return fix
+
+
 def apply_fuzzy(text: str, cutoff: float = FUZZY_CUTOFF,
                 max_corrections: int = MAX_CORRECTIONS) -> tuple[str, int]:
     """difflib close-match correction of unique long tokens against VOCAB.
@@ -95,24 +121,11 @@ def apply_fuzzy(text: str, cutoff: float = FUZZY_CUTOFF,
     occurrence in text.  Cap at max_corrections.
     """
     n = 0
-    seen: dict[str, str | None] = {}
     out: list[str] = []
     last = 0
     for m in _FUZZY_TOKEN_RE.finditer(text):
         tok = m.group(0)
-        low = tok.lower()
-        if low in seen:
-            fix = seen[low]
-        elif (
-            len(low) < FUZZY_MIN_TOKEN_LEN
-            or low in STOPWORDS
-            or low in DO_NOT_TOUCH
-            or low in VOCAB
-        ):
-            fix = seen[low] = None
-        else:
-            matches = difflib.get_close_matches(low, VOCAB, n=1, cutoff=cutoff)
-            fix = seen[low] = matches[0] if matches else None
+        fix = _fuzzy_lookup(tok.lower(), cutoff)
         if fix is not None and n < max_corrections:
             out.append(text[last:m.start()])
             out.append(_match_case(fix, tok))

@@ -1,0 +1,10 @@
+"""Query registry package: importing this module registers every query."""
+
+from medical_ocr_pipeline_spark.queries import (  # noqa: F401
+    dedup,
+    extraction,
+    relational,
+    similarity,
+    textstats,
+)
+from medical_ocr_pipeline_spark.queries.base import REGISTRY  # noqa: F401

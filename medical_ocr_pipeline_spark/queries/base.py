@@ -1,0 +1,40 @@
+"""Query registry: every implemented operator from SURVEY.md §2 gets a
+named Spark query over the driver testdata plus (when SQL-expressible) a
+DuckDB oracle SQL string.  __spark_entry__.py exposes this registry to the
+driver's correctness gate.
+
+Hash-match discipline (driver compares row-count + schema + order-
+insensitive value hash):
+  * alias every computed column identically in Spark and SQL;
+  * round every float aggregate (floating summation order differs between
+    engines) — ROUND_DIGITS decimals everywhere;
+  * make every top-k deterministic with a full tie-breaking ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+ROUND_DIGITS = 4
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable  # (spark, sf_dir) -> DataFrame
+    sql: str | None = None  # DuckDB oracle; None -> rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+def load(spark, sf_dir: str, table: str):
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -1,0 +1,269 @@
+"""Deduplication operators over the documents table — the training-data
+pipeline's dedup suite: exact (hash groupBy), n-gram Jaccard (shingle
+inverted-index join, the exact counterpart MinHash approximates), MinHash
+signatures, SimHash.  Exact + Jaccard + MinHash have DuckDB oracles;
+SimHash banding is Spark-checked by a property test instead (bit ops over
+md5 are painful to mirror in SQL).
+
+Scale notes: the Jaccard candidate join is the textbook inverted-index
+self-join — explode shingles, join on shingle, count common — which at
+100 TB is exactly where MinHash+LSH replaces it: band the signature,
+shuffle once on (band, bucket), and only compare within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
+
+R = ROUND_DIGITS
+_WORD_SPLIT = "[^a-z0-9]+"
+JACCARD_THR = 0.35
+N_HASHES = 16
+# md5-hex prefix -> int: identical in Spark (conv) and DuckDB (0x cast)
+_SPARK_H = "cast(conv(substr(md5({x}), 1, 12), 16, 10) as bigint)"
+# h_k(s) = ((2k+1) * (H48 mod p) + k) mod p with p = 2^31-1: products stay
+# under 2^36 (no bigint overflow in either engine) while the mod still
+# permutes shingle order per k (a plain multiply would be monotonic and
+# every hash would pick the same min shingle).
+_MINHASH_P = 2147483647
+
+
+@register(
+    "dedup_exact",
+    sql="""
+    SELECT n_copies, COUNT(*) AS n_groups
+    FROM (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY fp
+    )
+    GROUP BY n_copies ORDER BY n_copies
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via normalized-text hash: histogram of group sizes."""
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), "\\s+", " ")))
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(fp.alias("fp"))
+        .agg(F.count("*").alias("n_copies"))
+        .groupBy("n_copies")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy("n_copies")
+    )
+
+
+def _shingles_spark(df):
+    """Distinct word-3-gram shingles per doc (lowercased)."""
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
+    )
+    df = df.select("doc_id", words.alias("w"))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("w", i + 1),
+                F.element_at("w", i + 2),
+                F.element_at("w", i + 3),
+            ),
+        )
+    )
+    return df.where(F.size("w") >= 3).select("doc_id", sh.alias("shingles"))
+
+
+_SHINGLES_DUCK = """
+      SELECT doc_id,
+             list_distinct([
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+               FOR i IN range(1, len(words) - 1)
+             ]) AS shingles
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> '') AS words
+        FROM documents
+      ) WHERE len(words) >= 3
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS common, ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(common AS DOUBLE) / (na + nb - common), {R}) AS jaccard
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / (na + nb - common) >= {JACCARD_THR}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted-index
+    self-join (no O(n^2) cross join — the join key is the shingle)."""
+    sh = _shingles_spark(load(spark, sf_dir, "documents"))
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("common"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        pairs.where(jac >= JACCARD_THR)
+        .select("doc_a", "doc_b", F.round(jac, R).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_minhash",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    sig AS (
+      SELECT doc_id,
+             [ list_min(list_transform(shingles,
+                 s -> ((1 + 2 * k) * (CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT)
+                       % 2147483647) + k) % 2147483647 )
+               ) FOR k IN range(0, {N_HASHES}) ] AS sig
+      FROM sh
+    )
+    SELECT doc_id, sig[1] AS h0, sig[{N_HASHES}] AS h{N_HASHES - 1},
+           list_aggregate(sig, 'sum') AS sig_sum
+    FROM sig ORDER BY doc_id
+    """,
+)
+def dedup_minhash(spark, sf_dir):
+    """MinHash signatures (k=16) from md5-derived shingle hashes — the
+    deterministic cross-engine formulation: h_k(s) = ((2k+1)*(H48 mod p)+k)
+    mod p, H48 = first 48 bits of md5, p = 2^31-1.  The LSH banding step
+    buckets on signature bands; here the oracle checks the signatures."""
+    sh = _shingles_spark(load(spark, sf_dir, "documents"))
+    h = _SPARK_H.format(x="s")
+    sig = F.expr(
+        f"""
+        transform(sequence(0, {N_HASHES - 1}),
+          k -> array_min(transform(shingles,
+            s -> ((1 + 2 * k) * ({h} % {_MINHASH_P}) + k) % {_MINHASH_P})))
+        """
+    )
+    return (
+        sh.select("doc_id", sig.alias("sig"))
+        .select(
+            "doc_id",
+            F.element_at("sig", 1).alias("h0"),
+            F.element_at("sig", N_HASHES).alias(f"h{N_HASHES - 1}"),
+            F.aggregate("sig", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+                "sig_sum"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def minhash_lsh_pairs(spark, sf_dir, bands: int = 4):
+    """LSH candidate pairs: band the k=16 signature into `bands` rows-per-
+    band groups, bucket-join on (band, band-hash).  This is the 100 TB
+    path: one shuffle on the band key instead of a shingle self-join.
+    Spark-only (composition checked against dedup_ngram_jaccard in tests).
+    """
+    sh = _shingles_spark(load(spark, sf_dir, "documents"))
+    h = _SPARK_H.format(x="s")
+    rows_per_band = N_HASHES // bands
+    sigs = sh.select(
+        "doc_id",
+        F.expr(
+            f"""
+            transform(sequence(0, {N_HASHES - 1}),
+              k -> array_min(transform(shingles,
+                s -> ((1 + 2 * k) * ({h} % {_MINHASH_P}) + k) % {_MINHASH_P})))
+            """
+        ).alias("sig"),
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64: per-word md5-derived 60-bit hash, bit-majority over the
+    word multiset.  Rows-only driver check; tests assert near-dup texts
+    land within small Hamming distance."""
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
+    )
+    h = _SPARK_H.format(x="w")
+    simhash = F.expr(
+        f"""
+        aggregate(sequence(0, 59),
+          cast(0 as bigint),
+          (acc, bit) -> acc + if(
+            aggregate(words,
+              cast(0 as bigint),
+              (s, w) -> s + if(({h} div shiftleft(cast(1 as bigint), bit)) % 2 = 1,
+                              1, -1)) > 0,
+            shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))
+        """
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", words.alias("words"))
+        .where(F.size("words") > 0)
+        .select("doc_id", simhash.alias("simhash"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,67 @@
+"""Extraction-path queries for the driver registry.
+
+The per-turn extraction pipeline is not SQL-expressible (difflib
+similarity, greedy per-turn dedup), so these entries are rows-only driver
+checks; their real correctness gate is the golden-oracle parity suite in
+tests/test_pipeline_parity.py (per-turn text equality under stable turn
+ordering at local[8] == local[32]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medical_ocr_pipeline_spark.pipeline import conversation_text, extract_transcripts
+from medical_ocr_pipeline_spark.queries.base import load, register
+from medical_ocr_pipeline_spark.synth import spark_transcripts
+
+FLAGSHIP_CONVS = 120
+
+
+@register("extract_turns")
+def extract_turns(spark, sf_dir):
+    """Flagship: per-turn main-content extraction over the deterministic
+    transcripts table, in stable turn order."""
+    df = spark_transcripts(spark, FLAGSHIP_CONVS, partitions=16)
+    return (
+        extract_transcripts(df)
+        .select(
+            "conv_id", "turn_idx", "text_final", "n_blocks",
+            F.round("mean_conf", 4).alias("mean_conf"),
+            "bytes_stripped", "parse_failures", "variant",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+@register("extract_conversations")
+def extract_conversations(spark, sf_dir):
+    """Skew-safe ordered conversation assembly on top of extract_turns."""
+    df = spark_transcripts(spark, FLAGSHIP_CONVS, partitions=16)
+    return (
+        conversation_text(extract_transcripts(df))
+        .select("conv_id", F.length("conv_text").alias("conv_chars"), "n_turns")
+        .orderBy("conv_id")
+    )
+
+
+@register("extract_documents")
+def extract_documents(spark, sf_dir):
+    """Extraction pipeline applied to the driver documents table (text
+    payloads treated as turns of synthetic single-turn conversations)."""
+    docs = load(spark, sf_dir, "documents")
+    transcripts = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+    )
+    return (
+        extract_transcripts(transcripts)
+        .select(
+            "conv_id", "n_blocks",
+            F.round("mean_conf", 4).alias("mean_conf"),
+            "bytes_stripped", "parse_failures",
+        )
+        .orderBy("conv_id")
+    )

@@ -1,0 +1,509 @@
+"""Relational operator queries (SURVEY.md §2.3-§2.7) over driver testdata.
+
+Each query re-expresses a reference operator family on the TPC-H-ish
+tables so the DuckDB oracle can check it: aggregations (A5/A10/A11),
+joins (J5/J6/J8), windows (W2/W4/W5/W7), top-k (O3), set ops (U6),
+grouping sets, plus two classic star-schema queries exercising
+broadcast-join planning at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
+
+R = ROUND_DIGITS
+
+
+# --- A10 / A5: stage & page totals ------------------------------------------
+
+@register(
+    "a10_stage_totals",
+    sql=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), {R}) AS avg_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def a10_stage_totals(spark, sf_dir):
+    """A10 stage totals (quick_qa_check.py:49-143) over documents."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), R).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "a5_page_metrics",
+    sql=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), {R}) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def a5_page_metrics(spark, sf_dir):
+    """A5 per-(page, engine) metrics (01_extract_blocks cell 2:13-19)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), R).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "grouping_sets_metrics",
+    sql=f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), {R}) AS avg_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (source))
+    ORDER BY lang NULLS FIRST, source
+    """,
+)
+def grouping_sets_metrics(spark, sf_dir):
+    """Per-(page×engine) + per-engine summaries as GROUPING SETS
+    (01_blocks_all_mcp_compare cell 1:446-469)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_gs")
+    return spark.sql(
+        f"""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), {R}) AS avg_chars
+        FROM documents_gs
+        GROUP BY GROUPING SETS ((lang, source), (source))
+        ORDER BY lang NULLS FIRST, source
+        """
+    )
+
+
+# --- J5: stage-comparison join ----------------------------------------------
+
+@register(
+    "j5_stage_deltas",
+    sql=f"""
+    WITH a AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars_a, COUNT(*) AS docs_a
+      FROM documents WHERE source = 'src0' GROUP BY lang
+    ), b AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars_b, COUNT(*) AS docs_b
+      FROM documents WHERE source = 'src1' GROUP BY lang
+    )
+    SELECT a.lang,
+           a.chars_a, b.chars_b,
+           CAST(b.chars_b - a.chars_a AS BIGINT) AS delta_chars,
+           ROUND(100.0 * (b.chars_b - a.chars_a) / a.chars_a, {R}) AS pct_change
+    FROM a JOIN b ON a.lang = b.lang
+    ORDER BY a.lang
+    """,
+)
+def j5_stage_deltas(spark, sf_dir):
+    """J5 stage A vs B totals -> deltas & pct (quick_qa_check.py:97-143)."""
+    docs = load(spark, sf_dir, "documents")
+    a = (
+        docs.where(F.col("source") == "src0")
+        .groupBy("lang")
+        .agg(F.sum("n_chars").alias("chars_a"), F.count("*").alias("docs_a"))
+    )
+    b = (
+        docs.where(F.col("source") == "src1")
+        .groupBy("lang")
+        .agg(F.sum("n_chars").alias("chars_b"), F.count("*").alias("docs_b"))
+    )
+    return (
+        a.join(b, "lang")
+        .select(
+            "lang",
+            "chars_a",
+            "chars_b",
+            (F.col("chars_b") - F.col("chars_a")).alias("delta_chars"),
+            F.round(
+                100.0 * (F.col("chars_b") - F.col("chars_a")) / F.col("chars_a"), R
+            ).alias("pct_change"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- J6: word-deficit anti-join ---------------------------------------------
+
+_WORD_SPLIT = "[^a-z0-9]+"
+
+
+@register(
+    "j6_missing_words",
+    sql=f"""
+    WITH ref AS (
+      SELECT w AS word, COUNT(*) AS ref_cnt FROM (
+        SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT}')) AS w
+        FROM documents WHERE source = 'src0'
+      ) WHERE w <> '' GROUP BY w
+    ), ocr AS (
+      SELECT w AS word, COUNT(*) AS ocr_cnt FROM (
+        SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT}')) AS w
+        FROM documents WHERE source = 'src1'
+      ) WHERE w <> '' GROUP BY w
+    )
+    SELECT ref.word,
+           ref.ref_cnt,
+           COALESCE(ocr.ocr_cnt, 0) AS ocr_cnt,
+           ref.ref_cnt - COALESCE(ocr.ocr_cnt, 0) AS deficit
+    FROM ref LEFT JOIN ocr ON ref.word = ocr.word
+    WHERE ref.ref_cnt > COALESCE(ocr.ocr_cnt, 0)
+    ORDER BY deficit DESC, ref.word
+    LIMIT 50
+    """,
+)
+def j6_missing_words(spark, sf_dir):
+    """J6 missing-word deficit top-50 (02_ocr_verifier.py:222-239)."""
+    docs = load(spark, sf_dir, "documents")
+
+    def words(src):
+        return (
+            docs.where(F.col("source") == src)
+            .select(
+                F.explode(F.split(F.lower("text"), _WORD_SPLIT)).alias("word")
+            )
+            .where(F.col("word") != "")
+            .groupBy("word")
+            .count()
+        )
+
+    ref = words("src0").withColumnRenamed("count", "ref_cnt")
+    ocr = words("src1").withColumnRenamed("count", "ocr_cnt")
+    return (
+        ref.join(ocr, "word", "left")
+        .select(
+            "word",
+            "ref_cnt",
+            F.coalesce("ocr_cnt", F.lit(0)).alias("ocr_cnt"),
+            (F.col("ref_cnt") - F.coalesce("ocr_cnt", F.lit(0))).alias("deficit"),
+        )
+        .where(F.col("ref_cnt") > F.col("ocr_cnt"))
+        .orderBy(F.desc("deficit"), "word")
+        .limit(50)
+    )
+
+
+# --- J8: best-engine argmax --------------------------------------------------
+
+@register(
+    "j8_best_event",
+    sql="""
+    SELECT user_id, event_id AS best_event_id, value AS best_value
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def j8_best_event(spark, sf_dir):
+    """J8 argmax pick (prefect_pipeline.py:112-127): per key, row with
+    max metric, deterministic tie-break."""
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("best_event_id"),
+            F.col("value").alias("best_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- W2/W4: gap sessionization ----------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+@register(
+    "w4_sessionize",
+    sql=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S}
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), {R}) AS session_value
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def w4_sessionize(spark, sf_dir):
+    """W2/W4 gap sessionization (the A1-A3 lag/cumsum pattern over event
+    time instead of y-coordinates)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    g = (
+        load(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                    > SESSION_GAP_S
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+    )
+    return (
+        g.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), R).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --- W5: reading-order violation score --------------------------------------
+
+@register(
+    "w5_order_violations",
+    sql=f"""
+    SELECT user_id,
+           ROUND(AVG(CASE WHEN value < prev_value THEN 1.0 ELSE 0.0 END), {R})
+             AS violation_rate,
+           COUNT(*) AS n_pairs
+    FROM (
+      SELECT user_id, value,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+      FROM events
+    ) WHERE prev_value IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def w5_order_violations(spark, sf_dir):
+    """W5 adjacent-pair violation fraction (qa_pipeline_evaluator.py:378-398)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("prev_value", F.lag("value").over(w))
+        .where(F.col("prev_value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("value") < F.col("prev_value"), 1.0).otherwise(0.0)),
+                R,
+            ).alias("violation_rate"),
+            F.count("*").alias("n_pairs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- W7: running-budget chunk assignment ------------------------------------
+
+CHUNK_BUDGET = 5000
+
+
+@register(
+    "w7_chunk_assign",
+    sql=f"""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             CAST(SUM(n_chars + 180) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM documents
+    )
+    SELECT source,
+           CAST(FLOOR((cum - 1) / {CHUNK_BUDGET}) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chunk_chars
+    FROM c
+    GROUP BY source, chunk_id
+    ORDER BY source, chunk_id
+    """,
+)
+def w7_chunk_assign(spark, sf_dir):
+    """W7 char-budget chunking (04_json_extraction cell 2:134-147):
+    est = len + 180, running sum -> chunk id."""
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("cum", F.sum(F.col("n_chars") + 180).over(w))
+        .withColumn(
+            "chunk_id",
+            F.floor((F.col("cum") - 1) / CHUNK_BUDGET).cast("long"),
+        )
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chunk_chars"),
+        )
+        .orderBy("source", "chunk_id")
+    )
+
+
+# --- O3: deterministic top-k -------------------------------------------------
+
+@register(
+    "o3_top_docs",
+    sql="""
+    SELECT doc_id, n_chars, lang
+    FROM documents
+    ORDER BY n_chars DESC, doc_id
+    LIMIT 50
+    """,
+)
+def o3_top_docs(spark, sf_dir):
+    """O3 top-k with full tie-break (02_ocr_verifier.py:238-239)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", "lang")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(50)
+    )
+
+
+# --- U6: source-tag union ----------------------------------------------------
+
+@register(
+    "u6_source_tags",
+    sql="""
+    SELECT lang,
+           array_to_string(list_sort(list(DISTINCT source)), '+') AS sources,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def u6_source_tags(spark, sf_dir):
+    """U6 '+'-joined sorted distinct tags (01_extract_blocks cell 4:345)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("source")), "+").alias("sources"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- classic star-schema queries (broadcast-join planning at scale) ---------
+
+@register(
+    "q1_pricing_summary",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), {R}) AS sum_qty,
+           ROUND(SUM(l_extendedprice), {R}) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), {R}) AS sum_disc_price,
+           ROUND(AVG(l_quantity), {R}) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan+partial-agg (map-side combine showcase)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), R).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), R).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), R).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_region_revenue",
+    sql=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), {R}) AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region, nation
+    """,
+)
+def q_region_revenue(spark, sf_dir):
+    """Star join with explicit broadcast of the small dims — at 100 TB the
+    fact table shuffles once on orderkey, dims never shuffle."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("region", "nation")
+    )

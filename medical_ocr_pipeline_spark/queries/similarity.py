@@ -1,0 +1,235 @@
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant (random-hyperplane signs derived from deterministic md5 hashing)
+is the scale path — at 100 TB you bucket-join on the sign signature
+instead of cross-joining the corpus.
+
+Float discipline for the DuckDB oracle: embeddings are float32 on disk;
+both engines up-cast to double, accumulate left-to-right over 64 dims,
+and results are rounded to 4 decimals — enough slack for any residual
+summation-order difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
+
+R = ROUND_DIGITS
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+@register(
+    "cosine_topk",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             ROUND(
+               list_aggregate(list_transform(range(1, 65),
+                 i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 'sum')
+               / (sqrt(list_aggregate(list_transform(q.qe,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+             {R}) AS cosine
+      FROM q, embeddings e
+      WHERE e.vec_id >= {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, label, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rn FROM scored
+    ) WHERE rn <= {TOP_K}
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the (tiny) query set against the
+    corpus — the plan is a BroadcastNestedLoopJoin over one corpus scan,
+    which is the right baseline shape at any scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    corpus = emb.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "label", "embedding"
+    )
+    scored = F.broadcast(q).crossJoin(corpus).select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        F.round(
+            _dot(F.col("qe"), F.col("embedding"))
+            / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
+            R,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "cosine")
+        .orderBy("query_id", F.desc("cosine"), "neighbor_id")
+    )
+
+
+@register(
+    "label_centroid_sim",
+    sql=f"""
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), byd AS (
+      SELECT label, pos, ROUND(AVG(v), 8) AS v, COUNT(*) AS cnt
+      FROM ex GROUP BY label, pos
+    ), c AS (
+      SELECT label, list(v ORDER BY pos) AS centroid, MAX(cnt) AS n
+      FROM byd GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+           ROUND(
+             list_aggregate(list_transform(range(1, 65),
+               i -> a.centroid[i] * b.centroid[i]), 'sum')
+             / (sqrt(list_aggregate(list_transform(a.centroid, x -> x*x), 'sum'))
+                * sqrt(list_aggregate(list_transform(b.centroid, x -> x*x), 'sum'))),
+           {R}) AS cosine
+    FROM c a JOIN c b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def label_centroid_sim(spark, sf_dir):
+    """Per-label centroid (element-wise avg over the group, rounded to 8
+    before the pairwise cosine so both engines agree) and cosine between
+    every label pair — the clustered-similarity aggregate."""
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    )
+    c = (
+        exploded.groupBy("label", "pos")
+        .agg(F.round(F.avg("col"), 8).alias("v"), F.count("*").alias("cnt"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("centroid"),
+            F.first("cnt").alias("n"),
+        )
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(
+                _dot(F.col("a.centroid"), F.col("b.centroid"))
+                / (_norm(F.col("a.centroid")) * _norm(F.col("b.centroid"))),
+                R,
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+N_PLANES = 4
+N_TABLES = 8
+
+
+def lsh_bucket_topk(spark, sf_dir):
+    """Scale path: multi-table random-hyperplane LSH — deterministic
+    pseudo-planes from md5(table, plane, dim), sign-bit signature per
+    table (AND over planes), candidates = union over tables (OR
+    amplification), then exact cosine only within buckets.  One equi-join
+    shuffle on (table, bucket) instead of a cross join.  Spark-only
+    (recall vs cosine_topk is asserted in tests, not hash-matched)."""
+    emb = load(spark, sf_dir, "embeddings")
+    # table t, plane p weight for dim i:
+    #   ((md5-int(t:p:i) mod 2001) - 1000) / 1000  in [-1, 1]
+    sig = F.expr(
+        f"""
+        transform(sequence(0, {N_TABLES - 1}), t ->
+          aggregate(sequence(0, {N_PLANES - 1}), cast(0 as int),
+            (acc, p) -> acc + if(
+              aggregate(zip_with(embedding, sequence(0, 63), (v, i) -> struct(v, i)),
+                cast(0.0 as double),
+                (s, e) -> s + cast(e.v as double) *
+                  ((cast(conv(substr(md5(concat(t, ':', p, ':', e.i)), 1, 12),
+                    16, 10) as bigint) % 2001) - 1000) / 1000.0) > 0,
+              shiftleft(1, p), 0)))
+        """
+    )
+    bucketed = emb.select(
+        "vec_id", "label", "embedding",
+        F.posexplode(sig).alias("tbl", "bucket"),
+    )
+    q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("tbl").alias("qt"),
+        F.col("bucket").alias("qb"),
+    )
+    corpus = bucketed.where(F.col("vec_id") >= N_QUERIES)
+    scored = (
+        F.broadcast(q)
+        .join(
+            corpus,
+            (F.col("qt") == F.col("tbl")) & (F.col("qb") == F.col("bucket")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            "qe",
+            "embedding",
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round(
+                _dot(F.col("qe"), F.col("embedding"))
+                / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
+                R,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "cosine")
+        .orderBy("query_id", F.desc("cosine"), "neighbor_id")
+    )

@@ -1,0 +1,252 @@
+"""Text-analysis queries over the documents table (SURVEY.md §2.8 scalars
++ the training-data-pipeline text ops): rules cleanup (F1), markup strip
+(F2), language ID (F9), tokenization (F10), quality scoring (F14),
+document fingerprinting.  All pure Catalyst on the Spark side; DuckDB
+oracles mirror the regexes (DuckDB regexp_replace needs the 'g' flag to
+match Spark's replace-all default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
+
+R = ROUND_DIGITS
+
+_WORD_SPLIT = "[^a-z0-9]+"
+# BPE-ish token estimate: alnum runs + each non-alnum non-space char
+_TOKEN_RE = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "f1_rules_cleanup",
+    sql=f"""
+    SELECT source,
+           CAST(SUM(length(text)) AS BIGINT) AS raw_chars,
+           CAST(SUM(length(
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text, '[•·∙●]', '.', 'g'), '[–—−]+', '-', 'g'),
+               '[×✕✖]', 'x', 'g'), '\\s+', ' ', 'g'))
+           )) AS BIGINT) AS clean_chars,
+           ROUND(AVG(length(text)), {R}) AS avg_raw_len
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def f1_rules_cleanup(spark, sf_dir):
+    """F1 bullet/dash/×/whitespace normalization as a Catalyst regex chain
+    (02_domain_cleanup cell 0:93-98)."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), "[•·∙●]", "."),
+                    "[–—−]+",
+                    "-",
+                ),
+                "[×✕✖]",
+                "x",
+            ),
+            "\\s+",
+            " ",
+        )
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.length("text")).alias("raw_chars"),
+            F.sum(F.length(cleaned)).alias("clean_chars"),
+            F.round(F.avg(F.length("text")), R).alias("avg_raw_len"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "f2_markup_strip",
+    sql="""
+    SELECT doc_id,
+           length(text) - length(
+             trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                                 '\\s+', ' ', 'g'))
+           ) AS bytes_stripped
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def f2_markup_strip(spark, sf_dir):
+    """F2 HTML tag strip seed (01_blocks_all_mcp_compare cell 1:188)."""
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "<[^>]+>", " "), "\\s+", " "
+        )
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            (F.length("text") - F.length(stripped)).alias("bytes_stripped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "f9_lang_id",
+    sql="""
+    SELECT CASE WHEN regexp_matches(text, '[ऀ-ॿ]') THEN 'hi'
+                WHEN regexp_matches(text, '[ఀ-౿]') THEN 'te'
+                ELSE 'en' END AS lang_tag,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang_tag ORDER BY lang_tag
+    """,
+)
+def f9_lang_id(spark, sf_dir):
+    """F9 unicode-range language tag (03_llm_cleanup cell 4:3-6)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.when(F.col("text").rlike("[ऀ-ॿ]"), "hi")
+            .when(F.col("text").rlike("[ఀ-౿]"), "te")
+            .otherwise("en")
+            .alias("lang_tag")
+        )
+        .groupBy("lang_tag")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_tag")
+    )
+
+
+@register(
+    "f10_token_counts",
+    sql=f"""
+    SELECT lang,
+           SUM(len(list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),
+                               w -> w <> ''))) AS total_words,
+           SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS total_tokens,
+           ROUND(AVG(len(regexp_extract_all(text, '{_TOKEN_RE}'))), {R})
+             AS avg_tokens
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def f10_token_counts(spark, sf_dir):
+    """F10 whitespace/word tokenization + BPE-ish token-count estimate."""
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
+    )
+    # Spark SQL string literals consume one level of backslash escaping
+    tokens = F.expr(
+        f"regexp_extract_all(text, '{_TOKEN_RE.replace(chr(92), chr(92) * 2)}', 0)"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.size(words).alias("nw"), F.size(tokens).alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.sum("nw").alias("total_words"),
+            F.sum("nt").alias("total_tokens"),
+            F.round(F.avg("nt"), R).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STOP = "('the','a','and','of','to','in','is','for','on','with')"
+
+
+@register(
+    "f14_quality_scores",
+    sql=f"""
+    WITH t AS (
+      SELECT lang,
+             length(text) AS n,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS special,
+             list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),
+                         w -> w <> '') AS words
+      FROM documents
+    )
+    SELECT lang,
+           ROUND(AVG(CAST(special AS DOUBLE) / n), {R}) AS special_ratio,
+           ROUND(AVG(CAST(len(list_filter(words, w -> w IN {_STOP})) AS DOUBLE)
+                     / GREATEST(len(words), 1)), {R}) AS stopword_ratio,
+           ROUND(AVG(CAST(len(words) AS DOUBLE)
+                     / GREATEST(len(list_distinct(words)), 1)), {R})
+             AS repetition,
+           COUNT(*) AS n_docs
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def f14_quality_scores(spark, sf_dir):
+    """F14-style quality metrics (01_qa_pipeline_evaluation cell 5):
+    special-char ratio, stopword ratio, repetition factor — the
+    training-data quality-scoring triple."""
+    stop_arr = F.array(
+        *[F.lit(s) for s in
+          ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")]
+    )
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
+    )
+    t = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").alias("n"),
+        F.size(F.expr("regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)")).alias(
+            "special"
+        ),
+        words.alias("words"),
+    )
+    return (
+        t.select(
+            "lang",
+            (F.col("special").cast("double") / F.col("n")).alias("sr"),
+            (
+                F.size(
+                    F.filter("words", lambda w: F.array_contains(stop_arr, w))
+                ).cast("double")
+                / F.greatest(F.size("words"), F.lit(1))
+            ).alias("swr"),
+            (
+                F.size("words").cast("double")
+                / F.greatest(F.size(F.array_distinct("words")), F.lit(1))
+            ).alias("rep"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("sr"), R).alias("special_ratio"),
+            F.round(F.avg("swr"), R).alias("stopword_ratio"),
+            F.round(F.avg("rep"), R).alias("repetition"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "fingerprint_docs",
+    sql="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+             AS n_fingerprints
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def fingerprint_docs(spark, sf_dir):
+    """Document fingerprinting: md5 of whitespace-normalized lowercase text
+    (deterministic across engines), distinct count per source."""
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), "\\s+", " ")))
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(fp).alias("n_fingerprints"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,80 @@
+"""Property tests for the scale-path variants that have no SQL oracle:
+MinHash+LSH candidate recall vs exact Jaccard, SimHash locality, and
+LSH-bucketed ANN recall vs brute-force cosine."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from medical_ocr_pipeline_spark.queries.dedup import (
+    JACCARD_THR,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    minhash_lsh_pairs,
+)
+from medical_ocr_pipeline_spark.queries.similarity import cosine_topk, lsh_bucket_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_lsh_recovers_high_jaccard_pairs(spark):
+    """Every exact-Jaccard pair well above threshold must appear among the
+    LSH candidates (16 hashes / 4 bands / 4 rows: P[miss | j=0.8] < 1%)."""
+    exact = dedup_ngram_jaccard(spark, SF_DIR).toPandas()
+    cand = minhash_lsh_pairs(spark, SF_DIR).toPandas()
+    cand_set = set(zip(cand["doc_a"], cand["doc_b"]))
+    strong = exact[exact["jaccard"] >= 0.8]
+    assert len(strong) > 0, "fixture should contain strong near-dups"
+    missed = [
+        (a, b)
+        for a, b in zip(strong["doc_a"], strong["doc_b"])
+        if (a, b) not in cand_set
+    ]
+    assert not missed, f"LSH missed strong pairs: {missed}"
+
+
+def test_lsh_candidates_mostly_relevant(spark):
+    """LSH shouldn't return the whole cross product: candidate count stays
+    within a small multiple of the exact pair count."""
+    exact = dedup_ngram_jaccard(spark, SF_DIR).count()
+    cand = minhash_lsh_pairs(spark, SF_DIR).count()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert cand < n_docs * (n_docs - 1) / 20, "LSH bucketing not selective"
+    assert cand >= exact * 0.5
+
+
+def test_simhash_locality(spark):
+    """Exact duplicate texts get identical simhash; docs in exact-Jaccard
+    near-dup pairs (>=0.8) are within small Hamming distance."""
+    sh = dedup_simhash(spark, SF_DIR).toPandas().set_index("doc_id")["simhash"]
+    exact = dedup_ngram_jaccard(spark, SF_DIR).toPandas()
+    strong = exact[exact["jaccard"] >= 0.8]
+
+    def hamming(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    dists = [
+        hamming(sh[a], sh[b])
+        for a, b in zip(strong["doc_a"], strong["doc_b"])
+        if a in sh.index and b in sh.index
+    ]
+    assert dists and pd.Series(dists).median() <= 12
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """LSH-bucketed top-k finds a reasonable share of true neighbors
+    (single 8-plane table: recall is probabilistic, assert a floor)."""
+    truth = cosine_topk(spark, SF_DIR).toPandas()
+    approx = lsh_bucket_topk(spark, SF_DIR).toPandas()
+    t = set(zip(truth["query_id"], truth["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(a) > 0
+    recall = len(t & a) / len(t)
+    assert recall >= 0.2, f"recall {recall}"
+
+
+def test_minhash_lsh_plan_is_bucket_join(spark):
+    """The LSH join must be an equi-join (hash/sort-merge on band+bucket),
+    never a cartesian product."""
+    plan = minhash_lsh_pairs(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,47 @@
+"""Every registered query with an oracle must match DuckDB at sf0.001
+(the driver runs the same comparison at sf0.01)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+from medical_ocr_pipeline_spark.queries import REGISTRY  # noqa: E402
+from scripts.check_oracle import TABLES, value_hash  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.sql is not None)
+ROWS_ONLY = sorted(
+    n for n, s in REGISTRY.items()
+    if s.sql is None and not n.startswith("extract_")
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    spec = REGISTRY[name]
+    got = spec.fn(spark, SF_DIR).toPandas()
+    want = duck.execute(spec.sql).df()
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    assert sorted(got.columns) == sorted(want.columns)
+    assert value_hash(got) == value_hash(want), f"{name}: value hash mismatch"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    got = REGISTRY[name].fn(spark, SF_DIR)
+    assert got.count() > 0
