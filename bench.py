@@ -1,0 +1,106 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {name: sec}, "sf"}.
+
+The extraction headline (extract_bench) generates the deterministic
+synthetic transcripts table distributed (no disk IO) and runs the full
+per-turn pipeline; its throughput in turns/sec is reported alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q_region_revenue",
+    "w4_sessionize",
+    "j6_missing_words",
+    "j8_best_event",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "cosine_topk",
+    "f14_quality_scores",
+    "f10_token_counts",
+]
+
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
+
+
+def force(df) -> int:
+    """Force full computation of every row (count() alone could prune)."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count("*").alias("n"),
+        *[
+            # decimal(38,0) sum: overflow-proof under ANSI mode
+            F.sum(F.xxhash64(c).cast("decimal(38,0)")).alias(f"h_{c}")
+            for c in df.columns[: min(4, len(df.columns))]
+        ],
+    ).collect()[0]
+    return row["n"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from medical_ocr_pipeline_spark.pipeline import extract_transcripts
+    from medical_ocr_pipeline_spark.queries import REGISTRY
+    from medical_ocr_pipeline_spark.session import get_spark
+    from medical_ocr_pipeline_spark.synth import spark_transcripts
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # extraction throughput over a materialized transcripts table (input
+    # generation is not part of the measured job, matching the
+    # "same job, same input, two parallelism levels" contract)
+    input_path = f"/tmp/spark_graft_bench_transcripts_{BENCH_CONVS}"
+    if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+        spark_transcripts(spark, BENCH_CONVS, partitions=int(cpus) * 4).write.mode(
+            "overwrite"
+        ).parquet(input_path)
+    transcripts = spark.read.parquet(input_path)
+    force(extract_transcripts(transcripts.limit(2000)))  # warm python workers
+    t0 = time.time()
+    n_turns = force(extract_transcripts(transcripts))
+    extract_sec = time.time() - t0
+    timings["extract_bench"] = round(extract_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extract_turns": n_turns,
+                "extract_turns_per_sec": round(n_turns / extract_sec, 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -46,8 +46,9 @@ FOOTER_FRAC = 0.85
 # notebooks/01b_normalize_layout.ipynb cell 0:67-71
 HEAD_BAND_MAX_PX = 140.0
 FOOT_BAND_MAX_PX = 120.0
-HEAD_BAND_FRAC = 0.12
-FOOT_BAND_FRAC = 0.10
+# 01b cell 0:67-71: header band min(0.10*H, 140), footer min(0.08*H, 120)
+HEAD_BAND_FRAC = 0.10
+FOOT_BAND_FRAC = 0.08
 
 # --- fuzzy dictionary correction (J3) ---------------------------------------
 # notebooks/02_cleanup_blocks.ipynb cell 4:52-71

@@ -1,5 +1,5 @@
 """Per-turn main-content extraction: the reference's 01 -> 01b -> 02 ->
-final-text path compressed into one pure function.
+02a -> 03 path compressed into one pure function.
 
 This function is the single source of truth for per-turn semantics: the
 golden oracle (medical_ocr_pipeline_spark.oracle) calls it single-process,
@@ -8,15 +8,23 @@ inside mapInPandas over Arrow batches — so "per-turn text equality under
 stable turn ordering" holds by construction, and pytest verifies that
 Spark's partitioning/ordering/skew machinery preserves it.
 
-Stage order (reference lifecycle, SURVEY.md §3.1; merge_ensemble at
-01_extract_blocks cell 4:388-400 is union -> regroup -> dedup -> section):
-  parse payload -> normalize conf/bbox -> confidence gate (P1) ->
-  empty filter (P2) -> raw-fragment dedup (J1 applied pre-regroup; our
-  documented improvement — cross-source near-duplicates would otherwise
-  be " "-joined into the same line by A1 and survive paragraph-level
-  dedup) -> line group (A1) + paragraph regroup (A2) -> paragraph dedup
-  (J1) -> section tag (P7) -> cleanup rules+dict+fuzzy (F1/J2/J3) ->
-  min-length filter (P3) -> final text materialize (A12).
+Stage order (reference lifecycle, SURVEY.md §3.1):
+  01  parse payload -> normalize conf/bbox -> confidence gate (P1) ->
+      empty filter (P2) -> raw-fragment dedup (J1 applied pre-regroup;
+      our documented improvement — cross-source near-duplicates would
+      otherwise be " "-joined into the same line by A1 and survive
+      paragraph-level dedup) -> line+paragraph regroup (A1/A2,
+      01_extract_blocks cell 4:321-372) -> paragraph dedup (J1, cell
+      4:374-386) -> section tag (P7, cell 4:106-110)
+  01b adaptive row merge + header/footer band tagging + two-column
+      stitch (A3/P6/A8, 01b_normalize_layout cell 0:148-224)
+  02  cleanup rules+dictionary+fuzzy (F1/J2/J3, 02_domain_cleanup
+      cell 0:93-121) -> text_cleaned
+  03  deterministic choose_text with digit preservation (F7/F8,
+      03_llm_cleanup cell 5) -> per-block final text; min-length (P3)
+  02a heading/gap segmentation with bullet-aware soft join (W4,
+      02a_segment_general cell 0:53-100)
+  A12 final text materialize: "\\n"-joined segment texts in reading order.
 """
 
 from __future__ import annotations
@@ -32,7 +40,10 @@ from medical_ocr_pipeline_spark.constants import (
 )
 from medical_ocr_pipeline_spark.core.dedup_blocks import deduplicate
 from medical_ocr_pipeline_spark.core.lineify import regroup_lines
+from medical_ocr_pipeline_spark.core.normalize import normalize_turn
 from medical_ocr_pipeline_spark.core.parse import parse_payload
+from medical_ocr_pipeline_spark.core.segment import segment_turn
+from medical_ocr_pipeline_spark.core.select import select_final
 from medical_ocr_pipeline_spark.core.textnorm import (
     apply_dictionary,
     apply_fuzzy,
@@ -43,9 +54,13 @@ from medical_ocr_pipeline_spark.core.textnorm import (
 class ExtractResult(NamedTuple):
     text_final: str
     n_blocks: int
+    n_segments: int
     mean_conf: float
     bytes_stripped: int
     parse_failures: int
+    n_header: int
+    n_footer: int
+    two_col: bool
     variant: str
 
 
@@ -62,33 +77,53 @@ def section_of(bbox: list[float], page_h: float = PAGE_H) -> str:
 def extract_turn(payload: str, enable_fuzzy: bool = True) -> ExtractResult:
     raw_blocks, variant, parse_failures = parse_payload(payload)
 
-    # P1 confidence gate + P2 empty-text filter
+    # 01: P1 confidence gate + P2 empty-text filter
     gated = [
         b for b in raw_blocks
         if b["confidence"] >= MIN_CONF and b["text"] and b["text"].strip()
     ]
-
     prededup = deduplicate(gated)        # J1 on raw fragments (improvement)
     paras = regroup_lines(prededup)      # A1 + A2
     deduped = deduplicate(paras)         # J1 on paragraphs (reference order)
-
-    cleaned: list[dict] = []
     for b in deduped:
-        b = dict(b)
-        b["section"] = section_of(b["bbox"])       # P7
+        b["section"] = section_of(b["bbox"])   # P7
+
+    # 01b: adaptive row merge, bands, two-column
+    normalized, stats = normalize_turn(deduped)
+
+    # 02 cleanup + 03 deterministic selection
+    final_blocks: list[dict] = []
+    for b in normalized:
         t = apply_rules(b["text"])                 # F1
         t, _ = apply_dictionary(t)                 # J2
         if enable_fuzzy:
             t, _ = apply_fuzzy(t)                  # J3
+        label, chosen = select_final(b["text"], t)  # F7/F8 digit guard
         b["text_cleaned"] = t
-        if len(t.strip()) >= MIN_TEXT_LEN:         # P3
-            cleaned.append(b)
+        b["text"] = chosen
+        b["kept_label"] = label
+        if len(chosen.strip()) >= MIN_TEXT_LEN:    # P3
+            final_blocks.append(b)
 
-    # A12: final text in reading order (blocks already y,x-sorted by J1)
-    text_final = "\n".join(b["text_cleaned"] for b in cleaned)
-    n = len(cleaned)
-    mean_conf = (sum(b["confidence"] for b in cleaned) / n) if n else 0.0
+    # 02a segmentation + A12 materialize
+    segments = segment_turn(final_blocks)
+    text_final = "\n".join(s["text"] for s in segments if s["text"])
+
+    n = len(final_blocks)
+    mean_conf = (
+        sum(b.get("confidence", 1.0) for b in final_blocks) / n if n else 0.0
+    )
     payload_bytes = len(payload.encode("utf-8")) if payload else 0
     bytes_stripped = max(0, payload_bytes - len(text_final.encode("utf-8")))
-    return ExtractResult(text_final, n, mean_conf, bytes_stripped,
-                         parse_failures, variant)
+    return ExtractResult(
+        text_final=text_final,
+        n_blocks=n,
+        n_segments=len(segments),
+        mean_conf=mean_conf,
+        bytes_stripped=bytes_stripped,
+        parse_failures=parse_failures,
+        n_header=stats["tag_header"],
+        n_footer=stats["tag_footer"],
+        two_col=stats["mode"] == "2col",
+        variant=variant,
+    )

@@ -12,8 +12,9 @@ from medical_ocr_pipeline_spark.core.extract import extract_turn
 from medical_ocr_pipeline_spark.synth import iter_turns
 
 GOLDEN_COLUMNS = [
-    "conv_id", "turn_idx", "text_final", "n_blocks", "mean_conf",
-    "bytes_stripped", "parse_failures",
+    "conv_id", "turn_idx", "text_final", "n_blocks", "n_segments",
+    "mean_conf", "bytes_stripped", "parse_failures", "n_header",
+    "n_footer", "two_col",
 ]
 
 
@@ -23,7 +24,8 @@ def golden_rows(n_convs: int) -> list[tuple]:
     for conv_id, turn_idx, _role, text, _tool, _ts in iter_turns(n_convs):
         r = extract_turn(text)
         rows.append((conv_id, turn_idx, r.text_final, r.n_blocks,
-                     r.mean_conf, r.bytes_stripped, r.parse_failures))
+                     r.n_segments, r.mean_conf, r.bytes_stripped,
+                     r.parse_failures, r.n_header, r.n_footer, r.two_col))
     rows.sort(key=lambda r: (r[0], r[1]))
     return rows
 

@@ -30,11 +30,20 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("role", T.StringType()),
     T.StructField("text_final", T.StringType()),
     T.StructField("n_blocks", T.IntegerType()),
+    T.StructField("n_segments", T.IntegerType()),
     T.StructField("mean_conf", T.DoubleType()),
     T.StructField("bytes_stripped", T.LongType()),
     T.StructField("parse_failures", T.IntegerType()),
+    T.StructField("n_header", T.IntegerType()),
+    T.StructField("n_footer", T.IntegerType()),
+    T.StructField("two_col", T.BooleanType()),
     T.StructField("variant", T.StringType()),
 ])
+
+_RESULT_FIELDS = [
+    "text_final", "n_blocks", "n_segments", "mean_conf", "bytes_stripped",
+    "parse_failures", "n_header", "n_footer", "two_col", "variant",
+]
 
 
 def extract_transcripts(df: DataFrame, enable_fuzzy: bool = True) -> DataFrame:
@@ -47,26 +56,17 @@ def extract_transcripts(df: DataFrame, enable_fuzzy: bool = True) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            n = len(pdf)
+            results = [
+                extract_turn(payload, enable_fuzzy=enable_fuzzy)
+                for payload in pdf["text"].tolist()
+            ]
             out = {
                 "conv_id": pdf["conv_id"].to_numpy(),
                 "turn_idx": pdf["turn_idx"].to_numpy(),
                 "role": pdf["role"].to_numpy(),
-                "text_final": [None] * n,
-                "n_blocks": [0] * n,
-                "mean_conf": [0.0] * n,
-                "bytes_stripped": [0] * n,
-                "parse_failures": [0] * n,
-                "variant": [None] * n,
             }
-            for i, payload in enumerate(pdf["text"].tolist()):
-                r = extract_turn(payload, enable_fuzzy=enable_fuzzy)
-                out["text_final"][i] = r.text_final
-                out["n_blocks"][i] = r.n_blocks
-                out["mean_conf"][i] = r.mean_conf
-                out["bytes_stripped"][i] = r.bytes_stripped
-                out["parse_failures"][i] = r.parse_failures
-                out["variant"][i] = r.variant
+            for j, f in enumerate(_RESULT_FIELDS):
+                out[f] = [r[j] for r in results]
             yield pd.DataFrame(out)
 
     return df.select("conv_id", "turn_idx", "role", "text").mapInPandas(
