@@ -56,11 +56,16 @@ def strip_markup(text: str) -> str:
     return _WS_RE.sub(" ", t).strip()
 
 
-# longest-key-first deterministic order (02_cleanup_blocks cell 4:44)
+# longest-key-first deterministic order (02_cleanup_blocks cell 4:44);
+# compiled as ONE alternation so every block costs one regex pass — the
+# alternation order preserves longest-key-first precedence, and since no
+# replacement value is itself a dictionary key, the single pass is
+# equivalent to the reference's sequential per-key passes.
 _DICT_ITEMS = sorted(DICTIONARY.items(), key=lambda kv: (-len(kv[0]), kv[0]))
-_DICT_PATTERNS = [
-    (re.compile(r"\b%s\b" % re.escape(k), re.IGNORECASE), v) for k, v in _DICT_ITEMS
-]
+_DICT_RE = re.compile(
+    r"\b(?:%s)\b" % "|".join(re.escape(k) for k, _ in _DICT_ITEMS),
+    re.IGNORECASE,
+)
 
 
 def _match_case(repl: str, src: str) -> str:
@@ -76,13 +81,12 @@ def apply_dictionary(text: str) -> tuple[str, int]:
     """Word-boundary, case-aware dictionary correction. Returns (text, n)."""
     n = 0
 
-    for pat, repl in _DICT_PATTERNS:
-        def _sub(m, repl=repl):
-            nonlocal n
-            n += 1
-            return _match_case(repl, m.group(0))
+    def _sub(m):
+        nonlocal n
+        n += 1
+        return _match_case(DICTIONARY[m.group(0).lower()], m.group(0))
 
-        text = pat.sub(_sub, text)
+    text = _DICT_RE.sub(_sub, text)
     return text, n
 
 

@@ -1,0 +1,254 @@
+"""QA / verifier operators as queries (SURVEY.md §2 M5): coverage
+histogram (A9), budget depletion (W8), positional baseline join (J4),
+content-drop trend (A13), CER/WER (F15), deep merge (A7).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
+
+R = ROUND_DIGITS
+
+
+@register(
+    "a9_coverage_histogram",
+    sql=f"""
+    SELECT event_type,
+           CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(AVG(value), {R}) AS avg_value
+    FROM events
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+)
+def a9_coverage_histogram(spark, sf_dir):
+    """A9 binned coverage counts (02_ocr_verifier.py:91-106), 10-unit bins."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 10).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), R).alias("avg_value"))
+        .orderBy("event_type", "bin")
+    )
+
+
+BUDGET_PER_USER = 5
+
+
+@register(
+    "w8_budget_cap",
+    sql=f"""
+    SELECT user_id, COUNT(*) AS n_cleaned,
+           ROUND(SUM(value), {R}) AS cleaned_value
+    FROM (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= {BUDGET_PER_USER}
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w8_budget_cap(spark, sf_dir):
+    """W8 deterministic budget (03_llm_cleanup cell 7:3-31 reformulated):
+    rank in deterministic order, cap by rank — the parallel-safe version
+    of the reference's sequential budget decrement."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= BUDGET_PER_USER)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_cleaned"),
+            F.round(F.sum("value"), R).alias("cleaned_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "j4_positional_baseline",
+    sql=f"""
+    WITH r AS (
+      SELECT user_id, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.rn AS pos,
+           ROUND(a.value, {R}) AS value_a,
+           ROUND(b.value, {R}) AS value_b,
+           ROUND(b.value - a.value, {R}) AS delta
+    FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+    WHERE a.user_id < 20
+    ORDER BY a.user_id, pos
+    """,
+)
+def j4_positional_baseline(spark, sf_dir):
+    """J4 positional alignment (03a_llm_cleanup_qa cell 0:123-155): pair
+    element i with element i+1 by index, compute change metrics."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .select("user_id", "rn", "value")
+    )
+    a = r.alias("a")
+    b = r.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.rn") == F.col("a.rn") + 1),
+        )
+        .where(F.col("a.user_id") < 20)
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.rn").alias("pos"),
+            F.round(F.col("a.value"), R).alias("value_a"),
+            F.round(F.col("b.value"), R).alias("value_b"),
+            F.round(F.col("b.value") - F.col("a.value"), R).alias("delta"),
+        )
+        .orderBy("user_id", "pos")
+    )
+
+
+@register(
+    "a13_content_trend",
+    sql=f"""
+    SELECT user_id,
+           ROUND(FIRST(value ORDER BY ts, event_id), {R}) AS initial_value,
+           ROUND(LAST(value ORDER BY ts, event_id), {R}) AS final_value,
+           ROUND(LAST(value ORDER BY ts, event_id)
+                 - FIRST(value ORDER BY ts, event_id), {R}) AS drop
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def a13_content_trend(spark, sf_dir):
+    """A13 initial-vs-final trend (qa_pipeline_evaluator.py:717-775):
+    windowed first/last over the ordered series."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("iv", F.first("value").over(w))
+        .withColumn("fv", F.last("value").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.first("iv"), R).alias("initial_value"),
+            F.round(F.first("fv"), R).alias("final_value"),
+            F.round(F.first("fv") - F.first("iv"), R).alias("drop"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_CERWER_SCHEMA = T.StructType([
+    T.StructField("doc_a", T.LongType()),
+    T.StructField("doc_b", T.LongType()),
+    T.StructField("cer", T.DoubleType()),
+    T.StructField("wer", T.DoubleType()),
+    T.StructField("unigram_overlap", T.DoubleType()),
+])
+
+
+@register("f15_cer_wer")
+def f15_cer_wer(spark, sf_dir):
+    """F15 CER/WER/unigram overlap (qa_pipeline_evaluator.py:490-509)
+    between deterministically paired documents (i, i+250), via a grouped
+    Arrow batch (difflib parity — not SQL-expressible, rows-only check;
+    exactness is covered by unit tests against hand-computed values)."""
+    import pandas as pd
+
+    from medical_ocr_pipeline_spark.core.merge import cer, unigram_overlap, wer
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    a = docs.where(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    b = docs.where(F.col("doc_id") >= 250).select(
+        (F.col("doc_id") - 250).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+    )
+    pairs = a.join(b, "doc_a")
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_a": pdf["doc_a"],
+                "doc_b": pdf["doc_b"],
+                "cer": [
+                    round(cer(x, y), 6)
+                    for x, y in zip(pdf["text_a"], pdf["text_b"])
+                ],
+                "wer": [
+                    round(wer(x, y), 6)
+                    for x, y in zip(pdf["text_a"], pdf["text_b"])
+                ],
+                "unigram_overlap": [
+                    round(unigram_overlap(x, y), 6)
+                    for x, y in zip(pdf["text_a"], pdf["text_b"])
+                ],
+            })
+
+    return pairs.mapInPandas(run, schema=_CERWER_SCHEMA).orderBy("doc_a")
+
+
+_MERGE_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("n_pieces", T.IntegerType()),
+    T.StructField("n_keys", T.IntegerType()),
+    T.StructField("merged_json", T.StringType()),
+])
+
+
+@register("a7_deep_merge")
+def a7_deep_merge(spark, sf_dir):
+    """A7 deep dict merge (05_merge_and_validate cell 2:13-33) as a
+    grouped aggregation: every JSON-fenced turn of a conversation is a
+    piece; pieces merge in (turn_idx) order per conversation.  Rows-only
+    driver check; merge semantics unit-tested single-process."""
+    import pandas as pd
+
+    from medical_ocr_pipeline_spark.core.merge import merge_pieces
+    from medical_ocr_pipeline_spark.core.parse import light_repair, strip_fences
+    from medical_ocr_pipeline_spark.synth import spark_transcripts
+
+    tr = spark_transcripts(spark, 80, partitions=8)
+    fenced = tr.where(F.col("text").startswith("```"))
+
+    def run(key, pdf: "pd.DataFrame"):
+        pdf = pdf.sort_values("turn_idx")
+        pieces = []
+        for payload in pdf["text"]:
+            try:
+                pieces.append(json.loads(light_repair(strip_fences(payload))))
+            except (json.JSONDecodeError, ValueError):
+                continue
+        merged = merge_pieces([p for p in pieces if isinstance(p, dict)])
+        return pd.DataFrame({
+            "conv_id": [key[0]],
+            "n_pieces": [len(pieces)],
+            "n_keys": [len(merged)],
+            "merged_json": [json.dumps(merged, sort_keys=True)],
+        })
+
+    return (
+        fenced.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandas(run, schema=_MERGE_SCHEMA)
+        .orderBy("conv_id")
+    )

@@ -1,0 +1,108 @@
+"""Structured Streaming: incremental per-turn extraction with exactly-once
+file sinks and checkpoint/resume.
+
+The reference's resumability story is stage directories + newest-stage
+fallback discovery (S9, notebooks/04_json_extraction.ipynb cell 2:18-27):
+a crashed run resumes from the last completed stage folder.  Here the
+same guarantee comes from Structured Streaming checkpoints: the
+transcripts table is treated as an append-only source, each
+Trigger.AvailableNow run extracts only the files not yet recorded in the
+checkpoint, and the parquet sink commits atomically — kill/rerun
+converges to the identical output set with no reprocessing.
+
+Also provided: watermarked event-time metrics (the streaming analogue of
+the per-stage metrics CSVs, S7) and gap-based session windows over the
+events table (the reference's y-gap sessionization A1-A3 transplanted to
+event time via F.session_window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from medical_ocr_pipeline_spark.pipeline import extract_transcripts
+
+TRANSCRIPT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    enable_fuzzy: bool = True,
+):
+    """Incrementally extract all not-yet-processed transcript files.
+
+    Returns the finished StreamingQuery (AvailableNow: runs to completion
+    over the current backlog, then stops — the batch/streaming unification
+    point; a production deployment swaps the trigger for a continuous one).
+    """
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    extracted = extract_transcripts(src, enable_fuzzy=enable_fuzzy)
+    q = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def streaming_turn_metrics(extracted_with_ts: DataFrame,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window extraction metrics: late rows beyond the
+    watermark are dropped, state is bounded — the 10^12-turn-safe way to
+    keep running counts."""
+    return (
+        extracted_with_ts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("turns_processed"),
+            F.sum("bytes_stripped").alias("bytes_stripped"),
+            F.sum("parse_failures").alias("parse_failures"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "turns_processed",
+            "bytes_stripped",
+            "parse_failures",
+        )
+    )
+
+
+def session_window_events(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows over the events stream (W4's streaming
+    twin: F.session_window instead of lag/cumsum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,85 @@
+"""Structured Streaming: incremental extraction with checkpoint/resume
+(exactly-once over an append-only transcripts table) and event-time
+session windows."""
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from medical_ocr_pipeline_spark.oracle import golden_pandas
+from medical_ocr_pipeline_spark.streaming.extraction import (
+    session_window_events,
+    stream_extract,
+)
+from medical_ocr_pipeline_spark.synth import spark_transcripts
+
+
+@pytest.fixture()
+def tmpdirs():
+    d = tempfile.mkdtemp(prefix="stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_extract_exactly_once(spark, tmpdirs):
+    inp = f"{tmpdirs}/in"
+    out = f"{tmpdirs}/out"
+    ckpt = f"{tmpdirs}/ckpt"
+
+    # batch 1: conversations 0..9
+    all_tr = spark_transcripts(spark, 20, partitions=4).cache()
+    b1 = all_tr.where(F.col("conv_id") < "conv_000010")
+    b1.write.mode("append").parquet(inp)
+    stream_extract(spark, inp, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == b1.count()
+
+    # batch 2 appended: remaining conversations; resume processes ONLY new
+    b2 = all_tr.where(F.col("conv_id") >= "conv_000010")
+    b2.write.mode("append").parquet(inp)
+    stream_extract(spark, inp, out, ckpt)
+    total = spark.read.parquet(out)
+    assert total.count() == all_tr.count()
+    # no duplicates: one row per (conv_id, turn_idx)
+    assert total.select("conv_id", "turn_idx").distinct().count() == all_tr.count()
+
+    # rerun with NO new input: output unchanged (idempotent resume)
+    stream_extract(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == all_tr.count()
+    all_tr.unpersist()
+
+
+def test_streaming_output_matches_golden(spark, tmpdirs):
+    inp = f"{tmpdirs}/in"
+    out = f"{tmpdirs}/out"
+    spark_transcripts(spark, 10, partitions=2).write.parquet(inp)
+    stream_extract(spark, inp, out, f"{tmpdirs}/ckpt")
+    got = (
+        spark.read.parquet(out)
+        .select("conv_id", "turn_idx", "text_final")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = golden_pandas(10)[["conv_id", "turn_idx", "text_final"]]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_window_matches_batch_sessionize(spark):
+    """F.session_window on a static frame == the lag/cumsum batch
+    sessionization (same gap)."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sw = session_window_events(events).toPandas()
+    from medical_ocr_pipeline_spark.queries.relational import w4_sessionize
+
+    batch = w4_sessionize(spark, "/root/testdata/sf0.001").toPandas()
+    # same number of sessions per user and same total value
+    a = sw.groupby("user_id").agg(n=("n_events", "count"),
+                                  v=("session_value", "sum"))
+    b = batch.groupby("user_id").agg(n=("session_id", "count"),
+                                     v=("session_value", "sum"))
+    pd.testing.assert_frame_equal(a.sort_index(), b.sort_index(),
+                                  check_dtype=False, atol=1e-6)
