@@ -41,7 +41,11 @@ from medical_ocr_pipeline_spark.constants import (
 from medical_ocr_pipeline_spark.core.dedup_blocks import deduplicate
 from medical_ocr_pipeline_spark.core.lineify import regroup_lines
 from medical_ocr_pipeline_spark.core.normalize import normalize_turn
-from medical_ocr_pipeline_spark.core.parse import parse_payload
+from medical_ocr_pipeline_spark.core.parse import (
+    escalate,
+    need_escalation,
+    parse_payload,
+)
 from medical_ocr_pipeline_spark.core.segment import segment_turn
 from medical_ocr_pipeline_spark.core.select import select_final
 from medical_ocr_pipeline_spark.core.textnorm import (
@@ -76,6 +80,18 @@ def section_of(bbox: list[float], page_h: float = PAGE_H) -> str:
 
 def extract_turn(payload: str, enable_fuzzy: bool = True) -> ExtractResult:
     raw_blocks, variant, parse_failures = parse_payload(payload)
+
+    # two-pass escalation (P4/P12/J9): heavy fallback when the structured
+    # parse yields too little text.  html escalates on weak yield (the
+    # heavy pass strips tags, so no markup re-enters); layout escalates
+    # only when NOTHING parsed (otherwise raw coordinate syntax would be
+    # reintroduced next to correctly parsed lines); json never escalates
+    # (its parser has its own fence-strip fallback).
+    if (variant == "html" and need_escalation(raw_blocks)) or (
+        variant == "layout" and not raw_blocks
+    ):
+        raw_blocks = escalate(payload, raw_blocks)
+        variant = variant + "+heavy"
 
     # 01: P1 confidence gate + P2 empty-text filter
     gated = [

@@ -235,3 +235,45 @@ def parse_payload(payload: str) -> tuple[list[dict], str, int]:
         blocks, failures = parse_layout(payload)
         return blocks, variant, failures
     return parse_plain(payload), variant, 0
+
+
+# --- two-pass escalation (P4/P12/J9 analogues) ------------------------------
+# Reference: cheap native pass first; heavy OCR only for pages failing the
+# gate (01_extract_blocks cell 1:35-38, cell 2:21-24, cell 4:447-450).
+# Our payload analogue: if the structured parse yields little text, run the
+# plain-line fallback extractor over the raw payload as the "heavy" second
+# pass and union it in; the native-strength gate keeps the primary blocks
+# only when they carry enough characters.
+
+ESCALATION_MIN_CHARS = 200   # need_escalation: native < 200 chars
+NATIVE_LEN_GATE_CHARS = 100  # native_len_gate (cell 1:45)
+
+
+def need_escalation(blocks: list[dict]) -> bool:
+    """P12: too little extracted text -> run the heavy second pass."""
+    total = sum(len(b["text"]) for b in blocks)
+    if total >= ESCALATION_MIN_CHARS:
+        return False
+    if not blocks:
+        return True
+    mean_conf = sum(b["confidence"] for b in blocks) / len(blocks)
+    return total < ESCALATION_MIN_CHARS and (mean_conf < 0.70 or len(blocks) < 10)
+
+
+def escalate(payload: str, primary: list[dict]) -> list[dict]:
+    """J9-style rescue: heavy fallback pass over the raw payload (markup
+    and fences stripped first so tag soup never re-enters), union with the
+    gated primary (P4: primary kept only if >= 100 chars)."""
+    defenced = strip_fences(payload)
+    # strip tags line-by-line (keeping newlines so parse_plain still sees
+    # line structure)
+    stripped = "\n".join(
+        re.sub(r"<[^>]+>", " ", ln) for ln in defenced.splitlines()
+    )
+    heavy = [
+        {**b, "source": "heavy", "confidence": 0.60}
+        for b in parse_plain(stripped)
+    ]
+    primary_chars = sum(len(b["text"]) for b in primary)
+    gated_primary = primary if primary_chars >= NATIVE_LEN_GATE_CHARS else []
+    return gated_primary + heavy

@@ -3,6 +3,7 @@
 from medical_ocr_pipeline_spark.queries import (  # noqa: F401
     dedup,
     extraction,
+    misc,
     qa,
     relational,
     similarity,

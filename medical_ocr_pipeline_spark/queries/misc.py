@@ -1,0 +1,259 @@
+"""Remaining operator-family queries: JSON parse with corrupt capture
+(F3), max_by artifact pick (O6), most-changed top-k (O4), term
+preservation (U4), nested hierarchy flatten (A4), kept-version pivot
+(A11), and the Catalyst structured-extraction stage (04/05).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
+
+R = ROUND_DIGITS
+_WORD_SPLIT = "[^a-z0-9]+"
+
+
+@register(
+    "f3_json_parse",
+    sql=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS parse_failures,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), {R}) AS avg_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def f3_json_parse(spark, sf_dir):
+    """F3 at scale: from_json in PERMISSIVE mode over the events props
+    column; failures counted, never raised."""
+    parsed = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").alias("doc"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("doc").isNull().cast("int")).alias("parse_failures"),
+            F.sum("doc.k").cast("long").alias("sum_k"),
+            F.round(F.avg("doc.k"), R).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "o6_max_by_pick",
+    sql="""
+    SELECT user_id,
+           arg_max(event_id, ts) AS newest_event_id,
+           ROUND(arg_max(value, ts), 4) AS newest_value
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def o6_max_by_pick(spark, sf_dir):
+    """O6 newest-artifact pick (mcp_ocr_docling.py:140-143) as max_by on
+    the (unique) event timestamp."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr("max_by(event_id, ts)").alias("newest_event_id"),
+            F.round(F.expr("max_by(value, ts)"), 4).alias("newest_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "o4_most_changed",
+    sql="""
+    SELECT event_id, user_id, ROUND(value - prev_value, 4) AS change
+    FROM (
+      SELECT event_id, user_id, value,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+      FROM events
+    ) WHERE prev_value IS NOT NULL
+    ORDER BY ABS(value - prev_value) DESC, event_id
+    LIMIT 12
+    """,
+)
+def o4_most_changed(spark, sf_dir):
+    """O4 top-12 most-changed (03a_llm_cleanup_qa cell 0:226-232):
+    largest adjacent deltas, deterministic tie-break."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("prev_value", F.lag("value").over(w))
+        .where(F.col("prev_value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.col("prev_value"), 4).alias("change"),
+        )
+        .orderBy(F.abs(F.col("change")).desc(), "event_id")
+        .limit(12)
+    )
+
+
+@register(
+    "u4_term_preservation",
+    sql="""
+    WITH w AS (
+      SELECT lang, source,
+             list_distinct(flatten(list(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')
+             ))) AS words
+      FROM documents WHERE source IN ('src0','src1') GROUP BY lang, source
+    )
+    SELECT a.lang,
+           len(list_intersect(a.words, b.words)) AS n_common,
+           len(a.words) AS n_before,
+           ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / len(a.words), 4) AS preservation
+    FROM w a JOIN w b ON a.lang = b.lang
+    WHERE a.source = 'src0' AND b.source = 'src1'
+    ORDER BY a.lang
+    """,
+)
+def u4_term_preservation(spark, sf_dir):
+    """U4 term-preservation intersection (qa_pipeline_evaluator.py:311-325):
+    |before ∩ after| / |before| on distinct token sets."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1")
+    )
+    words = (
+        docs.select(
+            "lang",
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), _WORD_SPLIT),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w"),
+        )
+        .groupBy("lang", "source")
+        .agg(F.collect_set("w").alias("words"))
+    )
+    a = words.where(F.col("source") == "src0").alias("a")
+    b = words.where(F.col("source") == "src1").alias("b")
+    inter = F.array_intersect(F.col("a.words"), F.col("b.words"))
+    return (
+        a.join(b, F.col("a.lang") == F.col("b.lang"))
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.size(inter).alias("n_common"),
+            F.size("a.words").alias("n_before"),
+            F.round(
+                F.size(inter).cast("double") / F.size("a.words"), 4
+            ).alias("preservation"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "a4_hierarchy_flatten",
+    sql=f"""
+    WITH nested AS (
+      SELECT user_id, event_type, list(value ORDER BY event_id) AS vals
+      FROM events GROUP BY user_id, event_type
+    ), per_user AS (
+      SELECT user_id, list(vals ORDER BY event_type) AS groups
+      FROM nested GROUP BY user_id
+    )
+    SELECT user_id,
+           len(flatten(groups)) AS n_leaves,
+           ROUND(list_aggregate(flatten(groups), 'sum'), {R}) AS total
+    FROM per_user ORDER BY user_id
+    """,
+)
+def a4_hierarchy_flatten(spark, sf_dir):
+    """A4 hierarchy flatten (mcp_ocr_doctr.py:44-91): pages->blocks->
+    lines->words becomes nested array-of-arrays built per group, then
+    flattened/aggregated with nested F.transform/F.aggregate."""
+    nested = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "value"))),
+                lambda s: s["value"],
+            ).alias("vals")
+        )
+    )
+    per_user = nested.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_type", "vals"))),
+            lambda s: s["vals"],
+        ).alias("groups")
+    )
+    flat = F.flatten("groups")
+    return per_user.select(
+        "user_id",
+        F.size(flat).alias("n_leaves"),
+        F.round(
+            F.aggregate(flat, F.lit(0.0), lambda acc, v: acc + v), R
+        ).alias("total"),
+    ).orderBy("user_id")
+
+
+@register(
+    "a11_kept_pivot",
+    sql="""
+    SELECT lang,
+           COUNT(*) FILTER (WHERE source = 'src0') AS src0,
+           COUNT(*) FILTER (WHERE source = 'src1') AS src1,
+           COUNT(*) FILTER (WHERE source = 'src2') AS src2,
+           COUNT(*) FILTER (WHERE source NOT IN ('src0','src1','src2'))
+             AS other
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def a11_kept_pivot(spark, sf_dir):
+    """A11 kept-version Counter (03_llm_cleanup cell 7:48-57) as a pivot:
+    per group, counts of each chosen label."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "label",
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.col("source"))
+        .otherwise("other"),
+    )
+    return (
+        docs.groupBy("lang")
+        .pivot("label", ["src0", "src1", "src2", "other"])
+        .count()
+        .na.fill(0)
+        .orderBy("lang")
+    )
+
+
+@register("structured_extract_merge")
+def structured_extract_merge(spark, sf_dir):
+    """04/05 Catalyst structured extraction + typed per-conversation merge
+    over the deterministic transcripts (rows-only driver check; semantics
+    tested against the single-process merge in pytest)."""
+    from medical_ocr_pipeline_spark.plans.structured import (
+        merge_documents,
+        structured_extract,
+    )
+    from medical_ocr_pipeline_spark.synth import spark_transcripts
+
+    tr = spark_transcripts(spark, 100, partitions=8)
+    s = structured_extract(tr)
+    return (
+        merge_documents(s)
+        .select(
+            "conv_id", "summary", F.array_join("items", "|").alias("items"),
+            "dose", "n_pieces",
+        )
+        .orderBy("conv_id")
+    )
