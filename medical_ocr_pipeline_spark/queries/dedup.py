@@ -56,11 +56,17 @@ def dedup_exact(spark, sf_dir):
 
 
 def _shingles_spark(df):
-    """Distinct word-3-gram shingles per doc (lowercased)."""
+    """Distinct word-3-gram shingles per doc (lowercased).
+
+    The documents table at test scale is one small parquet file -> one
+    input split; without an explicit fan-out the whole shingle pipeline
+    runs on a single core.  Repartition by doc_id first (at 100 TB the
+    scan has thousands of splits and this becomes a no-op-cost hash
+    exchange that also pre-distributes the join's build rows)."""
     words = F.filter(
         F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
     )
-    df = df.select("doc_id", words.alias("w"))
+    df = df.repartition(64, "doc_id").select("doc_id", words.alias("w"))
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size("w") - 3),
@@ -113,7 +119,13 @@ _SHINGLES_DUCK = """
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via shingle inverted-index
     self-join (no O(n^2) cross join — the join key is the shingle)."""
-    sh = _shingles_spark(load(spark, sf_dir, "documents"))
+    # Persist the shingle arrays BEFORE exploding: without the barrier,
+    # CollapseProject inlines the (expensive) shingle-building expression
+    # into the Generate node and re-evaluates it once per exploded output
+    # row (~50x per doc); and the self-join would recompute the whole
+    # pipeline for both sides.  At cluster scale this is the materialized
+    # shingle index, the standard shape.
+    sh = _shingles_spark(load(spark, sf_dir, "documents")).persist()
     ex = sh.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
     )
@@ -187,6 +199,13 @@ def dedup_minhash(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    """Registry wrapper: LSH candidate pairs (rows-only; recall vs exact
+    Jaccard asserted in tests/test_dedup_similarity.py)."""
+    return minhash_lsh_pairs(spark, sf_dir)
 
 
 def minhash_lsh_pairs(spark, sf_dir, bands: int = 4):

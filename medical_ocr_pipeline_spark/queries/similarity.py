@@ -167,6 +167,7 @@ N_PLANES = 4
 N_TABLES = 8
 
 
+@register("ann_lsh_topk")
 def lsh_bucket_topk(spark, sf_dir):
     """Scale path: multi-table random-hyperplane LSH — deterministic
     pseudo-planes from md5(table, plane, dim), sign-bit signature per

@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the properties that matter at 100 TB.
+
+Each test runs the query, then inspects the AQE-final executed plan:
+broadcast joins for small dims, predicate/column pushdown into the
+parquet scan, no cartesian products, partial (map-side) aggregation.
+"""
+
+from pyspark.sql import functions as F
+
+from medical_ocr_pipeline_spark.queries.relational import (
+    q1_pricing_summary,
+    q_region_revenue,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def final_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = final_plan(q_region_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark):
+    plan = final_plan(q1_pricing_summary(spark, SF_DIR))
+    # the shipdate filter reaches the parquet scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not scan all lineitem columns."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    plan = final_plan(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "l_extendedprice" not in read_schema[0]
+    assert "l_orderkey" in read_schema[0]
+
+
+def test_extraction_plan_is_single_python_stage(spark, tmp_path):
+    """The extraction pipeline is one MapInPandas over the scan — no
+    shuffle before the python stage."""
+    from medical_ocr_pipeline_spark.pipeline import extract_transcripts
+    from medical_ocr_pipeline_spark.synth import spark_transcripts
+
+    path = str(tmp_path / "tr")
+    spark_transcripts(spark, 10, partitions=2).write.parquet(path)
+    df = extract_transcripts(spark.read.parquet(path))
+    plan = final_plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan  # narrow: no shuffle in the extract path
+
+
+def test_conversation_assembly_two_phase(spark, tmp_path):
+    """Skew-safe assembly: two aggregation phases (bucket then conv), so
+    a megaconversation never funnels through one reduce task in phase 1."""
+    from medical_ocr_pipeline_spark.pipeline import (
+        conversation_text,
+        extract_transcripts,
+    )
+    from medical_ocr_pipeline_spark.synth import spark_transcripts
+
+    path = str(tmp_path / "tr2")
+    spark_transcripts(spark, 10, partitions=2).write.parquet(path)
+    df = conversation_text(extract_transcripts(spark.read.parquet(path)))
+    plan = final_plan(df)
+    assert plan.count("Exchange") >= 2  # bucket agg + conv agg shuffles
