@@ -286,3 +286,66 @@ def dedup_simhash(spark, sf_dir):
         .select("doc_id", simhash.alias("simhash"))
         .orderBy("doc_id")
     )
+
+
+EMB_DUP_THR = 0.30
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql=f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_aggregate(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_aggregate(list_transform(range(1, 65),
+                   i -> a.e[i] * b.e[i]), 'sum') / (a.nrm * b.nrm),
+                 {R}) AS cosine,
+           CAST(a.label = b.label AS BOOLEAN) AS same_label
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(range(1, 65),
+            i -> a.e[i] * b.e[i]), 'sum') / (a.nrm * b.nrm) >= {EMB_DUP_THR}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline).  At test scale
+    the pair space is tiny; at 100 TB the same query runs over LSH
+    buckets (ann_lsh_topk's signature join) instead of the full pair
+    space — this exact variant is the oracle-checkable ground truth the
+    approximate path is tested against."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("nrm"),
+    ).repartition(16)
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= EMB_DUP_THR)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, R).alias("cosine"),
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

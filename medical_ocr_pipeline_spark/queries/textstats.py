@@ -250,3 +250,92 @@ def fingerprint_docs(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- n-gram language-ID heuristic -------------------------------------------
+# Character-trigram profiles of function words (public-knowledge lists);
+# the classifier is argmax over profile-intersection sizes with a fixed
+# tie-break precedence — deterministic and expressible in both engines.
+_LANG_PROFILES = {
+    "en": ["the", "he ", "nd ", "and", "ing", " th", "ion", " of", "of ", "to "],
+    "es": ["de ", " de", "la ", " la", "os ", "el ", " el", "que", " qu", "ión"],
+    "de": ["er ", "en ", "der", " de", "ie ", "die", "und", " un", "sch", "ein"],
+    "fr": ["es ", " de", "de ", "le ", " le", "ent", "et ", " et", "la ", "des"],
+}
+_LANG_ORDER = ["en", "es", "de", "fr"]
+
+
+def _tri_sql_duck(col):
+    return (f"list_distinct([substr({col}, i, 3) "
+            f"FOR i IN range(1, greatest(length({col}) - 1, 1))])")
+
+
+def _profile_sql(lang):
+    return "[" + ", ".join(f"'{t}'" for t in _LANG_PROFILES[lang]) + "]"
+
+
+_LANGID_DUCK_SCORES = ", ".join(
+    f"len(list_intersect(tri, {_profile_sql(lg)})) AS s_{lg}"
+    for lg in _LANG_ORDER
+)
+_LANGID_DUCK_WINNER = (
+    "CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' "
+    "WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' "
+    "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END"
+)
+
+
+@register(
+    "langid_ngram",
+    sql=f"""
+    WITH tri AS (
+      SELECT lang AS true_lang, {_tri_sql_duck("lower(text)")} AS tri
+      FROM documents
+    ), scored AS (
+      SELECT true_lang, {_LANGID_DUCK_SCORES} FROM tri
+    )
+    SELECT true_lang, {_LANGID_DUCK_WINNER} AS pred_lang, COUNT(*) AS n,
+           ROUND(AVG(s_en), {R}) AS avg_s_en
+    FROM scored
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def langid_ngram(spark, sf_dir):
+    """Language-ID via char-trigram profile intersection (the n-gram
+    heuristic of the training-data pipeline; the reference's unicode-range
+    tagger F9 is the degenerate single-feature case)."""
+    t = F.lower("text")
+    tri = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1))),
+            lambda i: F.substring(t, 1, 0x7FFFFFFF).substr(i, F.lit(3)),
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("lang").alias("true_lang"), tri.alias("tri")
+    )
+    for lg in _LANG_ORDER:
+        profile = F.array(*[F.lit(x) for x in _LANG_PROFILES[lg]])
+        docs = docs.withColumn(
+            f"s_{lg}", F.size(F.array_intersect("tri", profile))
+        )
+    s = {lg: F.col(f"s_{lg}") for lg in _LANG_ORDER}
+    winner = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    return (
+        docs.withColumn("pred_lang", winner)
+        .groupBy("true_lang", "pred_lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("s_en"), R).alias("avg_s_en"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -83,3 +83,43 @@ def test_session_window_matches_batch_sessionize(spark):
                                      v=("session_value", "sum"))
     pd.testing.assert_frame_equal(a.sort_index(), b.sort_index(),
                                   check_dtype=False, atol=1e-6)
+
+
+def test_stateful_rollup_accumulates_across_restarts(spark, tmpdirs):
+    """applyInPandasWithState: per-conversation counters accumulate across
+    two AvailableNow runs (state restored from the checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from medical_ocr_pipeline_spark.streaming.stateful import (
+        conversation_rollup_stream,
+    )
+
+    inp = f"{tmpdirs}/sin"
+    out = f"{tmpdirs}/sout"
+    ckpt = f"{tmpdirs}/sckpt"
+    all_tr = spark_transcripts(spark, 12, partitions=2).cache()
+    half = all_tr.where(F.col("turn_idx") % 2 == 0)
+
+    half.write.mode("append").parquet(inp)
+    conversation_rollup_stream(spark, inp, out, ckpt)
+    first = (
+        spark.read.parquet(out).groupBy("conv_id")
+        .agg(F.max("n_turns").alias("n")).toPandas().set_index("conv_id")["n"]
+    )
+
+    all_tr.where(F.col("turn_idx") % 2 == 1).write.mode("append").parquet(inp)
+    conversation_rollup_stream(spark, inp, out, ckpt)
+    latest = (
+        spark.read.parquet(out).groupBy("conv_id")
+        .agg(F.max("n_turns").alias("n")).toPandas().set_index("conv_id")["n"]
+    )
+
+    totals = (
+        all_tr.groupBy("conv_id").count().toPandas()
+        .set_index("conv_id")["count"]
+    )
+    for conv, total in totals.items():
+        assert latest[conv] == total, conv       # state accumulated
+        assert first[conv] <= total
+    assert (first < latest).any()                # second batch added turns
+    all_tr.unpersist()
