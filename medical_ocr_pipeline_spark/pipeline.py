@@ -158,3 +158,17 @@ def resume_or_compute(spark, path: str, compute) -> DataFrame:
         return spark.read.parquet(path)
     except Exception:
         return compute()
+
+
+def conversation_digest_md(conversations: DataFrame) -> DataFrame:
+    """S10 golden-digest sink (01_qa_pipeline_evaluation cell 32:46-84):
+    per-conversation markdown digest rows; concatenate the `md` column for
+    a fixture-style single-file export."""
+    return conversations.select(
+        "conv_id",
+        F.concat(
+            F.lit("## "), F.col("conv_id"),
+            F.lit(" ("), F.col("n_turns"), F.lit(" turns)\n\n"),
+            F.col("conv_text"), F.lit("\n"),
+        ).alias("md"),
+    ).orderBy("conv_id")
