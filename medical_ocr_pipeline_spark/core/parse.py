@@ -167,6 +167,49 @@ def _json_strings(obj, out: list[str]) -> None:
             _json_strings(v, out)
 
 
+# engine-response envelope sniffing (reference: generic MCP response keys
+# blocks/lines/results/predictions/preds/data, 01_blocks_all_mcp_compare
+# cell 1:181-200; wrapper keys result/document/data then candidate arrays,
+# mcp/mcp_ocr_docling.py:183-215)
+_CANDIDATE_KEYS = ("blocks", "lines", "results", "predictions", "preds", "data")
+_WRAPPER_KEYS = ("result", "document", "data")
+
+
+def _harvest_block_records(obj) -> list[dict] | None:
+    """If the parsed JSON looks like an OCR-engine response envelope,
+    coerce its records into canonical blocks (F17 bbox + F18 conf)."""
+    if not isinstance(obj, dict):
+        return None
+    for wk in _WRAPPER_KEYS:
+        if isinstance(obj.get(wk), dict):
+            inner = _harvest_block_records(obj[wk])
+            if inner:
+                return inner
+    for key in _CANDIDATE_KEYS:
+        cand = obj.get(key)
+        if not (
+            isinstance(cand, list)
+            and cand
+            and all(isinstance(e, dict) and "text" in e for e in cand)
+        ):
+            continue
+        blocks = []
+        for e in cand:
+            text = str(e.get("text") or "").strip()
+            if not text:
+                continue
+            bbox = clamp_bbox(coerce_bbox(e.get("bbox")))
+            blocks.append({
+                "text": text,
+                "confidence": norm_conf(e.get("confidence", e.get("conf"))),
+                "bbox": bbox,
+                "source": str(obj.get("engine") or e.get("source") or "json_engine"),
+            })
+        if blocks:
+            return blocks
+    return None
+
+
 def parse_json_fenced(payload: str) -> tuple[list[dict], int]:
     """F3: fence strip + light repair + parse.  Returns (blocks, failures)."""
     stripped = strip_fences(payload)
@@ -175,6 +218,9 @@ def parse_json_fenced(payload: str) -> tuple[list[dict], int]:
             obj = json.loads(candidate)
         except (json.JSONDecodeError, ValueError):
             continue
+        harvested = _harvest_block_records(obj)
+        if harvested is not None:
+            return harvested, 0
         leaves: list[str] = []
         _json_strings(obj, leaves)
         return _stacked_blocks(leaves, "json", 0.98), 0

@@ -117,6 +117,29 @@ def _plain_payload(rng: random.Random) -> str:
 
 
 def _json_payload(rng: random.Random) -> str:
+    if rng.random() < 0.25:
+        # OCR-engine response envelope with mixed bbox/conf shapes
+        # (exercises F17 coercion + F18 normalization end-to-end)
+        y = 60
+        records = []
+        for _ in range(2 + rng.randrange(3)):
+            shape = rng.randrange(3)
+            txt = _sentence(rng, 4 + rng.randrange(4))
+            if shape == 0:      # 4-list, fractional conf
+                bb = f"[40, {y}, 600, {y + 18}]"
+                conf = f"0.8{rng.randrange(10)}"
+            elif shape == 1:    # polygon list-of-[x,y], percent conf
+                bb = (f"[[40, {y}], [600, {y}], [600, {y + 18}], [40, {y + 18}]]")
+                conf = str(80 + rng.randrange(19))
+            else:               # dict corners
+                bb = f'{{"x0": 40, "y0": {y}, "x1": 600, "y1": {y + 18}}}'
+                conf = f"0.9{rng.randrange(10)}"
+            records.append(f'{{"text": "{txt}", "confidence": {conf}, "bbox": {bb}}}')
+            y += 22 + rng.randrange(2) * 20
+        return (
+            '{"engine": "eng_%d", "blocks": [%s], "meta": {}}'
+            % (rng.randrange(4), ", ".join(records))
+        )
     body = (
         '{"summary": "%s", "items": ["%s", "%s"], "dose": "%d mg",}'
         % (_sentence(rng, 6), _sentence(rng, 3), _sentence(rng, 3),

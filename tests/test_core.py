@@ -253,3 +253,37 @@ class TestExtract:
         html = "<html><body><nav>x y z</nav><p>short</p></body></html>"
         r = extract_turn(html)
         assert r.bytes_stripped > 0
+
+
+class TestEngineEnvelope:
+    def test_harvest_envelope_blocks(self):
+        payload = (
+            '{"engine": "tess", "blocks": ['
+            '{"text": "hello world", "confidence": 92, "bbox": [10, 20, 200, 38]},'
+            '{"text": "poly block", "confidence": 0.88,'
+            ' "bbox": [[10, 60], [200, 60], [200, 78], [10, 78]]},'
+            '{"text": "dict block", "confidence": 0.9,'
+            ' "bbox": {"x0": 10, "y0": 100, "x1": 200, "y1": 118}}], "meta": {}}'
+        )
+        blocks, variant, fails = parse_payload(payload)
+        assert variant == "json" and fails == 0
+        assert [b["text"] for b in blocks] == ["hello world", "poly block",
+                                               "dict block"]
+        assert blocks[0]["confidence"] == 0.92      # percent normalized
+        assert blocks[1]["bbox"] == [10, 60, 200, 78]   # polygon coerced
+        assert blocks[2]["bbox"] == [10, 100, 200, 118]  # dict coerced
+        assert all(b["source"] == "tess" for b in blocks)
+
+    def test_wrapper_key_unwrapped(self):
+        payload = (
+            '{"result": {"lines": [{"text": "inner", "conf": 0.7,'
+            ' "bbox": [0, 0, 50, 10]}]}}'
+        )
+        blocks, _, _ = parse_payload(payload)
+        assert [b["text"] for b in blocks] == ["inner"]
+        assert blocks[0]["confidence"] == 0.7
+
+    def test_plain_json_still_leaves(self):
+        blocks, _, fails = parse_payload('{"a": "scalar text", "b": ["x"]}')
+        assert [b["text"] for b in blocks] == ["scalar text", "x"]
+        assert fails == 0
