@@ -172,3 +172,44 @@ def conversation_digest_md(conversations: DataFrame) -> DataFrame:
             F.col("conv_text"), F.lit("\n"),
         ).alias("md"),
     ).orderBy("conv_id")
+
+
+def extract_blocks_table(df: DataFrame) -> DataFrame:
+    """Per-turn BLOCK-array table (SURVEY.md §1.2: a page file ≙ one row
+    with blocks ArrayType(BLOCK)) — the lineage-preserving intermediate;
+    explode for per-block rows."""
+    import pandas as pd
+
+    from medical_ocr_pipeline_spark.core.extract import extract_turn_blocks
+    from medical_ocr_pipeline_spark.schemas import TURN_BLOCKS
+
+    def run(batches):
+        for pdf in batches:
+            out = {"conv_id": pdf["conv_id"].to_numpy(),
+                   "turn_idx": pdf["turn_idx"].to_numpy(), "blocks": []}
+            for payload in pdf["text"].tolist():
+                _res, _gated, final_blocks = extract_turn_blocks(payload)
+                out["blocks"].append([
+                    {
+                        "text": b["text"],
+                        "confidence": float(b.get("confidence", 1.0)),
+                        "bbox": [float(v) for v in b["bbox"]],
+                        "source": b.get("source"),
+                        "section": b.get("section"),
+                    }
+                    for b in final_blocks
+                ])
+            yield pd.DataFrame(out)
+
+    return df.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=TURN_BLOCKS
+    )
+
+
+def explode_blocks(turn_blocks: DataFrame) -> DataFrame:
+    """blocks array -> one row per block, with in-turn position."""
+    return turn_blocks.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode("blocks").alias("block_idx", "block"),
+    ).select("conv_id", "turn_idx", "block_idx", "block.*")
