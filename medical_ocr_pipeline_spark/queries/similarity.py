@@ -234,3 +234,84 @@ def lsh_bucket_topk(spark, sf_dir):
         .select("query_id", "neighbor_id", "label", "cosine")
         .orderBy("query_id", F.desc("cosine"), "neighbor_id")
     )
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+IVF_SEED_STRIDE = 31   # every 31st vector is a coarse centroid (~16 of 500)
+IVF_NPROBE = 2
+
+
+def _assignments(emb, centroids):
+    """Every vector's nearest IVF_NPROBE centroid ids by cosine."""
+    scored = F.broadcast(centroids).crossJoin(emb).select(
+        "vec_id",
+        "centroid_id",
+        (
+            _dot(F.col("embedding"), F.col("ce"))
+            / (_norm(F.col("embedding")) * _norm(F.col("ce")))
+        ).alias("sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= IVF_NPROBE)
+        .select("vec_id", "centroid_id", "rnk")
+    )
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN: deterministic seed centroids (every
+    31st vector), one-pass cluster assignment via broadcast argmax,
+    queries probe their IVF_NPROBE nearest lists, exact cosine only
+    within probed lists.  The 100 TB shape: the corpus shuffles once on
+    centroid_id (the inverted lists); each query touches nprobe lists
+    instead of the whole corpus.  Rows-only; recall vs brute force is
+    tested in tests/test_dedup_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.where(F.col("vec_id") % IVF_SEED_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("ce"),
+        )
+    )
+    # inverted lists: corpus vectors keyed by their single nearest list
+    corpus_assign = _assignments(
+        emb.where(F.col("vec_id") >= N_QUERIES), centroids
+    ).where(F.col("rnk") == 1)
+    corpus = corpus_assign.join(
+        emb.select("vec_id", "label", "embedding"), "vec_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"), "label", "embedding", "centroid_id"
+    )
+    # queries probe their nprobe nearest lists
+    q_assign = _assignments(emb.where(F.col("vec_id") < N_QUERIES), centroids)
+    q = q_assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "centroid_id",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, "centroid_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round(
+                _dot(F.col("qe"), F.col("embedding"))
+                / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
+                R,
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "cosine")
+        .orderBy("query_id", F.desc("cosine"), "neighbor_id")
+    )

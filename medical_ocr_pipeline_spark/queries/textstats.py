@@ -339,3 +339,66 @@ def langid_ngram(spark, sf_dir):
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# --- rolling-hash document fingerprint --------------------------------------
+# Rabin-Karp-style polynomial hash over the word sequence:
+#   h = sum_i( (H48(w_i) mod p) * B^i ) mod p,  B = 31, p = 2^31 - 1
+# computed incrementally (h = h*B + w mod p) — order-sensitive, so
+# reordered documents fingerprint differently (unlike a bag-of-words md5),
+# and identical in Spark and DuckDB via the shared md5-derived word hash.
+_ROLL_P = 2147483647
+_ROLL_B = 31
+
+
+@register(
+    "fingerprint_rolling",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),
+                         x -> x <> '') AS words
+      FROM documents
+    ), fp AS (
+      SELECT doc_id, source,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 [ CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT) % {_ROLL_P}
+                   FOR x IN words ]),
+               (h, x) -> (h * {_ROLL_B} + x) % {_ROLL_P}) AS fp
+      FROM w
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_fingerprints,
+           CAST(MIN(fp) AS BIGINT) AS min_fp, CAST(MAX(fp) AS BIGINT) AS max_fp
+    FROM fp GROUP BY source ORDER BY source
+    """,
+)
+def fingerprint_rolling(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint per document, aggregated
+    per source.  h*B never exceeds 2^36 before the mod, so the arithmetic
+    is exact in both engines."""
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
+    )
+    fp = F.expr(
+        f"""
+        aggregate(words, cast(0 as bigint),
+          (h, x) -> (h * {_ROLL_B}
+                     + cast(conv(substr(md5(x), 1, 12), 16, 10) as bigint)
+                       % {_ROLL_P}) % {_ROLL_P})
+        """
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", words.alias("words"))
+        .select("doc_id", "source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("source")
+    )

@@ -78,3 +78,18 @@ def test_minhash_lsh_plan_is_bucket_join(spark):
     plan = minhash_lsh_pairs(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_ivf_recall_and_shape(spark):
+    """IVF ANN: nprobe=2 of ~16 lists scans a fraction of the corpus yet
+    finds a reasonable share of the true top-k."""
+    from medical_ocr_pipeline_spark.queries.similarity import ann_ivf_topk
+
+    truth = cosine_topk(spark, SF_DIR).toPandas()
+    approx = ann_ivf_topk(spark, SF_DIR).toPandas()
+    t = set(zip(truth["query_id"], truth["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(approx) > 0
+    assert approx.groupby("query_id").size().max() <= 5
+    recall = len(t & a) / len(t)
+    assert recall >= 0.15, f"recall {recall}"
