@@ -71,13 +71,21 @@ def main() -> None:
 
     # extraction throughput over a materialized transcripts table (input
     # generation is not part of the measured job, matching the
-    # "same job, same input, two parallelism levels" contract)
-    input_path = f"/tmp/spark_graft_bench_transcripts_{BENCH_CONVS}"
+    # "same job, same input, two parallelism levels" contract).  The path
+    # is versioned by a sample payload hash so generator changes rebuild it.
+    import zlib
+
+    from medical_ocr_pipeline_spark.synth import make_payload
+
+    gen_ver = zlib.crc32(make_payload("conv_000000", 0).encode()) % 100000
+    input_path = f"/tmp/spark_graft_bench_transcripts_{BENCH_CONVS}_{gen_ver}"
     if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
         spark_transcripts(spark, BENCH_CONVS, partitions=int(cpus) * 4).write.mode(
             "overwrite"
         ).parquet(input_path)
-    transcripts = spark.read.parquet(input_path)
+    # the table is a few tens of MB -> a default scan gives ~1 split and
+    # strands the other slots; fan out explicitly (cheap shuffle)
+    transcripts = spark.read.parquet(input_path).repartition(int(cpus) * 4)
     force(extract_transcripts(transcripts.limit(2000)))  # warm python workers
     t0 = time.time()
     n_turns = force(extract_transcripts(transcripts))
