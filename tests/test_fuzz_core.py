@@ -65,3 +65,38 @@ def test_html_parser_survives_malformed_markup(soup):
     payload = "<html><body>" + soup + "</body></html>"
     r = extract_turn(payload)
     assert r == extract_turn(payload)
+
+
+bbox_like = st.one_of(
+    st.lists(st.floats(-1e4, 1e4, allow_nan=False), min_size=4, max_size=4),
+    st.lists(st.floats(-1e4, 1e4, allow_nan=False), min_size=8, max_size=8),
+    st.lists(
+        st.lists(st.floats(-1e4, 1e4, allow_nan=False), min_size=2, max_size=2),
+        min_size=1, max_size=6,
+    ),
+    st.dictionaries(st.sampled_from(["x0", "y0", "x1", "y1"]),
+                    st.floats(-1e4, 1e4, allow_nan=False)),
+    st.none(),
+    st.text(max_size=10),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(bbox_like)
+def test_coerce_clamp_total(raw):
+    from medical_ocr_pipeline_spark.core.geometry import clamp_bbox, coerce_bbox
+
+    b = clamp_bbox(coerce_bbox(raw))
+    assert len(b) == 4
+    x0, y0, x1, y1 = b
+    assert 0 <= x0 <= x1 and 0 <= y0 <= y1
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(st.floats(allow_nan=True, allow_infinity=True),
+                 st.integers(-10**6, 10**6), st.none(), st.text(max_size=6)))
+def test_norm_conf_total(raw):
+    from medical_ocr_pipeline_spark.core.geometry import norm_conf
+
+    v = norm_conf(raw)
+    assert 0.0 <= v <= 1.0
