@@ -16,6 +16,7 @@ import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -23,8 +24,23 @@ from medical_ocr_pipeline_spark.queries import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return REGISTRY["extract_turns"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: per-turn main-content
+    extraction over the documents payloads (loaded from the testdata
+    parquet), plus the deterministic synthetic transcripts — the M1 spine
+    (parse -> regroup -> dedup -> normalize -> cleanup -> segment ->
+    materialize) in stable turn order."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = REGISTRY["extract_documents"].fn(spark, sf_dir)
+    turns = REGISTRY["extract_turns"].fn(spark, sf_dir)
+    return turns.select(
+        "conv_id", "turn_idx", "n_blocks", "mean_conf",
+        "bytes_stripped", "parse_failures",
+    ).unionByName(
+        docs.withColumn("turn_idx", F.lit(0)).select(
+            "conv_id", "turn_idx", "n_blocks", "mean_conf",
+            "bytes_stripped", "parse_failures",
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
