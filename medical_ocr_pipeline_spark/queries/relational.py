@@ -507,3 +507,191 @@ def q_region_revenue(spark, sf_dir):
         )
         .orderBy("region", "nation")
     )
+
+
+@register(
+    "q3_shipping_priority",
+    sql=f"""
+    SELECT l.l_orderkey AS orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), {R}) AS revenue,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter broadcast against the fact,
+    fact-side predicate pushed to the parquet scan, deterministic top-10.
+    At scale: customer(BUILDING) broadcasts, lineitem never shuffles for
+    the join — only for the final per-order aggregate."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R
+            ).alias("revenue"),
+        )
+        .select("orderkey", "revenue", "orderpriority")
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_semi_urgent_customers",
+    sql="""
+    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY mktsegment
+    """,
+)
+def q_semi_urgent_customers(spark, sf_dir):
+    """LEFT SEMI join (EXISTS): customers with >=1 urgent order, counted
+    per segment.  The semi join never materializes order columns — at
+    scale the build side is the *distinct filtered custkeys*, tiny."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(F.broadcast(o), c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("mktsegment")
+    )
+
+
+@register(
+    "q_anti_dormant_customers",
+    sql="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_dormant,
+           ROUND(SUM(c.c_acctbal), 4) AS total_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY mktsegment
+    """,
+)
+def q_anti_dormant_customers(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS), TPC-H Q22 shape: customers with no
+    recent order.  Anti joins broadcast the filtered key set; no null-
+    handling trap because the join key is non-nullable."""
+    c = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    )
+    return (
+        c.join(F.broadcast(recent), c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_dormant"),
+            F.round(F.sum("c_acctbal"), R).alias("total_acctbal"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+@register(
+    "q_rollup_revenue",
+    sql=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), {R}) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP hierarchy totals (priority -> status -> grand total) —
+    complements grouping_sets_metrics; one shuffle produces all levels."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), R).alias("revenue"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q_brand_topn_per_nation",
+    sql=f"""
+    SELECT nation, brand, revenue, rk FROM (
+      SELECT n.n_name AS nation, p.p_brand AS brand,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), {R}) AS revenue,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.n_name
+               ORDER BY ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), {R})
+                        DESC, p.p_brand
+             ) AS rk
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, p.p_brand
+    ) WHERE rk <= 3
+    ORDER BY nation, rk
+    """,
+)
+def q_brand_topn_per_nation(spark, sf_dir):
+    """Per-group top-k over a star join: top-3 part brands by revenue per
+    supplier nation.  part/supplier/nation broadcast; the window runs
+    over the already-aggregated (nation, brand) frame — tiny, one final
+    shuffle on nation."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    agg = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R
+            ).alias("revenue"),
+        )
+    )
+    w = W.partitionBy("nation").orderBy(F.desc("revenue"), "brand")
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("nation", "brand", "revenue", "rk")
+        .orderBy("nation", "rk")
+    )
