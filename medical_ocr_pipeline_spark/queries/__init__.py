@@ -7,6 +7,7 @@ from medical_ocr_pipeline_spark.queries import (  # noqa: F401
     qa,
     relational,
     similarity,
+    temporal,
     textstats,
 )
 from medical_ocr_pipeline_spark.queries.base import REGISTRY  # noqa: F401

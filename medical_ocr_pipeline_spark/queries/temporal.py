@@ -1,0 +1,136 @@
+"""Temporal join operators Spark lacks as builtins: as-of join and
+banded range join, both in their scale-path formulations.
+
+The reference has no event-time operators at all (SURVEY.md §2.9 — pure
+batch over spatial coordinates); these are the training-data-pipeline
+analogues of its y-gap sessionization logic (A1-A3) transposed onto
+event time, and the canonical pattern for joining 100 TB event streams
+without a cartesian explosion:
+
+* as-of join: union both sides, one window pass per key — O(n log n)
+  per key, ONE shuffle, no join blow-up (vs the naive inequality join
+  which Spark plans as broadcast-nested-loop).
+* range join: band the time axis into fixed buckets, explode the probe
+  side into the 3 adjacent buckets, equi-join on (key, bucket) — turns
+  an inequality theta-join into a hash join; each pair is produced
+  exactly once because the build row's bucket is unique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
+
+R = ROUND_DIGITS
+
+RANGE_BAND_S = 1800
+
+
+@register(
+    "asof_view_to_purchase",
+    sql="""
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY user_id, purchase_id
+    """,
+)
+def asof_view_to_purchase(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent view
+    at-or-before it.  Implemented as union + one window pass: views sort
+    before purchases at equal ts (side tiebreak) so >= semantics hold;
+    `last(..., ignorenulls)` carries the latest view forward.  At 100 TB
+    this is one shuffle on user_id and zero row amplification."""
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(0).alias("side")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(1).alias("side")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "eid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_view = F.col("side") == 0
+    # one struct-valued last() -> a single Window node (two separate
+    # withColumns would leave two Window passes over the sorted partition)
+    merged = views.unionByName(purchases).withColumn(
+        "last_view",
+        F.last(F.when(is_view, F.struct("eid", "ts")), True).over(w),
+    )
+    return (
+        merged.where((F.col("side") == 1) & F.col("last_view").isNotNull())
+        .select(
+            "user_id",
+            F.col("eid").alias("purchase_id"),
+            F.col("last_view.eid").alias("view_id"),
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("last_view.ts")
+            ).alias("gap_sec"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+@register(
+    "range_join_event_pairs",
+    sql=f"""
+    SELECT a.user_id AS user_id,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(abs(floor(epoch(a.ts)) - floor(epoch(b.ts)))), {R})
+             AS avg_gap_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= {RANGE_BAND_S}
+    GROUP BY a.user_id
+    ORDER BY user_id
+    """,
+)
+def range_join_event_pairs(spark, sf_dir):
+    """Banded range self-join: per user, count event pairs within
+    RANGE_BAND_S of each other.  The probe side explodes into the 3
+    adjacent time buckets and the join is a plain equi-join on
+    (user_id, bucket) — never an inequality nested-loop.  Row
+    amplification is a fixed 3x on one side, independent of data size."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("sec"),
+        )
+        .withColumn("bucket", F.floor(F.col("sec") / RANGE_BAND_S))
+    )
+    probe = ev.select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_id"),
+        F.col("sec").alias("a_sec"),
+        F.explode(
+            F.array(
+                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+            )
+        ).alias("bucket"),
+    )
+    pairs = probe.join(ev, (probe.a_user == ev.user_id) & (probe.bucket == ev.bucket)).where(
+        (F.col("a_id") < F.col("event_id"))
+        & (F.abs(F.col("a_sec") - F.col("sec")) <= RANGE_BAND_S)
+    )
+    return (
+        pairs.groupBy(F.col("a_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(F.abs(F.col("a_sec") - F.col("sec"))), R).alias(
+                "avg_gap_sec"
+            ),
+        )
+        .orderBy("user_id")
+    )

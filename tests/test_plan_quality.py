@@ -77,3 +77,41 @@ def test_conversation_assembly_two_phase(spark, tmp_path):
     df = conversation_text(extract_transcripts(spark.read.parquet(path)))
     plan = final_plan(df)
     assert plan.count("Exchange") >= 2  # bucket agg + conv agg shuffles
+
+
+def test_range_join_is_equi_hash_join(spark):
+    """The banded range join must plan as a hash equi-join on
+    (user_id, bucket) — never a BroadcastNestedLoopJoin/CartesianProduct
+    (what a naive inequality join degenerates to)."""
+    from medical_ocr_pipeline_spark.queries.temporal import (
+        range_join_event_pairs,
+    )
+
+    plan = final_plan(range_join_event_pairs(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_join_single_data_shuffle(spark):
+    """The as-of union+window plan shuffles the event data once on
+    user_id; the only other exchange is the final presentation sort."""
+    from medical_ocr_pipeline_spark.queries.temporal import (
+        asof_view_to_purchase,
+    )
+
+    df = asof_view_to_purchase(spark, SF_DIR)
+    plan = final_plan(df)
+    assert "Join" not in plan  # no join operator at all: union + window
+    # a single Window node computes the carried view struct
+    assert len({ln.strip() for ln in plan.splitlines() if "Window" in ln}) == 1
+    # exchanges: one hashpartitioning(user_id) + one rangepartitioning
+    # (AQE prints the plan twice with fresh plan_ids -> normalize + dedupe)
+    import re
+
+    ex = {
+        re.sub(r"\[plan_id=\d+\]", "", ln.strip())
+        for ln in plan.splitlines()
+        if "+- Exchange" in ln
+    }
+    assert len(ex) <= 2, ex
