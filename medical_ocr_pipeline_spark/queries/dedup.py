@@ -179,16 +179,20 @@ def dedup_minhash(spark, sf_dir):
     mod p, H48 = first 48 bits of md5, p = 2^31-1.  The LSH banding step
     buckets on signature bands; here the oracle checks the signatures."""
     sh = _shingles_spark(load(spark, sf_dir, "documents"))
+    # hoist the md5 out of the per-k lambda: hash each shingle ONCE
+    # (md5 dominates; the per-k permutation is integer arithmetic)
     h = _SPARK_H.format(x="s")
+    hs = F.expr(f"transform(shingles, s -> {h} % {_MINHASH_P})")
     sig = F.expr(
         f"""
         transform(sequence(0, {N_HASHES - 1}),
-          k -> array_min(transform(shingles,
-            s -> ((1 + 2 * k) * ({h} % {_MINHASH_P}) + k) % {_MINHASH_P})))
+          k -> array_min(transform(hs,
+            h -> ((1 + 2 * k) * h + k) % {_MINHASH_P})))
         """
     )
     return (
-        sh.select("doc_id", sig.alias("sig"))
+        sh.select("doc_id", hs.alias("hs"))
+        .select("doc_id", sig.alias("sig"))
         .select(
             "doc_id",
             F.element_at("sig", 1).alias("h0"),
@@ -219,11 +223,14 @@ def minhash_lsh_pairs(spark, sf_dir, bands: int = 4):
     rows_per_band = N_HASHES // bands
     sigs = sh.select(
         "doc_id",
+        F.expr(f"transform(shingles, s -> {h} % {_MINHASH_P})").alias("hs"),
+    ).select(
+        "doc_id",
         F.expr(
             f"""
             transform(sequence(0, {N_HASHES - 1}),
-              k -> array_min(transform(shingles,
-                s -> ((1 + 2 * k) * ({h} % {_MINHASH_P}) + k) % {_MINHASH_P})))
+              k -> array_min(transform(hs,
+                h -> ((1 + 2 * k) * h + k) % {_MINHASH_P})))
             """
         ).alias("sig"),
     )
@@ -258,23 +265,48 @@ def minhash_lsh_pairs(spark, sf_dir, bands: int = 4):
     )
 
 
-@register("dedup_simhash")
+@register(
+    "dedup_simhash",
+    sql="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS words
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(words,
+               w -> CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT)) AS hs
+      FROM w WHERE len(words) > 0
+    )
+    SELECT doc_id,
+           list_aggregate(list_transform(range(0, 60), bit ->
+             CASE WHEN list_aggregate(list_transform(hs,
+                    h -> CASE WHEN (h // (CAST(1 AS BIGINT) << bit)) % 2 = 1
+                         THEN 1 ELSE -1 END), 'sum') > 0
+                  THEN (CAST(1 AS BIGINT) << bit)
+                  ELSE 0 END), 'sum') AS simhash
+    FROM h ORDER BY doc_id
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash-64: per-word md5-derived 60-bit hash, bit-majority over the
-    word multiset.  Rows-only driver check; tests assert near-dup texts
-    land within small Hamming distance."""
+    """SimHash-64 (60 bits used): per-word md5-derived hash, bit-majority
+    over the word multiset.  The word hash is hoisted out of the per-bit
+    loop (one md5 per word, not 60); tests additionally assert near-dup
+    texts land within small Hamming distance."""
     words = F.filter(
         F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
     )
     h = _SPARK_H.format(x="w")
+    hs = F.expr(f"transform(words, w -> {h})")
     simhash = F.expr(
-        f"""
+        """
         aggregate(sequence(0, 59),
           cast(0 as bigint),
           (acc, bit) -> acc + if(
-            aggregate(words,
+            aggregate(hs,
               cast(0 as bigint),
-              (s, w) -> s + if(({h} div shiftleft(cast(1 as bigint), bit)) % 2 = 1,
+              (s, h) -> s + if((h div shiftleft(cast(1 as bigint), bit)) % 2 = 1,
                               1, -1)) > 0,
             shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))
         """
@@ -283,6 +315,7 @@ def dedup_simhash(spark, sf_dir):
         load(spark, sf_dir, "documents")
         .select("doc_id", words.alias("words"))
         .where(F.size("words") > 0)
+        .select("doc_id", hs.alias("hs"))
         .select("doc_id", simhash.alias("simhash"))
         .orderBy("doc_id")
     )
