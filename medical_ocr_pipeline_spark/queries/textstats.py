@@ -402,3 +402,87 @@ def fingerprint_rolling(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- composite corpus curation (the 100 TB training-data filter job) --------
+
+CURATE_MIN_WORDS = 30
+CURATE_MAX_REP = 3.0
+CURATE_PFX_WORDS = 8
+
+
+@register(
+    "corpus_keep_drop",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),
+                         x -> x <> '') AS words
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             len(words) AS n_words,
+             len(words) * 1.0 / NULLIF(len(list_distinct(words)), 0) AS rep,
+             ROW_NUMBER() OVER (
+               PARTITION BY array_to_string(words[1:{CURATE_PFX_WORDS}], ' ')
+               ORDER BY doc_id
+             ) AS dup_rank
+      FROM w
+    )
+    SELECT CASE
+             WHEN dup_rank > 1 THEN 'dup'
+             WHEN n_words < {CURATE_MIN_WORDS} THEN 'too_short'
+             WHEN rep >= {CURATE_MAX_REP} THEN 'repetitive'
+             ELSE 'keep'
+           END AS reason,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_words), {R}) AS avg_words
+    FROM s GROUP BY reason ORDER BY reason
+    """,
+)
+def corpus_keep_drop(spark, sf_dir):
+    """Composite corpus-curation filter — the shape of a real training-
+    data keep/drop job: prefix dedup (first-8-words fingerprint, the
+    RefinedWeb-style cheap near-dup gate), length gate, and repetition
+    gate, with first-failing-reason attribution.  One scan + one window
+    shuffle on the prefix key; at 100 TB each gate is a column expression
+    and the only exchange is the dedup-rank partitioning."""
+    from pyspark.sql import Window as W
+
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
+    )
+    s = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", words.alias("words"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("words").alias("n_words"),
+            (
+                F.size("words").cast("double")
+                / F.nullif(F.size(F.array_distinct("words")), F.lit(0))
+            ).alias("rep"),
+            F.array_join(F.slice("words", 1, CURATE_PFX_WORDS), " ").alias(
+                "pfx"
+            ),
+        )
+        .withColumn(
+            "dup_rank",
+            F.row_number().over(W.partitionBy("pfx").orderBy("doc_id")),
+        )
+    )
+    reason = (
+        F.when(F.col("dup_rank") > 1, "dup")
+        .when(F.col("n_words") < CURATE_MIN_WORDS, "too_short")
+        .when(F.col("rep") >= CURATE_MAX_REP, "repetitive")
+        .otherwise("keep")
+    )
+    return (
+        s.groupBy(reason.alias("reason"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_words"), R).alias("avg_words"),
+        )
+        .orderBy("reason")
+    )
