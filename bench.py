@@ -30,6 +30,8 @@ HEADLINE = [
     "cosine_topk",
     "f14_quality_scores",
     "f10_token_counts",
+    "asof_view_to_purchase",
+    "corpus_keep_drop",
 ]
 
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))

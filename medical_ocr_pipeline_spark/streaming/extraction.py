@@ -106,3 +106,36 @@ def session_window_events(events: DataFrame, gap: str = "30 minutes",
             "session_value",
         )
     )
+
+
+def stream_dedup_turns(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "2 hours",
+):
+    """Streaming exact dedup of the transcripts feed on (conv_id,
+    turn_idx) via dropDuplicatesWithinWatermark: re-delivered turns
+    (at-least-once upstream feeds re-send rows) are suppressed while the
+    dedup state stays bounded — keys older than the watermark are evicted,
+    which is the only formulation that survives 10^12 turns (an unbounded
+    dropDuplicates state would OOM).  AvailableNow + checkpoint as in
+    stream_extract."""
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

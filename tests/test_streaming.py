@@ -123,3 +123,27 @@ def test_stateful_rollup_accumulates_across_restarts(spark, tmpdirs):
         assert first[conv] <= total
     assert (first < latest).any()                # second batch added turns
     all_tr.unpersist()
+
+
+def test_stream_dedup_within_watermark(spark, tmpdirs):
+    """Duplicated turn deliveries (same conv_id/turn_idx, same event
+    time) collapse to one row; distinct turns all survive."""
+    from medical_ocr_pipeline_spark.streaming.extraction import (
+        stream_dedup_turns,
+    )
+
+    inp = f"{tmpdirs}/din"
+    out = f"{tmpdirs}/dout"
+    ckpt = f"{tmpdirs}/dckpt"
+
+    tr = spark_transcripts(spark, 6, partitions=2).cache()
+    n_unique = tr.count()
+    # simulate an at-least-once feed: every row delivered twice, a third
+    # of them a third time
+    dup = tr.unionByName(tr).unionByName(tr.sample(0.33, seed=7))
+    dup.write.mode("append").parquet(inp)
+
+    stream_dedup_turns(spark, inp, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == n_unique
+    assert got.select("conv_id", "turn_idx").distinct().count() == n_unique
