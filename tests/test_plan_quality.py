@@ -50,7 +50,7 @@ def test_column_pruning(spark):
 
 
 def test_extraction_plan_is_single_python_stage(spark, tmp_path):
-    """The extraction pipeline is one MapInPandas over the scan — no
+    """The extraction pipeline is one MapInArrow over the scan — no
     shuffle before the python stage."""
     from medical_ocr_pipeline_spark.pipeline import extract_transcripts
     from medical_ocr_pipeline_spark.synth import spark_transcripts
@@ -59,7 +59,7 @@ def test_extraction_plan_is_single_python_stage(spark, tmp_path):
     spark_transcripts(spark, 10, partitions=2).write.parquet(path)
     df = extract_transcripts(spark.read.parquet(path))
     plan = final_plan(df)
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInArrow") == 1
     assert "Exchange" not in plan  # narrow: no shuffle in the extract path
 
 

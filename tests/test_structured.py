@@ -88,6 +88,6 @@ def test_whole_stage_codegen(spark, transcripts_pq):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
-    assert "MapInPandas" not in plan
+    assert "MapInPandas" not in plan and "MapInArrow" not in plan
     # the fenced-turn predicate reaches the parquet scan (pushdown)
     assert "StringStartsWith(text,```)" in plan
