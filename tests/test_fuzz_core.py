@@ -100,3 +100,33 @@ def test_norm_conf_total(raw):
 
     v = norm_conf(raw)
     assert 0.0 <= v <= 1.0
+
+
+_bbox = st.tuples(
+    st.floats(0, 500), st.floats(0, 500), st.floats(0, 500), st.floats(0, 500)
+).map(lambda t: [min(t[0], t[2]), min(t[1], t[3]),
+                 max(t[0], t[2]), max(t[1], t[3])])
+
+_block = st.fixed_dictionaries({
+    "text": st.text(max_size=24),
+    "confidence": st.floats(0, 1, allow_nan=False),
+    "bbox": _bbox,
+    "source": st.sampled_from(["a", "b", "a+b"]),
+})
+
+
+@given(st.lists(_block, max_size=16))
+def test_dedup_idempotent_and_ordered(blocks):
+    """J1 greedy dedup: a second pass over its own output removes
+    nothing (no surviving pair is a duplicate), and the output is in
+    reading order (round(y0,1), round(x0,1))."""
+    from medical_ocr_pipeline_spark.core.dedup_blocks import deduplicate
+
+    once = deduplicate(blocks)
+    twice = deduplicate(once)
+    assert twice == once
+    keys = [(round(b["bbox"][1], 1), round(b["bbox"][0], 1)) for b in once]
+    assert keys == sorted(keys)
+    # output is a subset of the input blocks (no mutation/merge in J1)
+    ids = {id(b) for b in blocks}
+    assert all(id(b) in ids for b in once)
