@@ -8,7 +8,15 @@ insensitive value hash):
   * alias every computed column identically in Spark and SQL;
   * round every float aggregate (floating summation order differs between
     engines) — ROUND_DIGITS decimals everywhere;
-  * make every top-k deterministic with a full tie-breaking ORDER BY.
+  * make every top-k deterministic with a full tie-breaking ORDER BY;
+  * know ROUND's limit: Spark round(double) rounds the double's SHORTEST
+    DECIMAL REPRESENTATION half-up ("87.72625" -> 87.7263) while DuckDB
+    rounds the binary value (87.72624999... -> 87.7262), so any
+    aggregate whose true value sits within one ulp of a ROUND_DIGITS
+    boundary can hash-mismatch at some scale factor.  When a query trips
+    this (a9 did at sf0.1), switch the column to an exact integer form:
+    floor(value * 10^k) per row (floor of the identical double is
+    identical in both engines), BIGINT summation, no trailing ROUND.
 """
 
 from __future__ import annotations

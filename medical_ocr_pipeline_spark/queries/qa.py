@@ -22,21 +22,37 @@ R = ROUND_DIGITS
     SELECT event_type,
            CAST(FLOOR(value / 10) AS BIGINT) AS bin,
            COUNT(*) AS n,
-           ROUND(AVG(value), {R}) AS avg_value
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_value_e6
     FROM events
     GROUP BY event_type, bin
     ORDER BY event_type, bin
     """,
 )
 def a9_coverage_histogram(spark, sf_dir):
-    """A9 binned coverage counts (02_ocr_verifier.py:91-106), 10-unit bins."""
+    """A9 binned coverage counts (02_ocr_verifier.py:91-106), 10-unit bins.
+
+    The per-bin value total is carried as an exact micro-unit BIGINT sum
+    (floor(value*1e6) per row, then integer summation) instead of
+    AVG/ROUND of doubles: double summation is order-dependent across
+    engines, and Spark's round() rounds the double's SHORTEST DECIMAL
+    REPRESENTATION (HALF_UP on e.g. "87.72625") while DuckDB rounds the
+    binary value (87.72624999...) — at sf0.1 a bin landed exactly on
+    that boundary.  floor of the identical double is identical in both
+    engines and integer sums are exact, so this form is hash-stable at
+    every scale."""
     return (
         load(spark, sf_dir, "events")
         .groupBy(
             "event_type",
             F.floor(F.col("value") / 10).cast("long").alias("bin"),
         )
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), R).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1000000).cast("long")
+            ).cast("long").alias("sum_value_e6"),
+        )
         .orderBy("event_type", "bin")
     )
 

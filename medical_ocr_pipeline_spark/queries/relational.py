@@ -695,3 +695,61 @@ def q_brand_topn_per_nation(spark, sf_dir):
         .select("nation", "brand", "revenue", "rk")
         .orderBy("nation", "rk")
     )
+
+
+@register(
+    "q_cube_order_stats",
+    sql=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), {R}) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_cube_order_stats(spark, sf_dir):
+    """CUBE completes the multidimensional-aggregate trio (grouping sets,
+    rollup, cube) — all four grouping combinations in one shuffle."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), R).alias("avg_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q_value_percentiles",
+    sql=f"""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), {R}) AS p50,
+           ROUND(quantile_cont(value, 0.9), {R}) AS p90,
+           ROUND(quantile_cont(value, 0.99), {R}) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation).  At 100 TB the
+    exact version sorts per group — swap to percentile_approx and drop
+    the oracle if groups stop fitting; the approx variant is asserted
+    within tolerance in tests instead."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), R).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), R).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), R).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
