@@ -486,3 +486,73 @@ def corpus_keep_drop(spark, sf_dir):
         )
         .orderBy("reason")
     )
+
+
+# --- TF-IDF top terms (two-pass aggregation + broadcast scalar) --------------
+
+TFIDF_TOP_K = 5
+TFIDF_MIN_LEN = 4
+
+
+@register(
+    "tfidf_top_terms",
+    sql=f"""
+    WITH tf AS (
+      SELECT lang, w AS term, COUNT(*) AS tf FROM (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(lower(text),
+                 '{_WORD_SPLIT}'), x -> len(x) >= {TFIDF_MIN_LEN})) AS w
+        FROM documents
+      ) GROUP BY lang, w
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT lang) AS n_langs FROM documents
+    ), scored AS (
+      SELECT tf.lang, tf.term,
+             CAST((tf.tf * n.n_langs * 10000) // df.df AS BIGINT)
+               AS score_e4,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.lang
+               ORDER BY (tf.tf * n.n_langs * 10000) // df.df DESC, tf.term
+             ) AS rk
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT lang, term, score_e4, rk FROM scored
+    WHERE rk <= {TFIDF_TOP_K}
+    ORDER BY lang, rk
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-language top-k terms by tf-idf — the classic two-pass corpus
+    statistic: term frequency per lang, document frequency across langs
+    (lang-as-document), idf' = N/df (linear, not log: transcendental
+    functions are not bit-identical across engines), score carried as
+    exact integer micro-units (tf*N*10000 div df) so ranking and hashing
+    are float-free.  At 100 TB: tf is one shuffle on (lang, term), df
+    reuses it with a term-only shuffle, N broadcasts as a 1-row frame."""
+    from pyspark.sql import Window as W
+
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT),
+        lambda w: F.length(w) >= TFIDF_MIN_LEN,
+    )
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(words).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.countDistinct("lang").alias("n_langs"))
+    score = F.expr("div(tf * n_langs * 10000, df)")
+    w = W.partitionBy("lang").orderBy(F.desc(score), "term")
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_e4", score.cast("long"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("lang", "term", "score_e4", "rk")
+        .orderBy("lang", "rk")
+    )

@@ -45,3 +45,23 @@ def test_query_matches_oracle(spark, duck, name):
 def test_rows_only_query_runs(spark, name):
     got = REGISTRY[name].fn(spark, SF_DIR)
     assert got.count() > 0
+
+
+def test_percentile_approx_within_tolerance(spark):
+    """The 100 TB path swaps exact percentile for percentile_approx;
+    assert the approximation stays within 2% relative error of the exact
+    interpolated value on the driver events table."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("exact"),
+            F.expr("percentile_approx(value, 0.5, 10000)").alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= 0.02 * max(1.0, abs(r.exact)), r
