@@ -90,3 +90,33 @@ def test_partition_metrics_totals(extracted, golden):
     assert m["bytes_stripped"].sum() == golden["bytes_stripped"].sum()
     assert m["parse_failures"].sum() == golden["parse_failures"].sum()
     assert (m["run_id"] == "t").all()
+
+
+def test_null_payloads_survive_extraction(spark):
+    """Real transcript tables contain NULL text/tool and even NULL
+    conv_id rows; the Arrow path must pass them through without raising:
+    null text -> empty extraction (not a parse failure), null conv_id
+    -> its own assembly group."""
+    import datetime as dt
+
+    from medical_ocr_pipeline_spark.pipeline import (
+        conversation_text,
+        extract_transcripts,
+    )
+
+    rows = [
+        ("c1", 0, "user", None, None, dt.datetime(2026, 1, 1)),
+        ("c1", 1, "assistant", "hello world", None, dt.datetime(2026, 1, 1)),
+        (None, 2, "user", "orphan", None, dt.datetime(2026, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r.turn_idx: r for r in extract_transcripts(df).collect()}
+    assert got[0].text_final == "" and got[0].parse_failures == 0
+    assert got[1].text_final == "hello world"
+    assert got[2].conv_id is None
+    convs = conversation_text(extract_transcripts(df)).collect()
+    assert len(convs) == 2
