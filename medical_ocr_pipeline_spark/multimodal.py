@@ -126,3 +126,38 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
              "duration_ms": 5000 + 100 * i},
         ))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 2000,
+                     overlap_ms: int = 500) -> DataFrame:
+    """Audio chunking plan: overlapping fixed-length windows over the
+    clip duration — (chunk_idx, start_ms, end_ms) per chunk, stride =
+    chunk_ms - overlap_ms.  Pure Catalyst (sequence + posexplode), no
+    Python; the decode of each chunk is the stubbed kernel above.  The
+    row-amplification factor is duration/stride, fixed and predictable —
+    the same bounded-fanout discipline as the banded range join."""
+    if overlap_ms >= chunk_ms:
+        raise ValueError("overlap_ms must be < chunk_ms")
+    stride = chunk_ms - overlap_ms
+    return (
+        media.where(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                    F.lit(stride),
+                )
+            ).alias("chunk_idx", "start_ms"),
+        )
+        .select(
+            "media_id",
+            "chunk_idx",
+            "start_ms",
+            F.least(
+                F.col("start_ms") + chunk_ms, F.col("duration_ms")
+            ).alias("end_ms"),
+        )
+    )

@@ -98,3 +98,38 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"x")
+
+
+class TestAudioChunkPlan:
+    def test_overlapping_windows(self, spark):
+        from medical_ocr_pipeline_spark.multimodal import (
+            audio_chunk_plan,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, 12)
+        chunks = audio_chunk_plan(media, chunk_ms=2000, overlap_ms=500)
+        pdf = chunks.toPandas()
+        assert (pdf.end_ms - pdf.start_ms <= 2000).all()
+        assert (pdf.end_ms <= pdf.duration_ms if "duration_ms" in pdf
+                else True)
+        one = pdf[pdf.media_id == pdf.media_id.iloc[0]].sort_values(
+            "chunk_idx"
+        )
+        starts = one.start_ms.tolist()
+        # stride 1500, consecutive chunks overlap by 500
+        assert all(b - a == 1500 for a, b in zip(starts, starts[1:]))
+        # plan is pure Catalyst: no python eval node
+        plan = chunks._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "MapInArrow" not in plan
+
+    def test_overlap_validation(self, spark):
+        import pytest as _pytest
+
+        from medical_ocr_pipeline_spark.multimodal import (
+            audio_chunk_plan,
+            synthetic_media,
+        )
+
+        with _pytest.raises(ValueError):
+            audio_chunk_plan(synthetic_media(spark, 3), 1000, 1000)
