@@ -1,0 +1,35 @@
+"""The corpus-curation job's per-document verdicts must aggregate to
+exactly the oracle-checked corpus_keep_drop query output."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_curate_documents_matches_registry_query(spark):
+    from medical_ocr_pipeline_spark.job_corpus import curate_documents
+    from medical_ocr_pipeline_spark.queries.textstats import corpus_keep_drop
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_doc = (
+        curate_documents(docs)
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_words"), 4).alias("avg_words"),
+        )
+        .orderBy("reason")
+        .collect()
+    )
+    agg = corpus_keep_drop(spark, SF_DIR).collect()
+    assert [tuple(r) for r in per_doc] == [tuple(r) for r in agg]
+
+
+def test_near_dup_pairs_matches_registry_query(spark):
+    from medical_ocr_pipeline_spark.job_corpus import near_dup_pairs
+    from medical_ocr_pipeline_spark.queries.dedup import dedup_ngram_jaccard
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(tuple(r) for r in near_dup_pairs(docs).collect())
+    want = sorted(tuple(r) for r in dedup_ngram_jaccard(spark, SF_DIR).collect())
+    assert got == want
