@@ -257,3 +257,112 @@ def structured_extract_merge(spark, sf_dir):
         )
         .orderBy("conv_id")
     )
+
+
+# --- relational set operations (INTERSECT / EXCEPT) --------------------------
+
+@register(
+    "set_ops_custkeys",
+    sql="""
+    WITH urgent AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), low AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    SELECT 'both' AS bucket, COUNT(*) AS n FROM
+      (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM low)
+    UNION ALL
+    SELECT 'urgent_only' AS bucket, COUNT(*) AS n FROM
+      (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM low)
+    ORDER BY bucket
+    """,
+)
+def set_ops_custkeys(spark, sf_dir):
+    """INTERSECT / EXCEPT as DataFrame ops (U-family at relational
+    scale): both plan to hash semi/anti joins on the distinct key set —
+    never a full materialized set difference."""
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    ).distinct()
+    low = orders.where(F.col("o_orderpriority") == "5-LOW").select(
+        "o_custkey"
+    ).distinct()
+    both = urgent.intersect(low).agg(F.count("*").alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    only = urgent.exceptAll(low).agg(F.count("*").alias("n")).select(
+        F.lit("urgent_only").alias("bucket"), "n"
+    )
+    return both.unionByName(only).orderBy("bucket")
+
+
+# --- moving-window aggregate (rows frame) ------------------------------------
+
+@register(
+    "w_moving_avg",
+    sql=f"""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), {R}) AS avg3
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def w_moving_avg(spark, sf_dir):
+    """3-row trailing moving average — the bounded rows-frame window
+    (SURVEY W-family uses only lag and running frames; this completes
+    the bounded-frame case).  Bounded frames keep O(1) state per row at
+    any scale; avg of exactly <=3 doubles is order-deterministic, so
+    ROUND is safe here."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_id",
+            F.round(F.avg("value").over(w), R).alias("avg3"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --- UNPIVOT / stack ---------------------------------------------------------
+
+@register(
+    "unpivot_doc_stats",
+    sql="""
+    SELECT lang, metric, CAST(val AS BIGINT) AS val
+    FROM (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      FROM documents GROUP BY lang
+    ) UNPIVOT (val FOR metric IN (n_docs, total_chars, max_chars))
+    ORDER BY lang, metric
+    """,
+)
+def unpivot_doc_stats(spark, sf_dir):
+    """UNPIVOT (stack): wide per-lang stats to long (lang, metric, val)
+    rows — the inverse of a11's pivot, one narrow scan, no shuffle
+    beyond the aggregation."""
+    wide = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+    return wide.unpivot(
+        "lang", ["n_docs", "total_chars", "max_chars"], "metric", "val"
+    ).orderBy("lang", "metric")
