@@ -26,6 +26,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--run-id", default="run_001")
     ap.add_argument("--no-fuzzy", action="store_true")
+    ap.add_argument("--repartition", action="store_true",
+                    help="repartition --input by hash(conv_id) before extraction")
+    ap.add_argument("--salt-buckets", type=int, default=0,
+                    help="salted-key spread for megaconversations (implies "
+                         "--repartition); per-turn work needs no co-location")
     ap.add_argument("--resume", action="store_true",
                     help="skip extraction if the stage output already exists")
     args = ap.parse_args(argv)
@@ -45,6 +50,14 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.input:
         transcripts = spark.read.parquet(args.input)
+        if args.salt_buckets or args.repartition:
+            from medical_ocr_pipeline_spark.pipeline import repartition_by_conv
+
+            # salted hash(conv_id) spread: per-turn extraction needs no
+            # co-location, so megaconversations fan out over salt buckets
+            transcripts = repartition_by_conv(
+                transcripts, args.partitions, salt_buckets=args.salt_buckets
+            )
     else:
         transcripts = spark_transcripts(spark, args.n_convs, args.partitions)
 
