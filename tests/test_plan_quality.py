@@ -115,3 +115,13 @@ def test_asof_join_single_data_shuffle(spark):
         if "+- Exchange" in ln
     }
     assert len(ex) <= 2, ex
+
+
+def test_set_ops_plan_as_joins(spark):
+    """INTERSECT/EXCEPT must plan as semi/anti joins over the distinct
+    key sets — not as a materialized set difference or cartesian."""
+    from medical_ocr_pipeline_spark.queries.misc import set_ops_custkeys
+
+    plan = final_plan(set_ops_custkeys(spark, SF_DIR))
+    assert "LeftSemi" in plan or "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
