@@ -486,24 +486,32 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q_region_revenue(spark, sf_dir):
-    """Star join with explicit broadcast of the small dims — at 100 TB the
-    fact table shuffles once on orderkey, dims never shuffle."""
+    """Star join with explicit broadcast of the small dims.
+
+    Aggregate-below-join: lineitem is first rolled up to one row per
+    orderkey (map-side combinable), so the join input shrinks ~4x and
+    COUNT(DISTINCT o_orderkey) becomes a plain COUNT(*) — each order
+    maps to exactly one (region, nation).  Same results, no distinct
+    aggregation; at 100 TB this halves the post-join state."""
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "order_rev"
+        )
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("order_rev"), R).alias("revenue"),
+            F.count("*").alias("n_orders"),
         )
         .orderBy("region", "nation")
     )
