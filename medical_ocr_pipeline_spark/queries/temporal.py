@@ -134,3 +134,74 @@ def range_join_event_pairs(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    sql="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), u AS (
+      SELECT DISTINCT user_id FROM events
+    )
+    SELECT CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                WHEN s1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS furthest_step,
+           COUNT(*) AS n_users
+    FROM u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    GROUP BY furthest_step
+    ORDER BY furthest_step
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Funnel (sequential pattern matching, ClickHouse windowFunnel
+    analogue): per user, the furthest step of view -> click -> purchase
+    reached via greedy earliest matching; users counted per furthest
+    step.
+
+    Spark side is ONE shuffle: collect each user's (ts, type) events
+    time-sorted and fold with a pure-Catalyst `aggregate` (fold state =
+    current step) — no joins, no repeated scans.  The oracle is the
+    equivalent min-chaining CTE formulation (first view, first click
+    after it, first purchase after that); the two coincide because
+    event timestamps are unique per user (greedy scan == strict-> min
+    chain).  Memory note: collect_list materializes each user's events
+    in one task, so this form assumes per-user activity fits a task
+    (fine for bounded-retention event tables); for unbounded per-user
+    history use the CTE shape (three scans, no arrays) or the streaming
+    stateful rollup, whose state IS one int per user."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_type"))
+        ).alias("evs")
+    )
+    step_exprs = " ".join(
+        f"WHEN acc = {i} AND e.event_type = '{t}' THEN {i + 1}"
+        for i, t in enumerate(FUNNEL_STEPS)
+    )
+    furthest = F.expr(
+        f"aggregate(evs, 0, (acc, e) -> CASE {step_exprs} ELSE acc END)"
+    )
+    return (
+        per_user.select(furthest.alias("furthest_step"))
+        .groupBy("furthest_step")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("furthest_step")
+    )
