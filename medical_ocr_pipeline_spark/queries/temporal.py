@@ -205,3 +205,43 @@ def funnel_conversion(spark, sf_dir):
         .agg(F.count("*").alias("n_users"))
         .orderBy("furthest_step")
     )
+
+
+@register(
+    "cohort_retention",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(FLOOR(MIN(floor(epoch(ts))) / 604800) AS BIGINT)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(FLOOR(floor(epoch(e.ts)) / 604800) AS BIGINT)
+             - f.cohort_week AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    ORDER BY f.cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by the epoch-week of
+    their first event, activity counted per (cohort_week, week_offset).
+    Weeks are integer epoch-week buckets (floor(epoch/604800)) — no
+    calendar functions, so both engines bucket identically.  The firsts
+    frame is one row per user — broadcastable against the events fact
+    at 100 TB; the distinct count shuffles on (cohort, offset, user),
+    two-phase."""
+    wk = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    ev = load(spark, sf_dir, "events").select("user_id", wk.alias("week"))
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

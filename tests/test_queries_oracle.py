@@ -65,3 +65,16 @@ def test_percentile_approx_within_tolerance(spark):
     assert rows
     for r in rows:
         assert abs(r.approx - r.exact) <= 0.02 * max(1.0, abs(r.exact)), r
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """The 100 TB path uses approx_count_distinct (HLL++) where exact
+    distinct counts don't fit; assert <=5% relative error vs exact."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    r = docs.agg(
+        F.countDistinct("text").alias("exact"),
+        F.approx_count_distinct("text", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(r.approx - r.exact) <= max(1, 0.05 * r.exact), r
