@@ -1,0 +1,85 @@
+"""Connected components over near-duplicate pair edges.
+
+The dedup suite (queries/dedup.py) produces PAIRS; production corpus
+dedup needs CLUSTERS — one representative document kept per connected
+component of the near-dup graph.  This is the iterative min-label
+propagation algorithm (the simple member of the large-star/small-star
+family): every vertex repeatedly adopts the smallest label in its
+neighborhood until no label changes.
+
+Scale notes:
+  * each iteration is one shuffle (groupBy vertex over the undirected
+    edge list joined with current labels);
+  * iteration count is bounded by the graph diameter — near-dup
+    graphs are unions of small cliques, so 2-3 iterations in practice;
+  * convergence is checked with a cheap count of changed labels, and
+    the loop caps at max_iter as a runaway guard;
+  * labels are vertex ids, so the final label of a component is its
+    minimum doc id — the canonical "keep the smallest id" dedup
+    representative rule.
+
+Non-SQL-expressible (iterative); correctness is pinned by a pure-python
+union-find cross-check in tests/test_components.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
+    """edges: (src, dst) long ids, undirected semantics.  Returns
+    (vertex, component) where component = min vertex id reachable."""
+    sym = (
+        edges.selectExpr("src AS a", "dst AS b")
+        .unionByName(edges.selectExpr("dst AS a", "src AS b"))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+    for _ in range(max_iter):
+        # each vertex adopts min(own label, neighbors' labels)
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.vertex)
+            .groupBy(F.col("a").alias("vertex"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_representatives(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """docs (doc_id, ...) + near-dup pairs (doc_a, doc_b) -> docs with
+    (component, is_representative): keep the minimum doc_id of each
+    near-dup cluster, plus every unpaired document."""
+    comp = connected_components(
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+    )
+    return (
+        docs.join(comp, docs.doc_id == comp.vertex, "left")
+        .drop("vertex")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+        .withColumn("is_representative", F.col("doc_id") == F.col("component"))
+    )

@@ -382,3 +382,23 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register("dedup_components")
+def dedup_components(spark, sf_dir):
+    """Near-dup clusters: connected components over the exact-Jaccard
+    pair edges (iterative min-label propagation — one shuffle per
+    round, diameter-bounded; see operators/components.py).  Rows-only:
+    iterative, not SQL-expressible; pinned against a pure-python
+    union-find in tests/test_components.py.  Output: one row per
+    clustered doc with its component id (= min doc_id of the cluster,
+    the keep-representative rule)."""
+    from medical_ocr_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        connected_components(pairs.selectExpr("doc_a AS src", "doc_b AS dst"))
+        .orderBy("vertex")
+    )

@@ -1,0 +1,81 @@
+"""Connected components over near-dup pairs: Spark label propagation
+must match a pure-python union-find on the same edges."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id labels
+    return {v: find(v) for v in parent}
+
+
+def test_components_match_union_find(spark):
+    from medical_ocr_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from medical_ocr_pipeline_spark.queries.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, SF_DIR).select("doc_a", "doc_b")
+    edges = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    assert edges, "fixture should contain near-dup pairs"
+    want = _union_find(edges)
+    got = {
+        r.vertex: r.component
+        for r in connected_components(
+            pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_components_synthetic_chain_and_clique(spark):
+    """A 5-chain, a triangle, and an isolated edge: labels = min id."""
+    from medical_ocr_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),
+             (10, 11), (11, 12), (10, 12),
+             (20, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: r.component for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_keep_representatives(spark):
+    from medical_ocr_pipeline_spark.operators.components import (
+        dedup_keep_representatives,
+    )
+    from medical_ocr_pipeline_spark.queries.dedup import dedup_ngram_jaccard
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup_ngram_jaccard(spark, SF_DIR).select("doc_a", "doc_b")
+    out = dedup_keep_representatives(docs, pairs)
+    n_docs = docs.count()
+    assert out.count() == n_docs
+    # every component keeps exactly one representative
+    reps = out.where("is_representative")
+    assert reps.select("component").distinct().count() == reps.count()
+    # representative is the component min
+    bad = (
+        out.groupBy("component").agg(F.min("doc_id").alias("mn"))
+        .join(reps.select(F.col("doc_id").alias("rep"), "component"), "component")
+        .where("mn != rep")
+    )
+    assert bad.count() == 0
