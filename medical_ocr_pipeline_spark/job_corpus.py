@@ -8,11 +8,14 @@ extraction.
         --out /tmp/corpus_run [--master local[32]]
 
 Writes:
-  <out>/docs_curated/   one row per document: keep/drop verdict with
+  <out>/docs_curated/   one row per document: gate verdict with
                         first-failing reason (prefix-dup / too_short /
                         repetitive), exact-dup fingerprint, token count,
                         dup rank — the per-doc form of the
-                        corpus_keep_drop registry query.
+                        corpus_keep_drop registry query — plus the
+                        near-dup cluster id (connected components over
+                        the Jaccard pairs) and is_representative;
+                        final keep = gate verdict AND representative.
   <out>/dup_pairs/      exact n-gram Jaccard near-dup pairs (the
                         inverted-index join from dedup_ngram_jaccard).
   <out>/metrics/        one row per curation reason (counts, avg words).
@@ -132,12 +135,23 @@ def main() -> None:
     t0 = time.time()
 
     docs = spark.read.parquet(args.input)
-    curated = curate_documents(docs)
-    write_stage(curated, f"{args.out}/docs_curated")
-    curated = spark.read.parquet(f"{args.out}/docs_curated")
 
     pairs = near_dup_pairs(docs)
     write_stage(pairs, f"{args.out}/dup_pairs")
+    pairs = spark.read.parquet(f"{args.out}/dup_pairs")
+
+    # near-dup clusters: component = min doc_id of each Jaccard cluster;
+    # final keep = gate verdict AND cluster representative
+    from medical_ocr_pipeline_spark.operators.components import (
+        dedup_keep_representatives,
+    )
+
+    curated = dedup_keep_representatives(curate_documents(docs), pairs)
+    curated = curated.withColumn(
+        "keep", F.col("keep") & F.col("is_representative")
+    )
+    write_stage(curated, f"{args.out}/docs_curated")
+    curated = spark.read.parquet(f"{args.out}/docs_curated")
 
     metrics = (
         curated.groupBy("reason")
