@@ -556,3 +556,33 @@ def tfidf_top_terms(spark, sf_dir):
         .select("lang", "term", "score_e4", "rk")
         .orderBy("lang", "rk")
     )
+
+
+# --- stratified corpus rebalancing ------------------------------------------
+
+REBALANCE_SEED = 42
+REBALANCE_CAP = 80  # target max docs per language
+
+
+@register("corpus_rebalance")
+def corpus_rebalance(spark, sf_dir):
+    """Stratified downsampling of over-represented languages: languages
+    above REBALANCE_CAP docs are sampled down to ~the cap with a seeded
+    per-stratum Bernoulli sample (`sampleBy`), under-represented ones
+    kept whole.  Rows-only: Bernoulli sampling has no cross-engine
+    oracle; determinism (same seed -> identical sample) and per-stratum
+    rates are asserted in tests/test_rebalance.py.  At 100 TB this is
+    the per-language mixture-weight pass of a training-data pipeline —
+    one scan for the histogram (tiny, collected), one sampled scan."""
+    docs = load(spark, sf_dir, "documents")
+    counts = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    fractions = {
+        lang: min(1.0, REBALANCE_CAP / n) for lang, n in counts.items()
+    }
+    sampled = docs.sampleBy("lang", fractions, seed=REBALANCE_SEED)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
