@@ -239,7 +239,7 @@ def lsh_bucket_topk(spark, sf_dir):
 # --- IVF (inverted-file) ANN -------------------------------------------------
 
 IVF_SEED_STRIDE = 31   # every 31st vector is a coarse centroid (~16 of 500)
-IVF_NPROBE = 2
+IVF_NPROBE = 4
 
 
 def _assignments(emb, centroids):

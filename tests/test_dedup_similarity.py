@@ -92,4 +92,4 @@ def test_ann_ivf_recall_and_shape(spark):
     assert len(approx) > 0
     assert approx.groupby("query_id").size().max() <= 5
     recall = len(t & a) / len(t)
-    assert recall >= 0.15, f"recall {recall}"
+    assert recall >= 0.4, f"recall {recall}"
