@@ -164,7 +164,7 @@ def label_centroid_sim(spark, sf_dir):
 
 
 N_PLANES = 4
-N_TABLES = 8
+N_TABLES = 12
 
 
 @register("ann_lsh_topk")

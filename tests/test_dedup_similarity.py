@@ -69,7 +69,7 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
     assert len(a) > 0
     recall = len(t & a) / len(t)
-    assert recall >= 0.2, f"recall {recall}"
+    assert recall >= 0.5, f"recall {recall}"
 
 
 def test_minhash_lsh_plan_is_bucket_join(spark):
