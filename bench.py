@@ -32,6 +32,8 @@ HEADLINE = [
     "f10_token_counts",
     "asof_view_to_purchase",
     "corpus_keep_drop",
+    "funnel_conversion",
+    "tfidf_top_terms",
 ]
 
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
