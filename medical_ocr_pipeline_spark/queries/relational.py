@@ -761,3 +761,41 @@ def q_value_percentiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "w_ntile_quartiles",
+    sql=f"""
+    SELECT quartile,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), {R}) AS min_price,
+           ROUND(MAX(o_totalprice), {R}) AS max_price
+    FROM (
+      SELECT o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    GROUP BY quartile ORDER BY quartile
+    """,
+)
+def w_ntile_quartiles(spark, sf_dir):
+    """NTILE quartile bucketing (completes the window family: row_number,
+    lag, running frames, bounded frames, ntile).  The global ORDER BY
+    window is a single-partition sort — fine for ranking a keyed
+    aggregate, wrong for a raw 100 TB fact table (there, bucket by
+    percentile_approx cutpoints instead); tie-broken on o_orderkey so
+    both engines assign identical buckets."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), R).alias("min_price"),
+            F.round(F.max("o_totalprice"), R).alias("max_price"),
+        )
+        .orderBy("quartile")
+    )
