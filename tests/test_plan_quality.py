@@ -125,3 +125,44 @@ def test_set_ops_plan_as_joins(spark):
     plan = final_plan(set_ops_custkeys(spark, SF_DIR))
     assert "LeftSemi" in plan or "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Bucketing for co-located joins (the 100 TB lever for repeated
+    fact-fact joins): orders and lineitem written bucketed by orderkey
+    with the same bucket count join WITHOUT exchanging either side —
+    the join reads pre-partitioned buckets."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        (
+            spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / f"b_{name}"))
+            .saveAsTable(f"b_{name}")
+    )
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = final_plan(joined)
+        assert "SortMergeJoin" in plan
+        # neither side shuffles on the join key (bucket layout is the
+        # partitioning); only the final aggregation exchanges
+        assert "hashpartitioning(l_orderkey" not in plan, plan[:800]
+        assert "hashpartitioning(o_orderkey" not in plan, plan[:800]
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
