@@ -366,3 +366,51 @@ def unpivot_doc_stats(spark, sf_dir):
     return wide.unpivot(
         "lang", ["n_docs", "total_chars", "max_chars"], "metric", "val"
     ).orderBy("lang", "metric")
+
+
+# --- edit-distance threshold self-join (J3 at relational scale) --------------
+
+LEV_MAX = 2
+
+
+@register(
+    "fuzzy_name_pairs",
+    sql=f"""
+    SELECT levenshtein(a.p_name, b.p_name) AS dist,
+           COUNT(*) AS n_pairs
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND levenshtein(a.p_name, b.p_name) <= {LEV_MAX}
+    GROUP BY dist ORDER BY dist
+    """,
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance threshold self-join (the J3 fuzzy-vocab join at
+    relational scale): part-name pairs within Levenshtein {LEV_MAX}.
+    Scale path: levenshtein <= k implies |len(a)-len(b)| <= k, so the
+    probe side explodes into the 2k+1 adjacent length bands and the
+    join is a hash equi-join on band — the quadratic comparison runs
+    only within bands (lossless pruning, same result as the naive
+    theta-join the oracle runs)."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.length("p_name").alias("ln")
+    )
+    probe = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+        F.explode(
+            F.sequence(F.col("ln") - LEV_MAX, F.col("ln") + LEV_MAX)
+        ).alias("band"),
+    )
+    pairs = probe.join(p, probe.band == p.ln).where(
+        (F.col("a_key") < F.col("p_partkey"))
+        & (F.levenshtein(F.col("a_name"), F.col("p_name")) <= LEV_MAX)
+    )
+    return (
+        pairs.select(
+            F.levenshtein(F.col("a_name"), F.col("p_name")).alias("dist")
+        )
+        .groupBy("dist")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("dist")
+    )
