@@ -243,8 +243,34 @@ def child(cores: int) -> None:
     spark.stop()
 
 
+def _package_zip() -> str:
+    """Build the --py-files zip the way a cluster deployment ships it."""
+    import zipfile
+
+    path = os.path.join(REPO, "dist", "medical_ocr_pipeline_spark.zip")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if not os.path.exists(path):
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+            pkg = os.path.join(REPO, "medical_ocr_pipeline_spark")
+            for root, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, REPO))
+    return path
+
+
 def run_once(cores: int) -> dict:
-    cmd = [sys.executable, os.path.abspath(__file__), "--child", str(cores)]
+    """One pinned fresh-JVM trial, launched via spark-submit --py-files
+    (the north rule's deployment shape) with a plain-python fallback."""
+    submit = shutil.which("spark-submit")
+    if submit:
+        cmd = [
+            submit, "--py-files", _package_zip(),
+            os.path.abspath(__file__), "--child", str(cores),
+        ]
+    else:
+        cmd = [sys.executable, os.path.abspath(__file__), "--child", str(cores)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     env = dict(os.environ, PYTHONPATH=REPO)
