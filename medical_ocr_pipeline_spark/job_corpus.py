@@ -147,9 +147,15 @@ def main() -> None:
     )
 
     curated = dedup_keep_representatives(curate_documents(docs), pairs)
+    # gate-passing docs that lose the cluster-representative race get a
+    # distinct reason so metrics counts reconcile with RESULT kept/dropped
+    # (ADVICE r01: 'keep'-reason count used to exceed kept)
     curated = curated.withColumn(
-        "keep", F.col("keep") & F.col("is_representative")
-    )
+        "reason",
+        F.when(
+            F.col("keep") & ~F.col("is_representative"), F.lit("near_dup")
+        ).otherwise(F.col("reason")),
+    ).withColumn("keep", F.col("keep") & F.col("is_representative"))
     write_stage(curated, f"{args.out}/docs_curated")
     curated = spark.read.parquet(f"{args.out}/docs_curated")
 

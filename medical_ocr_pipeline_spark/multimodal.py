@@ -100,15 +100,20 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one output row per sampled timestamp
     (the decode itself is the stubbed kernel above).  Pure Catalyst —
     posexplode of a generated sequence, no Python."""
-    return media.where(F.col("kind") == "video").select(
-        "media_id",
-        F.posexplode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
-                F.lit(every_ms),
-            )
-        ).alias("frame_idx", "ts_ms"),
+    return (
+        media.where(
+            (F.col("kind") == "video") & (F.col("meta.duration_ms") > 0)
+        )
+        .select(
+            "media_id",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.col("meta.duration_ms") - 1,
+                    F.lit(every_ms),
+                )
+            ).alias("frame_idx", "ts_ms"),
+        )
     )
 
 
@@ -140,14 +145,16 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 2000,
         raise ValueError("overlap_ms must be < chunk_ms")
     stride = chunk_ms - overlap_ms
     return (
-        media.where(F.col("kind") == "audio")
+        # duration_ms > 0 filter: a zero-length clip yields NO chunks
+        # (sequence(0, greatest(d-1,0)) would emit one empty chunk)
+        media.where((F.col("kind") == "audio") & (F.col("meta.duration_ms") > 0))
         .select(
             "media_id",
             F.col("meta.duration_ms").alias("duration_ms"),
             F.posexplode(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                    F.col("meta.duration_ms") - 1,
                     F.lit(stride),
                 )
             ).alias("chunk_idx", "start_ms"),

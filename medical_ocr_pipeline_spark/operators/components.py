@@ -28,9 +28,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges: (src, dst) long ids, undirected semantics.  Returns
-    (vertex, component) where component = min vertex id reachable."""
+    (vertex, component) where component = min vertex id reachable.
+
+    Each round does (1) neighbor-min propagation, then (2) a pointer-
+    jumping shortcut (component := component-of-component), so label
+    distance to the cluster minimum roughly HALVES per round — chains of
+    length 2^20 converge inside the default cap, vs max_iter hops for
+    plain propagation (ADVICE r01: 15 plain hops silently truncated
+    long prefix-dup chains).  Non-convergence at the cap RAISES instead
+    of returning wrong labels."""
     sym = (
         edges.selectExpr("src AS a", "dst AS b")
         .unionByName(edges.selectExpr("dst AS a", "src AS b"))
@@ -41,6 +49,7 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("vertex"))
     )
+    changed = -1
     for _ in range(max_iter):
         # each vertex adopts min(own label, neighbors' labels)
         neighbor_min = (
@@ -48,12 +57,27 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
             .groupBy(F.col("a").alias("vertex"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        new_labels = labels.join(neighbor_min, "vertex", "left").select(
+            "vertex",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: follow the label one more hop (component of my
+        # component) — turns O(diameter) rounds into O(log diameter)
+        root = new_labels.select(
+            F.col("vertex").alias("c_vertex"),
+            F.col("component").alias("c_component"),
+        )
         new_labels = (
-            labels.join(neighbor_min, "vertex", "left")
+            new_labels.join(
+                root, new_labels.component == root.c_vertex, "left"
+            )
             .select(
                 "vertex",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                    F.col("component"),
+                    F.coalesce("c_component", F.col("component")),
                 ).alias("component"),
             )
         )
@@ -67,6 +91,12 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); graph diameter exceeds "
+            f"2^{max_iter} — raise max_iter"
+        )
     return labels
 
 

@@ -169,7 +169,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
       FROM sh
     )
     SELECT doc_id, sig[1] AS h0, sig[{N_HASHES}] AS h{N_HASHES - 1},
-           list_aggregate(sig, 'sum') AS sig_sum
+           CAST(list_aggregate(sig, 'sum') AS BIGINT) AS sig_sum
     FROM sig ORDER BY doc_id
     """,
 )
@@ -280,12 +280,12 @@ def minhash_lsh_pairs(spark, sf_dir, bands: int = 4):
       FROM w WHERE len(words) > 0
     )
     SELECT doc_id,
-           list_aggregate(list_transform(range(0, 60), bit ->
+           CAST(list_aggregate(list_transform(range(0, 60), bit ->
              CASE WHEN list_aggregate(list_transform(hs,
                     h -> CASE WHEN (h // (CAST(1 AS BIGINT) << bit)) % 2 = 1
                          THEN 1 ELSE -1 END), 'sum') > 0
                   THEN (CAST(1 AS BIGINT) << bit)
-                  ELSE 0 END), 'sum') AS simhash
+                  ELSE 0 END), 'sum') AS BIGINT) AS simhash
     FROM h ORDER BY doc_id
     """,
 )

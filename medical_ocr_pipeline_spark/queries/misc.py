@@ -19,7 +19,8 @@ _WORD_SPLIT = "[^a-z0-9]+"
     sql=f"""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS parse_failures,
+           CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
+             AS parse_failures,
            CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), {R}) AS avg_k
     FROM events

@@ -579,14 +579,18 @@ def q3_shipping_priority(spark, sf_dir):
 )
 def q_semi_urgent_customers(spark, sf_dir):
     """LEFT SEMI join (EXISTS): customers with >=1 urgent order, counted
-    per segment.  The semi join never materializes order columns — at
-    scale the build side is the *distinct filtered custkeys*, tiny."""
+    per segment.  The semi join never materializes order columns; what
+    gets broadcast is the *distinct filtered custkeys* — projecting +
+    deduping BEFORE the hint, since a priority filter still keeps ~20%
+    of the orders fact and broadcasting that would OOM at 100 TB."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(
         F.col("o_orderpriority") == "1-URGENT"
     )
+    urgent_keys = o.select("o_custkey").distinct()
     return (
-        c.join(F.broadcast(o), c.c_custkey == o.o_custkey, "left_semi")
+        c.join(F.broadcast(urgent_keys), c.c_custkey == urgent_keys.o_custkey,
+               "left_semi")
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(F.count("*").alias("n_customers"))
         .orderBy("mktsegment")
@@ -611,14 +615,17 @@ def q_semi_urgent_customers(spark, sf_dir):
 )
 def q_anti_dormant_customers(spark, sf_dir):
     """LEFT ANTI join (NOT EXISTS), TPC-H Q22 shape: customers with no
-    recent order.  Anti joins broadcast the filtered key set; no null-
-    handling trap because the join key is non-nullable."""
+    recent order.  The broadcast side is the distinct recent custkey
+    set, not the filtered orders fact (which is far too large to ship);
+    no null-handling trap because the join key is non-nullable."""
     c = load(spark, sf_dir, "customer")
     recent = load(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit("2001-01-01")
     )
+    recent_keys = recent.select("o_custkey").distinct()
     return (
-        c.join(F.broadcast(recent), c.c_custkey == recent.o_custkey, "left_anti")
+        c.join(F.broadcast(recent_keys), c.c_custkey == recent_keys.o_custkey,
+               "left_anti")
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.count("*").alias("n_dormant"),

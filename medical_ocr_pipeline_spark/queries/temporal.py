@@ -230,14 +230,17 @@ def cohort_retention(spark, sf_dir):
     their first event, activity counted per (cohort_week, week_offset).
     Weeks are integer epoch-week buckets (floor(epoch/604800)) — no
     calendar functions, so both engines bucket identically.  The firsts
-    frame is one row per user — broadcastable against the events fact
-    at 100 TB; the distinct count shuffles on (cohort, offset, user),
-    two-phase."""
+    frame is one row PER USER: at 10^9+ users it is NOT broadcastable
+    (driver/executor OOM), so no broadcast hint — the groupBy computing
+    `firsts` and the join both hash-partition on user_id, which AQE
+    plans as a shuffle join reusing the same partitioning (and may
+    still local-broadcast it at small scale); the distinct count then
+    shuffles on (cohort, offset, user), two-phase."""
     wk = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
     ev = load(spark, sf_dir, "events").select("user_id", wk.alias("week"))
     firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .groupBy(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).alias("week_offset"),

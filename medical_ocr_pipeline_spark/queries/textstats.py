@@ -125,9 +125,10 @@ def f9_lang_id(spark, sf_dir):
     "f10_token_counts",
     sql=f"""
     SELECT lang,
-           SUM(len(list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),
-                               w -> w <> ''))) AS total_words,
-           SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS total_tokens,
+           CAST(SUM(len(list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),
+                                    w -> w <> ''))) AS BIGINT) AS total_words,
+           CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT)
+             AS total_tokens,
            ROUND(AVG(len(regexp_extract_all(text, '{_TOKEN_RE}'))), {R})
              AS avg_tokens
     FROM documents

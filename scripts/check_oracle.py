@@ -22,6 +22,19 @@ TABLES = [
 ]
 
 
+def dtype_kinds(pdf) -> dict:
+    """Column -> numpy dtype kind ('i' int, 'f' float, 'b' bool, 'O'
+    object, 'M' datetime).  The driver's value hash is TYPE-AWARE: a
+    value-identical BIGINT-vs-DOUBLE (or DuckDB HUGEINT) column pair
+    hash-mismatches, so the local gate must compare dtype kinds too.
+    'u' (unsigned) folds into 'i'."""
+    out = {}
+    for c in pdf.columns:
+        k = pdf[c].dtype.kind
+        out[c] = "i" if k == "u" else k
+    return out
+
+
 def value_hash(pdf) -> str:
     import pandas as pd
 
@@ -104,8 +117,13 @@ def main() -> int:
             problems.append(f"rows {len(got)} != {len(want)}")
         if sorted(got.columns) != sorted(want.columns):
             problems.append(f"cols {sorted(got.columns)} != {sorted(want.columns)}")
-        elif value_hash(got) != value_hash(want):
-            problems.append("value hash mismatch")
+        else:
+            gk, wk = dtype_kinds(got), dtype_kinds(want)
+            mism = {c: (gk[c], wk[c]) for c in gk if gk[c] != wk[c]}
+            if mism:
+                problems.append(f"dtype kinds differ {mism}")
+            if value_hash(got) != value_hash(want):
+                problems.append("value hash mismatch")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")

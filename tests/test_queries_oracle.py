@@ -12,7 +12,7 @@ sys.path.insert(
 )
 
 from medical_ocr_pipeline_spark.queries import REGISTRY  # noqa: E402
-from scripts.check_oracle import TABLES, value_hash  # noqa: E402
+from scripts.check_oracle import TABLES, dtype_kinds, value_hash  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -38,6 +38,9 @@ def test_query_matches_oracle(spark, duck, name):
     want = duck.execute(spec.sql).df()
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     assert sorted(got.columns) == sorted(want.columns)
+    gk, wk = dtype_kinds(got), dtype_kinds(want)
+    mism = {c: (gk[c], wk[c]) for c in gk if gk[c] != wk[c]}
+    assert not mism, f"{name}: dtype kinds differ (driver hash is type-aware): {mism}"
     assert value_hash(got) == value_hash(want), f"{name}: value hash mismatch"
 
 

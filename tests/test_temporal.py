@@ -85,6 +85,22 @@ def test_asof_equal_ts_and_missing_match(spark, sf_dir, events_pdf):
     )
 
 
+@pytest.mark.parametrize("sf", ["0.001", "0.01"])
+def test_events_user_ts_unique_precondition(spark, sf):
+    """funnel_conversion / asof_view_to_purchase match their DuckDB
+    oracles only because (user_id, ts) is unique in the testdata (greedy
+    Spark fold vs min-chain oracle coincide under uniqueness).  Pin the
+    precondition so a data-generator change fails loudly here instead of
+    silently diverging (ADVICE r01)."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"/root/testdata/sf{sf}/events.parquet")
+    dup = (
+        ev.groupBy("user_id", "ts").count().where(F.col("count") > 1).count()
+    )
+    assert dup == 0, f"(user_id, ts) not unique at sf{sf}: {dup} dup keys"
+
+
 def test_range_join_band_boundary(spark, sf_dir, events_pdf):
     got = range_join_event_pairs(spark, sf_dir).toPandas()
     row3 = got[got.user_id == 3].iloc[0]
