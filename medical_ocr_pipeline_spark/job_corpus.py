@@ -33,7 +33,7 @@ from __future__ import annotations
 import argparse
 import time
 
-from pyspark.sql import Window as W
+
 from pyspark.sql import functions as F
 
 from medical_ocr_pipeline_spark.queries.dedup import (
@@ -72,20 +72,20 @@ def curate_documents(docs):
                 F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
             ).alias("fp"),
         )
-        .withColumn(
-            "dup_rank",
-            F.row_number().over(W.partitionBy("pfx").orderBy("doc_id")),
-        )
     )
+    # two-phase prefix dedup (combinable min, no hot-key window sort) —
+    # same skew-safe shape as corpus_keep_drop
+    firsts = s.groupBy("pfx").agg(F.min("doc_id").alias("first_doc"))
+    s = s.join(firsts, "pfx")
     reason = (
-        F.when(F.col("dup_rank") > 1, "dup")
+        F.when(F.col("doc_id") != F.col("first_doc"), "dup")
         .when(F.col("n_words") < CURATE_MIN_WORDS, "too_short")
         .when(F.col("rep") >= CURATE_MAX_REP, "repetitive")
         .otherwise("keep")
     )
     return s.withColumn("reason", reason).withColumn(
         "keep", F.col("reason") == "keep"
-    ).drop("pfx")
+    ).drop("pfx", "first_doc")
 
 
 def near_dup_pairs(docs):

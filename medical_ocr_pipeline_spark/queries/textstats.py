@@ -445,11 +445,15 @@ def corpus_keep_drop(spark, sf_dir):
     """Composite corpus-curation filter — the shape of a real training-
     data keep/drop job: prefix dedup (first-8-words fingerprint, the
     RefinedWeb-style cheap near-dup gate), length gate, and repetition
-    gate, with first-failing-reason attribution.  One scan + one window
-    shuffle on the prefix key; at 100 TB each gate is a column expression
-    and the only exchange is the dedup-rank partitioning."""
-    from pyspark.sql import Window as W
+    gate, with first-failing-reason attribution.
 
+    Skew note (VERDICT r01): boilerplate openings make the 8-word prefix
+    a hot key at 100 TB, so the dup rank is NOT a row_number window
+    (which sorts the whole hot partition in one task) but the two-phase
+    equivalent: groupBy(pfx).agg(min(doc_id)) — min is combinable, so
+    the hot prefix is pre-aggregated map-side — then a join back on pfx,
+    which AQE skew-split handles (the build side is one row per distinct
+    prefix).  dup_rank>1 == doc_id != min(doc_id) per prefix, exactly."""
     words = F.filter(
         F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
     )
@@ -468,13 +472,11 @@ def corpus_keep_drop(spark, sf_dir):
                 "pfx"
             ),
         )
-        .withColumn(
-            "dup_rank",
-            F.row_number().over(W.partitionBy("pfx").orderBy("doc_id")),
-        )
     )
+    firsts = s.groupBy("pfx").agg(F.min("doc_id").alias("first_doc"))
+    s = s.join(firsts, "pfx")
     reason = (
-        F.when(F.col("dup_rank") > 1, "dup")
+        F.when(F.col("doc_id") != F.col("first_doc"), "dup")
         .when(F.col("n_words") < CURATE_MIN_WORDS, "too_short")
         .when(F.col("rep") >= CURATE_MAX_REP, "repetitive")
         .otherwise("keep")
@@ -586,4 +588,75 @@ def corpus_rebalance(spark, sf_dir):
         sampled.groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang")
+    )
+
+
+# --- F16 domain-term extraction (dictionary + regex patterns) ---------------
+
+# broadcast dictionary (config/medical_terms.yml analogue): canonical
+# domain vocabulary looked up by set intersection with the doc's words
+F16_TERMS = ["spark", "join", "merge", "window", "vector", "stream"]
+# regex pattern bank — the reference extracts quantity patterns
+# ("\d+\s*mg") and title+name patterns ("dr\.?\s+\w+"); the first entry
+# is the literal reference pattern (zero hits on the synthetic corpus,
+# still oracle-checked), the other two are the corpus-hitting analogues
+# of the same shapes (word+unit-noun, determiner+word).
+F16_PAT_QTY_REF = r"\d+\s*mg"
+F16_PAT_QTY = r"\w+\s+join"
+F16_PAT_TITLE = r"the\s+\w+"
+
+
+@register(
+    "f16_term_extraction",
+    sql=f"""
+    SELECT doc_id,
+           len(list_intersect(
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '{_WORD_SPLIT}'),
+               w -> w <> '')),
+             {F16_TERMS})) AS n_dict_terms,
+           len(regexp_extract_all(text, '{F16_PAT_QTY_REF}')) AS n_ref_qty,
+           len(regexp_extract_all(text, '{F16_PAT_QTY}')) AS n_qty,
+           len(regexp_extract_all(text, '{F16_PAT_TITLE}')) AS n_title,
+           COALESCE(array_to_string(
+             list_sort(list_intersect(
+               list_distinct(list_filter(
+                 string_split_regex(lower(text), '{_WORD_SPLIT}'),
+                 w -> w <> '')),
+               {F16_TERMS})), '+'), '') AS terms_found
+    FROM documents ORDER BY doc_id
+    """,
+)
+def f16_term_extraction(spark, sf_dir):
+    """F16 med-term extraction (01_qa_pipeline_evaluation cell 5
+    `extract_medical_terms`, qa_pipeline_evaluator.py:322-325): per
+    document, (a) dictionary containment via array_intersect with the
+    broadcast term list — a broadcast join in set-function form — and
+    (b) counts per regex pattern via regexp_extract_all.  All pure
+    Catalyst; at 100 TB this is one scan, zero shuffles (final sort is
+    presentation-only)."""
+    words = F.array_distinct(
+        F.filter(
+            F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
+        )
+    )
+    terms = F.array_sort(
+        F.array_intersect(words, F.array(*[F.lit(t) for t in F16_TERMS]))
+    )
+
+    def _hits(pat):
+        esc = pat.replace("\\", "\\\\")
+        return F.expr(f"size(regexp_extract_all(text, '{esc}', 0))")
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(terms).alias("n_dict_terms"),
+            _hits(F16_PAT_QTY_REF).alias("n_ref_qty"),
+            _hits(F16_PAT_QTY).alias("n_qty"),
+            _hits(F16_PAT_TITLE).alias("n_title"),
+            F.array_join(terms, "+").alias("terms_found"),
+        )
+        .orderBy("doc_id")
     )
