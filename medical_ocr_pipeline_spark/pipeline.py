@@ -109,14 +109,61 @@ def ordered_turns(df: DataFrame) -> DataFrame:
     return df.withColumn("turn_rank", F.row_number().over(w))
 
 
-def conversation_text(extracted: DataFrame, bucket_size: int = 64) -> DataFrame:
-    """Skew-safe ordered per-conversation document assembly.
+# single-reduce-task collect_list state (bytes) above which assembly
+# switches to the bucketed two-phase plan; calibrated from the three
+# BENCH.md skew runs (7 MB/24 MB state: naive wins 1.1-2.9x; 400 MB
+# state: two-phase wins) — the crossover sits between 24 and 400 MB
+ASSEMBLY_STATE_BYTES = 64 << 20
 
-    Phase 1 groups (conv_id, turn_idx // bucket_size) — a megaconversation
-    fans out over many reduce keys; phase 2 concatenates the (few) bucket
-    strings per conversation in bucket order.  Output:
-    (conv_id, conv_text, n_turns).
+
+def _assemble_single_phase(extracted: DataFrame) -> DataFrame:
+    """One shuffle on conv_id; the whole conversation's turns pass
+    through one reduce task — fastest when per-conversation state is
+    small, an OOM hazard for megaconversations."""
+    return extracted.groupBy("conv_id").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", "text_final"))
+                ),
+                lambda s: s["text_final"],
+            ),
+        ).alias("conv_text"),
+        F.count("*").cast("int").alias("n_turns"),
+    )
+
+
+def conversation_text(
+    extracted: DataFrame,
+    bucket_size: int | None = None,
+    state_bytes_threshold: int = ASSEMBLY_STATE_BYTES,
+) -> DataFrame:
+    """Skew-safe ordered per-conversation document assembly; output
+    (conv_id, conv_text, n_turns), identical under either regime.
+
+    bucket_size=None (default) picks the regime itself (VERDICT r01 #5):
+    a cheap combinable pre-agg estimates the largest single-conversation
+    reduce state (sum of text bytes + join separators); below the
+    threshold the single-phase plan runs (one shuffle — measured 1.1-2.9x
+    faster at small state), above it the bounded-state two-phase plan.
+    Pass bucket_size=0 to force single-phase, or a positive bucket size
+    to force two-phase (tests / known-skew callers).
+
+    Two-phase: phase 1 groups (conv_id, turn_idx // bucket_size) — a
+    megaconversation fans out over many reduce keys; phase 2 concatenates
+    the (few) bucket strings per conversation in bucket order.
     """
+    if bucket_size is None:
+        mx = (
+            extracted.groupBy("conv_id")
+            .agg(F.sum(F.length("text_final") + F.lit(2)).alias("b"))
+            .agg(F.max("b"))
+            .first()[0]
+        ) or 0
+        bucket_size = 64 if mx > state_bytes_threshold else 0
+    if not bucket_size:
+        return _assemble_single_phase(extracted)
     bucketed = extracted.withColumn(
         "bucket", (F.col("turn_idx") / F.lit(bucket_size)).cast("long")
     )

@@ -93,3 +93,15 @@ def test_ann_ivf_recall_and_shape(spark):
     assert approx.groupby("query_id").size().max() <= 5
     recall = len(t & a) / len(t)
     assert recall >= 0.4, f"recall {recall}"
+
+
+def test_embedding_cosine_exact_tier_is_fenced(spark, monkeypatch):
+    """The all-pairs exact tier refuses oversized inputs (oracle-tier
+    contract is enforced, not just documented)."""
+    import pytest
+
+    from medical_ocr_pipeline_spark.queries import dedup as d
+
+    monkeypatch.setattr(d, "EMB_EXACT_MAX_VECTORS", 100)
+    with pytest.raises(RuntimeError, match="all-pairs oracle tier"):
+        d.dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
