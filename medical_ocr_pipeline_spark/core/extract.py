@@ -43,6 +43,7 @@ from medical_ocr_pipeline_spark.core.lineify import regroup_lines
 from medical_ocr_pipeline_spark.core.normalize import normalize_turn
 from medical_ocr_pipeline_spark.core.parse import (
     escalate,
+    grid_rescue,
     need_escalation,
     parse_payload,
 )
@@ -94,6 +95,15 @@ def extract_turn_blocks(payload: str, enable_fuzzy: bool = True):
     ):
         raw_blocks = escalate(payload, raw_blocks)
         variant = variant + "+heavy"
+    elif variant == "layout":
+        # P5/J9 literal form: sparse grid cells get a cell-scoped relaxed
+        # re-parse of the lines the strict parser rejected, translated
+        # back into page coordinates (01_extract_blocks cell 2:26-55).
+        # No-op when every line parsed strictly (rescued == []).
+        rescued = grid_rescue(payload, raw_blocks)
+        if rescued:
+            raw_blocks = raw_blocks + rescued
+            variant = variant + "+rescue"
 
     # 01: P1 confidence gate + P2 empty-text filter
     gated = [

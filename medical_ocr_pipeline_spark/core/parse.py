@@ -323,3 +323,129 @@ def escalate(payload: str, primary: list[dict]) -> list[dict]:
     primary_chars = sum(len(b["text"]) for b in primary)
     gated_primary = primary if primary_chars >= NATIVE_LEN_GATE_CHARS else []
     return gated_primary + heavy
+
+
+# --- spatial-cell-scoped rescue (P5 + J9 literal form) ----------------------
+# Reference: 01_extract_blocks cell 2:26-55 (split_grid / blocks_in_cell /
+# translate_blocks) with knobs GRID_N=3, CELL_MIN_CHARS=60 (cell 1:40-42).
+# The reference crops sparse grid cells out of the page image, runs heavy
+# OCR on the crop (which therefore reports CELL-LOCAL coordinates), and
+# translates the results back by the cell origin (+dx,+dy).  Our payload
+# analogue: sparse cells trigger a RELAXED re-parse of the layout lines the
+# strict fast parser rejected (separator variants, missing conf/source —
+# the heavy-engine-recovers-what-fast-missed shape), expressed cell-locally
+# and translated back with a "+rescue" source suffix.
+
+GRID_N = 3
+CELL_MIN_CHARS = 60
+_RESCUE_DEFAULT_CONF = 0.60
+_RELAXED_SEP_RE = re.compile(r"[;,\s]+")
+
+
+def split_grid(page_w: float = PAGE_W, page_h: float = PAGE_H,
+               n: int = GRID_N) -> list[tuple[float, float, float, float]]:
+    """n x n cell rectangles; last row/column absorbs the remainder
+    (cell 2:31-37: `(gx+1)*cw if gx<n-1 else w`)."""
+    cw, ch = page_w // n, page_h // n
+    cells = []
+    for gy in range(n):
+        for gx in range(n):
+            x0, y0 = gx * cw, gy * ch
+            x1 = (gx + 1) * cw if gx < n - 1 else page_w
+            y1 = (gy + 1) * ch if gy < n - 1 else page_h
+            cells.append((x0, y0, x1, y1))
+    return cells
+
+
+def blocks_in_cell(blocks: list[dict], x0: float, y0: float, x1: float,
+                   y1: float) -> list[dict]:
+    """P5: keep blocks overlapping the cell — reject on the four
+    disjointness tests (cell 2:39-44, open intervals: touching edges do
+    NOT overlap)."""
+    out = []
+    for b in blocks:
+        bx0, by0, bx1, by1 = b["bbox"]
+        if bx1 <= x0 or by1 <= y0 or bx0 >= x1 or by0 >= y1:
+            continue
+        out.append(b)
+    return out
+
+
+def translate_blocks(blocks: list[dict], dx: float, dy: float,
+                     source_suffix: str | None = None) -> list[dict]:
+    """J9 bbox translation back into page coordinates (cell 2:46-55)."""
+    out = []
+    for b in blocks:
+        nb = dict(b)
+        x0, y0, x1, y1 = b["bbox"]
+        nb["bbox"] = [x0 + dx, y0 + dy, x1 + dx, y1 + dy]
+        if source_suffix:
+            nb["source"] = f"{b.get('source', '')}{source_suffix}"
+        out.append(nb)
+    return out
+
+
+def parse_layout_relaxed(payload: str) -> list[dict]:
+    """The 'heavy engine' of the payload analogue: re-parse ONLY the
+    lines the strict layout regex rejected, accepting separator variants
+    (';' / whitespace / mixed) and missing conf/source fields.  Lines the
+    fast pass already parsed are never re-emitted (no duplicates)."""
+    out: list[dict] = []
+    for ln in payload.splitlines():
+        if not ln.strip() or _LAYOUT_LINE_RE.match(ln):
+            continue
+        head, sep, text = ln.partition("|")
+        if not sep or not text.strip():
+            continue
+        toks = [t for t in _RELAXED_SEP_RE.split(head.strip()) if t]
+        if len(toks) not in (4, 5, 6):
+            continue
+        try:
+            nums = [float(t) for t in toks[:4]]
+        except ValueError:
+            continue
+        conf: float | str = _RESCUE_DEFAULT_CONF
+        source = "rescue"
+        if len(toks) >= 5:
+            try:
+                conf = float(toks[4])
+            except ValueError:
+                continue
+        if len(toks) == 6:
+            source = toks[5]
+        out.append({
+            "text": text.strip(),
+            "confidence": norm_conf(conf),
+            "bbox": clamp_bbox(coerce_bbox(nums)),
+            "source": source,
+        })
+    return out
+
+
+def grid_rescue(payload: str, blocks: list[dict], page_w: float = PAGE_W,
+                page_h: float = PAGE_H, n: int = GRID_N,
+                cell_min_chars: int = CELL_MIN_CHARS) -> list[dict]:
+    """Per-cell second pass: for each grid cell whose overlapping blocks
+    carry < cell_min_chars characters, run the relaxed heavy parse scoped
+    to that cell — candidate blocks are clipped to the cell and
+    re-expressed CELL-LOCALLY (the crop analogue), then translated back
+    (+dx,+dy) with source suffix '+rescue'.  Returns only the rescued
+    blocks; the caller unions them with the primary."""
+    heavy = parse_layout_relaxed(payload)
+    if not heavy:
+        return []
+    rescued: list[dict] = []
+    for (x0, y0, x1, y1) in split_grid(page_w, page_h, n):
+        chars = sum(len(b["text"]) for b in blocks_in_cell(blocks, x0, y0, x1, y1))
+        if chars >= cell_min_chars:
+            continue
+        cell_local = []
+        for b in blocks_in_cell(heavy, x0, y0, x1, y1):
+            bx0, by0, bx1, by1 = b["bbox"]
+            cell_local.append({
+                **b,
+                "bbox": [max(bx0, x0) - x0, max(by0, y0) - y0,
+                         min(bx1, x1) - x0, min(by1, y1) - y0],
+            })
+        rescued.extend(translate_blocks(cell_local, x0, y0, "+rescue"))
+    return rescued
