@@ -4,17 +4,22 @@ binary columns with typed metadata, processed through mapInPandas.
 The reference rasterizes PDF pages to PIL images and POSTs them to OCR
 services (S2/S3, notebooks/01_extract_blocks.ipynb cell 4:67-73).  Our
 engine keeps the same shape Spark-native: a `binary` column + a metadata
-struct, decoded/feature-extracted inside Arrow batches.  The actual
-decode depends on image/audio libraries that are NOT in this container,
-so the decode kernels are stubbed: `deterministic_fake_decode` produces
-a seeded, reproducible feature row (so the Spark-side plumbing — schema,
-batching, partitioning, UDF signatures — is fully real and tested), and
-`decode_image`/`decode_audio` raise NotImplementedError with the exact
-extension point documented.
+struct, decoded/feature-extracted inside Arrow batches.
+
+Decode kernels (round 2): REAL pure-python/numpy decoders for formats
+that need no external codec — PPM P6 / BMP 24-bit images and PCM WAV
+audio (stdlib `wave`) — produce genuine pixel/sample-derived features
+through `media_features(real_decode=True)`.  Formats that require
+external codecs (JPEG/PNG/MP3/video) still raise NotImplementedError at
+the same documented extension point; `deterministic_fake_decode` remains
+for plumbing tests that want payload-seeded reproducible rows.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 import zlib
 
 from pyspark.sql import DataFrame
@@ -44,18 +49,157 @@ FEATURE_SCHEMA = T.StructType([
 FEATURE_DIM = 16
 
 
-def decode_image(payload: bytes):  # pragma: no cover - documented stub
-    """STUB: real deployments plug PIL/opencv here (not in this
-    container).  Must return (width, height, ndarray)."""
+def _decode_ppm(payload: bytes):
+    """PPM 'P6' (binary RGB, maxval<=255): header tokens may be separated
+    by arbitrary whitespace/comments per the netpbm spec."""
+    tokens, i = [], 2  # skip magic
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    import numpy as np
+
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i + 1)
+    return w, h, px.reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes):
+    """BMP, uncompressed 24-bit BI_RGB, bottom-up rows padded to 4 bytes."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP")
+    offset, = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMP (got bpp={bpp})")
+    import numpy as np
+
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BMP stores BGR
+    return w, h, (rgb[::-1] if flip else rgb)
+
+
+def decode_image(payload: bytes):
+    """Pure-python image decode: PPM P6 and 24-bit BMP.  Returns
+    (width, height, HxWx3 uint8 array).  Other formats raise
+    NotImplementedError — plug PIL/opencv here for JPEG/PNG."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires PIL/opencv; wire it in decode_image() and "
-        "swap it into media_features(real_decode=True)"
+        "only PPM P6 / 24-bit BMP decode natively; JPEG/PNG need "
+        "PIL/opencv wired into decode_image()"
     )
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - documented stub
-    """STUB: real deployments plug soundfile/librosa here."""
-    raise NotImplementedError("audio decode requires soundfile/librosa")
+def decode_audio(payload: bytes):
+    """Pure-python PCM WAV decode via stdlib `wave`.  Returns
+    (sample_rate, n_channels, int16 sample array, n_frames).  Compressed
+    audio raises — plug soundfile/librosa here for MP3/OGG/FLAC."""
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            sr = wf.getframerate()
+            ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            n = wf.getnframes()
+            raw = wf.readframes(n)
+    except wave.Error as e:
+        raise NotImplementedError(
+            f"only PCM WAV decodes natively ({e}); plug soundfile/librosa "
+            "into decode_audio() for compressed formats"
+        ) from e
+    if width != 2:
+        raise NotImplementedError("only 16-bit PCM WAV supported")
+    return sr, ch, np.frombuffer(raw, dtype="<i2"), n
+
+
+def image_features(payload: bytes) -> list[float]:
+    """16 pixel-derived floats: dims, per-channel means, luminance std,
+    8-bin luminance histogram, mean horizontal/vertical gradient."""
+    import numpy as np
+
+    w, h, px = decode_image(payload)
+    px = px.astype(np.float64)
+    lum = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+    hist = hist / lum.size
+    gx = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
+    gy = float(np.abs(np.diff(lum, axis=0)).mean()) if h > 1 else 0.0
+    out = [
+        w / 4096.0,
+        h / 4096.0,
+        float(px[:, :, 0].mean()) / 255.0,
+        float(px[:, :, 1].mean()) / 255.0,
+        float(px[:, :, 2].mean()) / 255.0,
+        float(lum.std()) / 255.0,
+        *hist.tolist(),
+        gx / 255.0,
+        gy / 255.0,
+    ]
+    return [float(np.float32(v)) for v in out]
+
+
+def audio_features(payload: bytes) -> list[float]:
+    """16 sample-derived floats: duration, rate, channels, rms, peak,
+    zero-crossing rate, 8-bin energy-over-time profile, DC offset,
+    mean absolute amplitude."""
+    import numpy as np
+
+    sr, ch, samples, n_frames = decode_audio(payload)
+    x = samples.astype(np.float64) / 32768.0
+    if x.size == 0:
+        x = np.zeros(1)
+    rms = float(np.sqrt((x * x).mean()))
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if x.size > 1 else 0.0
+    seg = np.array_split(x * x, 8)
+    energy = np.array([s.mean() if s.size else 0.0 for s in seg])
+    total = energy.sum()
+    profile = (energy / total) if total > 0 else np.zeros(8)
+    out = [
+        (n_frames / sr) / 60.0 if sr else 0.0,
+        sr / 48000.0,
+        ch / 2.0,
+        rms,
+        float(np.abs(x).max()),
+        zcr,
+        *profile.tolist(),
+        float(x.mean()),
+        float(np.abs(x).mean()),
+    ]
+    return [float(np.float32(v)) for v in out]
+
+
+def real_decode_features(kind: str, payload: bytes) -> list[float]:
+    """Per-kind dispatch for media_features(real_decode=True).  Video
+    remains the documented stub: frame extraction needs a codec."""
+    if kind == "image":
+        return image_features(payload)
+    if kind == "audio":
+        return audio_features(payload)
+    raise NotImplementedError(
+        f"no native decoder for kind={kind!r}; video frame decode needs "
+        "an external codec wired here"
+    )
 
 
 def deterministic_fake_decode(payload: bytes) -> list[float]:
@@ -78,17 +222,23 @@ def media_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """
     import pandas as pd
 
-    decode = decode_image if real_decode else deterministic_fake_decode
-
     def run(batches):
         for pdf in batches:
             payloads = pdf["payload"].tolist()
+            kinds = pdf["kind"].tolist()
+            if real_decode:
+                feats = [
+                    real_decode_features(k, p)
+                    for k, p in zip(kinds, payloads)
+                ]
+            else:
+                feats = [deterministic_fake_decode(p) for p in payloads]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
+                "kind": kinds,
                 "n_bytes": [len(p or b"") for p in payloads],
                 "checksum": [zlib.crc32(p or b"") for p in payloads],
-                "features": [decode(p) for p in payloads],
+                "features": feats,
             })
 
     return media.select("media_id", "kind", "payload").mapInPandas(

@@ -208,9 +208,58 @@ def partition_metrics(extracted: DataFrame, run_id: str, stage: str) -> DataFram
     )
 
 
-def write_stage(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Stage sink: parquet (Iceberg DataFrameWriterV2 upstream; parquet
-    fallback keeps pytest hermetic per SURVEY.md §7.3.5)."""
+def iceberg_available(spark) -> bool:
+    """True iff the iceberg-spark runtime jar is on the session's JVM
+    classpath (it is NOT in this sandbox; on a real cluster add
+    `--packages org.apache.iceberg:iceberg-spark-runtime-...` plus a
+    catalog config)."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_stage_iceberg(df: DataFrame, table: str, mode: str = "overwrite",
+                        bucket_col: str | None = "conv_id",
+                        n_buckets: int = 64) -> None:
+    """The DataFrameWriterV2 stage sink (SURVEY.md §1.2: stage folder ≙
+    Iceberg table, stage boundary ≙ snapshot).  `overwrite` maps to
+    createOrReplace (a new snapshot — the resumable checkpoint), `append`
+    to append.  New tables are partitioned by bucket(n, conv_id) per the
+    survey's partition spec when the column is present.  Raises
+    RuntimeError if the runtime lacks the Iceberg catalog — callers use
+    write_stage(), which falls back to parquet."""
+    spark = df.sparkSession
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "iceberg-spark runtime jar not on the classpath; "
+            "write_stage() falls back to parquet in this environment"
+        )
+    writer = df.writeTo(table).using("iceberg")
+    if mode == "append":
+        try:
+            writer.append()
+        except Exception:
+            # first append to a not-yet-existing table creates it
+            writer.create()
+        return
+    if bucket_col and bucket_col in df.columns:
+        writer = writer.partitionedBy(F.bucket(n_buckets, F.col(bucket_col)))
+    writer.createOrReplace()
+
+
+def write_stage(df: DataFrame, path: str, mode: str = "overwrite",
+                iceberg_table: str | None = None) -> None:
+    """Stage sink: Iceberg DataFrameWriterV2 when a table name is given
+    AND the runtime carries the Iceberg catalog, else parquet at `path`
+    (keeps pytest hermetic per SURVEY.md §7.3.5 — the jar is absent in
+    this sandbox, see STATUS.md ledger)."""
+    if iceberg_table and iceberg_available(df.sparkSession):
+        write_stage_iceberg(df, iceberg_table, mode=mode)
+        return
     df.write.mode(mode).parquet(path)
 
 

@@ -133,3 +133,110 @@ class TestAudioChunkPlan:
 
         with _pytest.raises(ValueError):
             audio_chunk_plan(synthetic_media(spark, 3), 1000, 1000)
+
+
+# --- real decode kernels (round 2) ------------------------------------------
+
+import os
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures_media")
+
+
+def _fixture(name):
+    with open(os.path.join(FIX, name), "rb") as f:
+        return f.read()
+
+
+def test_decode_ppm_and_bmp_agree_pixelwise():
+    from medical_ocr_pipeline_spark.multimodal import decode_image
+
+    w1, h1, a = decode_image(_fixture("tiny.ppm"))
+    w2, h2, b = decode_image(_fixture("tiny.bmp"))
+    assert (w1, h1) == (w2, h2) == (4, 3)
+    assert (a == b).all()
+    # spot-check pixel content: top-left is the red-ish gradient start
+    assert list(a[0, 0]) == [200, 0, 10]
+    assert list(a[2, 3]) == [10, 20, 200]
+
+
+def test_decode_wav_header_and_samples():
+    from medical_ocr_pipeline_spark.multimodal import decode_audio
+
+    sr, ch, samples, n = decode_audio(_fixture("tiny.wav"))
+    assert (sr, ch, n) == (8000, 1, 400)
+    assert samples[0] == 12000 and samples[5] == -12000
+
+
+def test_image_features_golden():
+    from medical_ocr_pipeline_spark.multimodal import image_features
+
+    got = [round(v, 6) for v in image_features(_fixture("tiny.ppm"))]
+    assert got == [
+        0.000977, 0.000732, 0.333333, 0.068627, 0.392157, 0.055641,
+        0.0, 0.833333, 0.166667, 0.0, 0.0, 0.0, 0.0, 0.0,
+        0.062497, 0.025686,
+    ]
+    # BMP round-trips to the same features (identical pixels)
+    assert [round(v, 6) for v in image_features(_fixture("tiny.bmp"))] == got
+
+
+def test_audio_features_golden():
+    from medical_ocr_pipeline_spark.multimodal import audio_features
+
+    got = [round(v, 6) for v in audio_features(_fixture("tiny.wav"))]
+    assert got == [
+        0.000833, 0.166667, 0.5, 0.366211, 0.366211, 0.197995,
+        0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125,
+        0.0, 0.366211,
+    ]
+
+
+def test_unsupported_formats_raise_not_implemented():
+    import pytest
+
+    from medical_ocr_pipeline_spark.multimodal import (
+        decode_audio,
+        decode_image,
+        real_decode_features,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n garbage")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3 not a wav")
+    with pytest.raises(NotImplementedError):
+        real_decode_features("video", b"whatever")
+
+
+def test_media_features_real_decode_spark_parity(spark):
+    """media_features(real_decode=True) over a Spark frame of real
+    PPM/BMP/WAV payloads equals the single-process kernels — the S2
+    decode step is no longer a stub."""
+    from medical_ocr_pipeline_spark.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        image_features,
+        media_features,
+    )
+
+    rows = [
+        ("img_ppm", "image", _fixture("tiny.ppm"),
+         {"mime": "image/x-portable-pixmap", "width": 4, "height": 3,
+          "duration_ms": 0}),
+        ("img_bmp", "image", _fixture("tiny.bmp"),
+         {"mime": "image/bmp", "width": 4, "height": 3, "duration_ms": 0}),
+        ("aud_wav", "audio", _fixture("tiny.wav"),
+         {"mime": "audio/wav", "width": 0, "height": 0, "duration_ms": 50}),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r["features"]
+        for r in media_features(media, real_decode=True).collect()
+    }
+    assert [round(v, 6) for v in got["img_ppm"]] == [
+        round(v, 6) for v in image_features(_fixture("tiny.ppm"))
+    ]
+    assert got["img_ppm"] == got["img_bmp"]
+    assert [round(v, 6) for v in got["aud_wav"]] == [
+        round(v, 6) for v in audio_features(_fixture("tiny.wav"))
+    ]
