@@ -79,3 +79,36 @@ def test_keep_representatives(spark):
         .where("mn != rep")
     )
     assert bad.count() == 0
+
+
+def test_long_chain_converges_via_pointer_jumping(spark):
+    """A 300-hop chain (diameter far beyond the old 15-iteration plain
+    propagation) must converge within the default cap: pointer jumping
+    makes label distance shrink geometrically per round (ADVICE r01)."""
+    from medical_ocr_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    got = connected_components(edges).collect()
+    assert len(got) == n + 1
+    assert all(r.component == 0 for r in got)
+
+
+def test_nonconvergence_raises_not_silent(spark):
+    """With max_iter too small for the diameter, the operator must raise
+    instead of returning wrong labels."""
+    import pytest
+
+    from medical_ocr_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)

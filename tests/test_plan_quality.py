@@ -166,3 +166,47 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_cohort_retention_no_explicit_broadcast_hint(spark):
+    """VERDICT r01 #3: the one-row-per-user firsts frame must not carry
+    an explicit broadcast hint (1e9 users would OOM); AQE may still
+    choose a broadcast at this tiny scale, but the LOGICAL plan must be
+    hint-free so the choice stays AQE's at any scale."""
+    from medical_ocr_pipeline_spark.queries.temporal import cohort_retention
+
+    df = cohort_retention(spark, SF_DIR)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    assert "UnresolvedHint" not in logical
+
+
+def test_semi_anti_broadcast_only_distinct_keys(spark):
+    """The broadcast side of the semi/anti customer queries is the
+    distinct filtered custkey set (one narrow column, deduped), not the
+    filtered orders fact."""
+    from medical_ocr_pipeline_spark.queries.relational import (
+        q_anti_dormant_customers,
+        q_semi_urgent_customers,
+    )
+
+    for fn, join_kind in (
+        (q_semi_urgent_customers, "LeftSemi"),
+        (q_anti_dormant_customers, "LeftAnti"),
+    ):
+        plan = final_plan(fn(spark, SF_DIR))
+        assert join_kind in plan
+        # the broadcast build side must aggregate (distinct) BEFORE the
+        # exchange: a HashAggregate under the BroadcastExchange
+        i = plan.index("BroadcastExchange")
+        assert "HashAggregate" in plan[i:], plan[i:i + 400]
+
+
+def test_corpus_keep_drop_partial_agg_no_window(spark):
+    """The prefix-dup rank is two-phase combinable aggregation, never a
+    row_number window (hot-prefix partition sort)."""
+    from medical_ocr_pipeline_spark.queries.textstats import corpus_keep_drop
+
+    plan = final_plan(corpus_keep_drop(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
