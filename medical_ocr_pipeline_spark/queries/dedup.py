@@ -397,6 +397,71 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+# the bucketed production tier: more tables + shorter signatures than
+# the ANN top-k search (recall matters more than candidate volume for
+# near-dup pairs near the threshold)
+DEDUP_LSH_TABLES = 12
+DEDUP_LSH_PLANES = 3
+
+
+@register("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark, sf_dir):
+    """THE 100 TB path for embedding near-dup (pairs, not top-k): the
+    same multi-table random-hyperplane signatures as ann_lsh_topk bucket
+    the corpus; exact cosine runs only inside (table, bucket) equi-join
+    groups, then the EMB_DUP_THR threshold — one shuffle on the band
+    key, never an all-pairs product.  Same output columns as the fenced
+    exact tier (dedup_embedding_cosine), whose role is to recall-test
+    this query (tests/test_dedup_similarity.py).  Rows-only: bucketing
+    has no SQL oracle; correctness = measured recall vs the exact tier
+    + containment (every emitted pair is a true >= threshold pair,
+    since the final cosine is exact)."""
+    from medical_ocr_pipeline_spark.queries.similarity import (
+        hyperplane_signatures,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("nrm"),
+        F.posexplode(
+            hyperplane_signatures(DEDUP_LSH_TABLES, DEDUP_LSH_PLANES)
+        ).alias("tbl", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= EMB_DUP_THR)  # unrounded, same order as exact tier
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, R).alias("cosine"),
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @register("dedup_components")
 def dedup_components(spark, sf_dir):
     """Near-dup clusters: connected components over the exact-Jaccard

@@ -167,6 +167,27 @@ N_PLANES = 4
 N_TABLES = 12
 
 
+def hyperplane_signatures(n_tables: int, n_planes: int):
+    """Multi-table random-hyperplane signature column: per table, an
+    n_planes-bit sign signature of the `embedding` column against
+    deterministic pseudo-planes (weight for (table, plane, dim) derived
+    from md5 — reproducible across engines and runs).  Returns an
+    array<int> of length n_tables for posexplode into (table, bucket)."""
+    return F.expr(
+        f"""
+        transform(sequence(0, {n_tables - 1}), t ->
+          aggregate(sequence(0, {n_planes - 1}), cast(0 as int),
+            (acc, p) -> acc + if(
+              aggregate(zip_with(embedding, sequence(0, 63), (v, i) -> struct(v, i)),
+                cast(0.0 as double),
+                (s, e) -> s + cast(e.v as double) *
+                  ((cast(conv(substr(md5(concat(t, ':', p, ':', e.i)), 1, 12),
+                    16, 10) as bigint) % 2001) - 1000) / 1000.0) > 0,
+              shiftleft(1, p), 0)))
+        """
+    )
+
+
 @register("ann_lsh_topk")
 def lsh_bucket_topk(spark, sf_dir):
     """Scale path: multi-table random-hyperplane LSH — deterministic
@@ -178,19 +199,7 @@ def lsh_bucket_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     # table t, plane p weight for dim i:
     #   ((md5-int(t:p:i) mod 2001) - 1000) / 1000  in [-1, 1]
-    sig = F.expr(
-        f"""
-        transform(sequence(0, {N_TABLES - 1}), t ->
-          aggregate(sequence(0, {N_PLANES - 1}), cast(0 as int),
-            (acc, p) -> acc + if(
-              aggregate(zip_with(embedding, sequence(0, 63), (v, i) -> struct(v, i)),
-                cast(0.0 as double),
-                (s, e) -> s + cast(e.v as double) *
-                  ((cast(conv(substr(md5(concat(t, ':', p, ':', e.i)), 1, 12),
-                    16, 10) as bigint) % 2001) - 1000) / 1000.0) > 0,
-              shiftleft(1, p), 0)))
-        """
-    )
+    sig = hyperplane_signatures(N_TABLES, N_PLANES)
     bucketed = emb.select(
         "vec_id", "label", "embedding",
         F.posexplode(sig).alias("tbl", "bucket"),

@@ -105,3 +105,38 @@ def test_embedding_cosine_exact_tier_is_fenced(spark, monkeypatch):
     monkeypatch.setattr(d, "EMB_EXACT_MAX_VECTORS", 100)
     with pytest.raises(RuntimeError, match="all-pairs oracle tier"):
         d.dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
+
+
+def test_embedding_lsh_dedup_recall_and_containment(spark):
+    """The bucketed production tier vs the fenced exact tier: every
+    emitted pair is a true >= threshold pair (final cosine is exact),
+    overall recall >= 0.9, and recall on strong near-dups (cosine >=
+    0.6, the actual dedup targets) >= 0.98."""
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        dedup_embedding_cosine,
+        dedup_embedding_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact_rows = dedup_embedding_cosine(spark, sf).collect()
+    exact = {(r.vec_a, r.vec_b) for r in exact_rows}
+    strong = {(r.vec_a, r.vec_b) for r in exact_rows if r.cosine >= 0.6}
+    lsh = {(r.vec_a, r.vec_b) for r in dedup_embedding_lsh(spark, sf).collect()}
+    assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
+    assert len(lsh & exact) / len(exact) >= 0.9
+    if strong:
+        assert len(lsh & strong) / len(strong) >= 0.98
+
+
+def test_embedding_lsh_dedup_plan_is_bucket_join(spark):
+    """The production tier must plan as a hash equi-join on the band key
+    — never a nested-loop/cartesian pair enumeration."""
+    from medical_ocr_pipeline_spark.queries.dedup import dedup_embedding_lsh
+
+    df = dedup_embedding_lsh(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
