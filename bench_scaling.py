@@ -52,7 +52,17 @@ sys.path.insert(0, REPO)
 
 N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "32000"))
 SIZES = (8, 32)
-INPUT_PATH = f"/tmp/spark_graft_scaling_input_{N_CONVS}"
+def _gen_ver() -> int:
+    """Version the materialized input by a sample payload hash so a
+    generator change rebuilds it (same scheme as bench.py)."""
+    import zlib
+
+    from medical_ocr_pipeline_spark.synth import make_payload
+
+    return zlib.crc32(make_payload("conv_000000", 0).encode()) % 100000
+
+
+INPUT_PATH = f"/tmp/spark_graft_scaling_input_{N_CONVS}_{_gen_ver()}"
 
 
 def slots_for(cores: int) -> int:

@@ -95,11 +95,12 @@ def extract_turn_blocks(payload: str, enable_fuzzy: bool = True):
     ):
         raw_blocks = escalate(payload, raw_blocks)
         variant = variant + "+heavy"
-    elif variant == "layout":
+    elif variant == "layout" and parse_failures:
         # P5/J9 literal form: sparse grid cells get a cell-scoped relaxed
         # re-parse of the lines the strict parser rejected, translated
         # back into page coordinates (01_extract_blocks cell 2:26-55).
-        # No-op when every line parsed strictly (rescued == []).
+        # Gated on parse_failures: with zero strict failures the relaxed
+        # pass can find nothing, so skipping it is a pure fast path.
         rescued = grid_rescue(payload, raw_blocks)
         if rescued:
             raw_blocks = raw_blocks + rescued

@@ -97,6 +97,28 @@ def _layout_payload(rng: random.Random) -> str:
     for i in range(2):
         lines.append(f"70,{y:.0f},420,{y + 15:.0f},0.95,native|- item {_sentence(rng, 3)}")
         y += 18
+    # degraded lines the strict parser rejects (separator variants /
+    # missing conf+source) — the fast-pass parse_failures + grid-rescue
+    # exercise.  Right-column placement (x >= 700) lands in grid cells
+    # the strict blocks never reach, so the cell-scoped rescue recovers
+    # them; a same-syntax line in the dense left column is NOT rescued.
+    if rng.random() < 0.35:
+        x0 = 700 + rng.randrange(60)
+        txt = _sentence(rng, 3 + rng.randrange(3))
+        if rng.random() < 0.5:
+            s = ";"
+            lines.append(
+                f"{x0}{s}{y:.0f}{s}{x0 + 220}{s}{y + 15:.0f}{s}"
+                f"0.8{rng.randrange(10)}{s}ocr_c|{txt}"
+            )
+        else:
+            lines.append(f"{x0},{y:.0f},{x0 + 220},{y + 15:.0f}|{txt}")
+        if rng.random() < 0.3:
+            lines.append(
+                f"80;{y + 18:.0f};300;{y + 33:.0f};0.85;ocr_c|"
+                f"{_sentence(rng, 3)}"
+            )
+        y += 18
     # footer band block
     lines.append(f"60,{PAGE_H - 40:.0f},300,{PAGE_H - 20:.0f},0.92,native|page footer {rng.randrange(99)}")
     return "\n".join(lines)
