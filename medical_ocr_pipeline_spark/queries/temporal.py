@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
+from medical_ocr_pipeline_spark.queries.base import (
+    REGISTRY,
+    ROUND_DIGITS,
+    load,
+    register,
+)
 
 R = ROUND_DIGITS
 
@@ -184,8 +189,8 @@ def funnel_conversion(spark, sf_dir):
     chain).  Memory note: collect_list materializes each user's events
     in one task, so this form assumes per-user activity fits a task
     (fine for bounded-retention event tables); for unbounded per-user
-    history use the CTE shape (three scans, no arrays) or the streaming
-    stateful rollup, whose state IS one int per user."""
+    history use funnel_conversion_scan (three scans, no arrays) or the
+    streaming stateful rollup, whose state IS one int per user."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     per_user = ev.groupBy("user_id").agg(
         F.array_sort(
@@ -201,6 +206,57 @@ def funnel_conversion(spark, sf_dir):
     )
     return (
         per_user.select(furthest.alias("furthest_step"))
+        .groupBy("furthest_step")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("furthest_step")
+    )
+
+
+_FUNNEL_SCAN_SQL = REGISTRY["funnel_conversion"].sql
+
+
+@register("funnel_conversion_scan", sql=_FUNNEL_SCAN_SQL)
+def funnel_conversion_scan(spark, sf_dir):
+    """The unbounded-per-user-history funnel shape: three filtered scans
+    chained by (user_id, ts > prev-step-min) joins + min aggregations —
+    NO collect_list, so per-user state is one timestamp per step
+    regardless of history length (the memory note on funnel_conversion's
+    fold).  Every join/agg shuffles on user_id and every min is
+    map-side combinable; AQE reuses the user_id partitioning across the
+    chain.  Same oracle as funnel_conversion (the two implementations
+    must agree — also asserted directly in tests)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    u = ev.select("user_id").distinct()
+    furthest = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        u.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(furthest.alias("furthest_step"))
         .groupBy("furthest_step")
         .agg(F.count("*").alias("n_users"))
         .orderBy("furthest_step")

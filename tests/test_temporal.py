@@ -116,3 +116,20 @@ def test_range_join_band_boundary(spark, sf_dir, events_pdf):
         want.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_funnel_fold_and_scan_forms_agree(spark):
+    """The collect_list fold and the unbounded-history three-scan form
+    are alternative physical shapes of the same operator — identical
+    results on the driver testdata."""
+    import pandas as pd
+
+    from medical_ocr_pipeline_spark.queries.temporal import (
+        funnel_conversion,
+        funnel_conversion_scan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = funnel_conversion(spark, sf).toPandas()
+    b = funnel_conversion_scan(spark, sf).toPandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
