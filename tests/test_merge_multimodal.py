@@ -240,3 +240,70 @@ def test_media_features_real_decode_spark_parity(spark):
     assert [round(v, 6) for v in got["aud_wav"]] == [
         round(v, 6) for v in audio_features(_fixture("tiny.wav"))
     ]
+
+
+def test_ppm_bmp_roundtrip_property():
+    """Property: encode random small RGB images as PPM and BMP in the
+    test, decode with the kernels, recover the exact pixels — both
+    formats, including non-4-multiple widths (BMP row padding)."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from medical_ocr_pipeline_spark.multimodal import decode_image
+
+    rng = random.Random(42)
+    for _ in range(12):
+        w, h = rng.randrange(1, 9), rng.randrange(1, 7)
+        px = np.frombuffer(
+            bytes(rng.randrange(256) for _ in range(w * h * 3)), dtype=np.uint8
+        ).reshape(h, w, 3)
+
+        ppm = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+        pw, ph, pa = decode_image(ppm)
+        assert (pw, ph) == (w, h) and (pa == px).all()
+
+        stride = (w * 3 + 3) & ~3
+        rows = b"".join(
+            px[y, :, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+            for y in range(h - 1, -1, -1)
+        )
+        bmp = (
+            b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                          2835, 2835, 0, 0)
+            + rows
+        )
+        bw, bh, ba = decode_image(bmp)
+        assert (bw, bh) == (w, h) and (ba == px).all()
+
+
+def test_wav_roundtrip_property():
+    """Property: write random 16-bit PCM through stdlib wave, decode,
+    recover samples/rate/channels exactly."""
+    import io
+    import random
+    import wave as wave_mod
+
+    import numpy as np
+
+    from medical_ocr_pipeline_spark.multimodal import decode_audio
+
+    rng = random.Random(7)
+    for _ in range(8):
+        sr = rng.choice([8000, 16000, 44100])
+        ch = rng.choice([1, 2])
+        n = rng.randrange(1, 300)
+        samples = np.array(
+            [rng.randrange(-32768, 32768) for _ in range(n * ch)], dtype="<i2"
+        )
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as wf:
+            wf.setnchannels(ch)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes(samples.tobytes())
+        got_sr, got_ch, got, got_n = decode_audio(buf.getvalue())
+        assert (got_sr, got_ch, got_n) == (sr, ch, n)
+        assert (got == samples).all()
