@@ -397,6 +397,131 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+# content-defined chunking: a word is a chunk boundary when its hash
+# falls in 1/CDC_DIVISOR of the space (expected chunk ~CDC_DIVISOR
+# words); chunks shared by more than CDC_FREQ_CAP docs are boilerplate
+# and excluded from pairing (the inverted-index frequency cap that keeps
+# the chunk join linear-ish at scale)
+CDC_DIVISOR = 8
+CDC_MIN_CHUNK_WORDS = 3
+CDC_FREQ_CAP = 50
+
+
+@register(
+    "dedup_cdc_chunks",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, u.w AS word, u.pos AS pos
+      FROM documents,
+           LATERAL (SELECT unnest(list_filter(string_split_regex(lower(text),
+                      '{_WORD_SPLIT}'), x -> x <> '')) AS w,
+                    generate_subscripts(list_filter(string_split_regex(lower(text),
+                      '{_WORD_SPLIT}'), x -> x <> ''), 1) AS pos) u
+    ), g AS (
+      SELECT doc_id, word, pos,
+             COALESCE(SUM(CASE WHEN CAST(('0x' || substr(md5(word), 1, 12))
+                                    AS BIGINT) % {CDC_DIVISOR} = 0
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+      FROM w
+    ), c AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash,
+             COUNT(*) AS n_words
+      FROM g GROUP BY doc_id, chunk_id
+      HAVING COUNT(*) >= {CDC_MIN_CHUNK_WORDS}
+    ), freq AS (
+      SELECT chunk_hash FROM (
+        SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd
+        FROM c GROUP BY chunk_hash
+      ) WHERE nd <= {CDC_FREQ_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(DISTINCT a.chunk_hash) AS shared_chunks
+    FROM c a JOIN freq USING (chunk_hash)
+             JOIN c b USING (chunk_hash)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING COUNT(DISTINCT a.chunk_hash) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking partial-dup detection — the copy/quote
+    detector a training-data pipeline runs alongside whole-doc dedup:
+    documents are split at content-defined boundaries (a word is a
+    boundary iff its md5-derived hash ≡ 0 mod {CDC_DIVISOR}, so
+    boundaries survive insertions/deletions unlike fixed windows), each
+    chunk is hashed, and doc pairs sharing >= 2 distinct non-boilerplate
+    chunks are reported.  All Catalyst: posexplode + one window for the
+    running boundary count, groupBy for chunks, inverted-index equi-join
+    on chunk_hash with a frequency cap (boilerplate chunks shared by >
+    {CDC_FREQ_CAP} docs are excluded — the cap that keeps the join
+    linear-ish at 100 TB, same discipline as the shingle index)."""
+    from pyspark.sql import Window as W
+
+    h = _SPARK_H.format(x="word")
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda x: x != F.lit("")
+    )
+    w = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(words).alias("pos", "word"))
+        .withColumn("gate", (F.expr(h) % CDC_DIVISOR == 0).cast("int"))
+        .withColumn(
+            "chunk_id",
+            F.coalesce(
+                F.sum("gate").over(
+                    W.partitionBy("doc_id")
+                    .orderBy("pos")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    c = (
+        w.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                        lambda s: s["word"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+            F.count("*").alias("n_words"),
+        )
+        .where(F.col("n_words") >= CDC_MIN_CHUNK_WORDS)
+        .select("doc_id", "chunk_hash")
+    )
+    freq = (
+        c.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") <= CDC_FREQ_CAP)
+        .select("chunk_hash")
+    )
+    a = c.join(freq, "chunk_hash").alias("a")
+    b = c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_hash") == F.col("b.chunk_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.countDistinct("a.chunk_hash").alias("shared_chunks"))
+        .where(F.col("shared_chunks") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # the bucketed production tier: more tables + shorter signatures than
 # the ANN top-k search (recall matters more than candidate volume for
 # near-dup pairs near the threshold)

@@ -806,3 +806,45 @@ def w_ntile_quartiles(spark, sf_dir):
         )
         .orderBy("quartile")
     )
+
+
+@register(
+    "q_below_avg_parts",
+    sql=f"""
+    SELECT l.l_partkey AS partkey,
+           COUNT(*) AS n_small_lines,
+           ROUND(SUM(l.l_extendedprice), {R}) AS small_revenue
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY l.l_partkey
+    HAVING COUNT(*) >= 2
+    ORDER BY partkey
+    """,
+)
+def q_below_avg_parts(spark, sf_dir):
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    threshold) decorrelated by hand into a pre-aggregate + join, which
+    is exactly the plan Catalyst's DecorrelateInnerQuery would produce:
+    one extra combinable aggregate over the same fact instead of a
+    per-row subquery execution.  At 100 TB both sides shuffle on
+    l_partkey once and AQE reuses the partitioning."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = l.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        l.join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count("*").alias("n_small_lines"),
+            F.round(F.sum("l_extendedprice"), R).alias("small_revenue"),
+        )
+        .where(F.col("n_small_lines") >= 2)
+        .orderBy("partkey")
+    )
