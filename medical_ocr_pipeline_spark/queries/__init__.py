@@ -16,6 +16,7 @@ from medical_ocr_pipeline_spark.queries import (  # noqa: F401
     dedup,
     misc,
     qa,
+    media,
     extraction,
     relational,
 )

@@ -1,0 +1,85 @@
+"""Multimodal smoke query for the driver gate.
+
+The driver testdata has no media table, so this query synthesizes a
+deterministic one in-session (same rows every run — payloads are pure
+functions of the media id, PPM/WAV bytes built with the engine's own
+encoders) and pushes it through the REAL decode kernels.  Rows-only for
+the driver; the feature values themselves are golden-pinned in
+tests/test_merge_multimodal.py.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+from pyspark.sql import functions as F
+
+from medical_ocr_pipeline_spark.queries.base import register
+
+N_MEDIA = 24
+
+
+def _ppm(i: int) -> bytes:
+    from medical_ocr_pipeline_spark.multimodal import encode_ppm
+    import numpy as np
+
+    w, h = 4 + i % 3, 3 + i % 2
+    px = np.fromfunction(
+        lambda y, x, c: (37 * i + 11 * y + 5 * x + 3 * c) % 256, (h, w, 3)
+    ).astype(np.uint8)
+    return encode_ppm(px)
+
+
+def _wav(i: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        frames = b"".join(
+            struct.pack("<h", ((13 * i + 7 * k) % 24000) - 12000)
+            for k in range(160 + 16 * i)
+        )
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+@register("media_features_real")
+def media_features_real(spark, sf_dir):
+    """Real-decode feature extraction over a deterministic in-session
+    media table (PPM images + PCM WAV audio built by the engine's own
+    encoders): one row per media item with its decoded feature summary.
+    Rows-only — no SQL engine can run the decode; determinism and exact
+    feature values are pinned by the golden tests."""
+    from medical_ocr_pipeline_spark.multimodal import (
+        MEDIA_SCHEMA,
+        media_features,
+    )
+
+    rows = []
+    for i in range(N_MEDIA):
+        if i % 2 == 0:
+            rows.append((
+                f"img{i:03d}", "image", _ppm(i),
+                {"mime": "image/x-portable-pixmap", "width": 4 + i % 3,
+                 "height": 3 + i % 2, "duration_ms": 0},
+            ))
+        else:
+            rows.append((
+                f"aud{i:03d}", "audio", _wav(i),
+                {"mime": "audio/wav", "width": 0, "height": 0,
+                 "duration_ms": (160 + 16 * i) // 8},
+            ))
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = media_features(media, real_decode=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "checksum",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("feature_sum"),
+    ).orderBy("media_id")
