@@ -442,6 +442,16 @@ def grid_rescue(payload: str, blocks: list[dict], page_w: float = PAGE_W,
         cell_local = []
         for b in blocks_in_cell(heavy, x0, y0, x1, y1):
             bx0, by0, bx1, by1 = b["bbox"]
+            # a block belongs to exactly ONE cell — the one holding its
+            # bbox center (a crop-based heavy pass would slice the text
+            # pixels; our text blocks are indivisible, so emitting the
+            # full text once per overlapped cell would duplicate it into
+            # text_final — J1 can't catch disjoint clips, IoU 0)
+            cx, cy = (bx0 + bx1) / 2.0, (by0 + by1) / 2.0
+            if not (x0 <= cx < x1 or (cx == page_w and x1 == page_w)):
+                continue
+            if not (y0 <= cy < y1 or (cy == page_h and y1 == page_h)):
+                continue
             cell_local.append({
                 **b,
                 "bbox": [max(bx0, x0) - x0, max(by0, y0) - y0,

@@ -74,9 +74,13 @@ def curate_documents(docs):
         )
     )
     # two-phase prefix dedup (combinable min, no hot-key window sort) —
-    # same skew-safe shape as corpus_keep_drop
+    # same skew-safe shape as corpus_keep_drop; eqNullSafe keeps
+    # NULL-text docs (NULL pfx) in the frame as their own group
     firsts = s.groupBy("pfx").agg(F.min("doc_id").alias("first_doc"))
-    s = s.join(firsts, "pfx")
+    s = s.join(
+        firsts.withColumnRenamed("pfx", "pfx_f"),
+        F.col("pfx").eqNullSafe(F.col("pfx_f")),
+    ).drop("pfx_f")
     reason = (
         F.when(F.col("doc_id") != F.col("first_doc"), "dup")
         .when(F.col("n_words") < CURATE_MIN_WORDS, "too_short")

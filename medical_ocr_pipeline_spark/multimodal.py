@@ -227,10 +227,16 @@ def media_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
             payloads = pdf["payload"].tolist()
             kinds = pdf["kind"].tolist()
             if real_decode:
-                feats = [
-                    real_decode_features(k, p)
-                    for k, p in zip(kinds, payloads)
-                ]
+                # per-row failure tolerance (the reference's per-engine
+                # timeout discipline): undecodable / NULL payloads get
+                # features=None, never a task failure; row count is
+                # preserved so n_bytes/checksum still describe the row
+                feats = []
+                for k, p in zip(kinds, payloads):
+                    try:
+                        feats.append(real_decode_features(k, p))
+                    except (NotImplementedError, ValueError, TypeError):
+                        feats.append(None)
             else:
                 feats = [deterministic_fake_decode(p) for p in payloads]
             yield pd.DataFrame({
@@ -250,16 +256,17 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one output row per sampled timestamp
     (the decode itself is the stubbed kernel above).  Pure Catalyst —
     posexplode of a generated sequence, no Python."""
+    d = F.col("meta.duration_ms")
     return (
-        media.where(
-            (F.col("kind") == "video") & (F.col("meta.duration_ms") > 0)
-        )
+        # zero-duration clips emit NO frames; NULL (unknown) duration
+        # emits ONE probe frame at ts 0 — the item stays visible
+        media.where((F.col("kind") == "video") & (d.isNull() | (d > 0)))
         .select(
             "media_id",
             F.posexplode(
                 F.sequence(
                     F.lit(0),
-                    F.col("meta.duration_ms") - 1,
+                    F.greatest(F.coalesce(d - 1, F.lit(0)), F.lit(0)),
                     F.lit(every_ms),
                 )
             ).alias("frame_idx", "ts_ms"),
@@ -294,17 +301,19 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 2000,
     if overlap_ms >= chunk_ms:
         raise ValueError("overlap_ms must be < chunk_ms")
     stride = chunk_ms - overlap_ms
+    d = F.col("meta.duration_ms")
     return (
-        # duration_ms > 0 filter: a zero-length clip yields NO chunks
-        # (sequence(0, greatest(d-1,0)) would emit one empty chunk)
-        media.where((F.col("kind") == "audio") & (F.col("meta.duration_ms") > 0))
+        # zero-length clips yield NO chunks (sequence(0, greatest(d-1,0))
+        # would emit one empty chunk); NULL (unknown) duration yields ONE
+        # probe chunk of the nominal chunk_ms
+        media.where((F.col("kind") == "audio") & (d.isNull() | (d > 0)))
         .select(
             "media_id",
-            F.col("meta.duration_ms").alias("duration_ms"),
+            d.alias("duration_ms"),
             F.posexplode(
                 F.sequence(
                     F.lit(0),
-                    F.col("meta.duration_ms") - 1,
+                    F.greatest(F.coalesce(d - 1, F.lit(0)), F.lit(0)),
                     F.lit(stride),
                 )
             ).alias("chunk_idx", "start_ms"),
@@ -361,7 +370,9 @@ def media_thumbnails(media: DataFrame, out_w: int = 32,
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     w, h, arr = decode_image(payload)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, TypeError):
+                    # TypeError covers NULL payloads (payload column is
+                    # nullable); a bad row is skipped, never fatal
                     continue
                 ids.append(media_id)
                 ws.append(w)

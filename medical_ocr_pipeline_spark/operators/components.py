@@ -92,11 +92,24 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     if changed != 0:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); graph diameter exceeds "
-            f"2^{max_iter} — raise max_iter"
+        # the cap round itself changed labels; that is still consistent
+        # with having REACHED the fixpoint in that very round, so check
+        # once more before declaring failure (otherwise a graph that
+        # converges exactly at max_iter raises on a correct result)
+        would_change = (
+            sym.join(labels, sym.b == labels.vertex)
+            .groupBy(F.col("a").alias("vertex"))
+            .agg(F.min("component").alias("nbr_min"))
+            .join(labels, "vertex")
+            .where(F.col("nbr_min") < F.col("component"))
+            .count()
         )
+        if would_change != 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds ({would_change} labels still improvable); graph "
+                f"diameter exceeds 2^{max_iter} — raise max_iter"
+            )
     return labels
 
 

@@ -147,8 +147,12 @@ def conversation_text(
     reduce state (sum of text bytes + join separators); below the
     threshold the single-phase plan runs (one shuffle — measured 1.1-2.9x
     faster at small state), above it the bounded-state two-phase plan.
-    Pass bucket_size=0 to force single-phase, or a positive bucket size
-    to force two-phase (tests / known-skew callers).
+    The probe is an ACTION over `extracted` at call time: only use the
+    auto default when the input is materialized (a read stage table or a
+    cached frame, as in job.py) — on an unmaterialized UDF pipeline the
+    probe would execute it once just to pick the regime.  Pass
+    bucket_size=0 to force single-phase, or a positive bucket size to
+    force two-phase (tests / known-skew / unmaterialized callers).
 
     Two-phase: phase 1 groups (conv_id, turn_idx // bucket_size) — a
     megaconversation fans out over many reduce keys; phase 2 concatenates
@@ -240,10 +244,12 @@ def write_stage_iceberg(df: DataFrame, table: str, mode: str = "overwrite",
         )
     writer = df.writeTo(table).using("iceberg")
     if mode == "append":
-        try:
+        # existence is checked explicitly: catching the append error and
+        # retrying create() would mask real append failures (schema
+        # mismatch, commit conflict) behind "table already exists"
+        if spark.catalog.tableExists(table):
             writer.append()
-        except Exception:
-            # first append to a not-yet-existing table creates it
+        else:
             writer.create()
         return
     if bucket_col and bucket_col in df.columns:

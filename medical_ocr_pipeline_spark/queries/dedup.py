@@ -357,13 +357,15 @@ def dedup_embedding_cosine(spark, sf_dir):
     (VERDICT r01 #4): the vector count is checked up-front and the query
     refuses to build a quadratic pair space past EMB_EXACT_MAX_VECTORS."""
     emb = load(spark, sf_dir, "embeddings")
-    n_vec = emb.count()
-    if n_vec > EMB_EXACT_MAX_VECTORS:
+    # bounded probe: limit(cap+1) stops the scan at the fence instead of
+    # counting the whole table just to validate it
+    n_probe = emb.limit(EMB_EXACT_MAX_VECTORS + 1).count()
+    if n_probe > EMB_EXACT_MAX_VECTORS:
         raise RuntimeError(
             f"dedup_embedding_cosine is the exact all-pairs oracle tier "
-            f"({n_vec} vectors -> ~{n_vec * (n_vec - 1) // 2:.2e} pairs); "
-            f"above {EMB_EXACT_MAX_VECTORS} vectors use the bucketed "
-            f"paths (ann_lsh_topk / ann_ivf_topk) instead"
+            f"(> {EMB_EXACT_MAX_VECTORS} vectors -> a quadratic pair "
+            f"space); use the bucketed paths (dedup_embedding_lsh / "
+            f"ann_lsh_topk / ann_ivf_topk) instead"
         )
     n = emb.select(
         "vec_id",

@@ -36,10 +36,15 @@ def extract_turns(spark, sf_dir):
 
 @register("extract_conversations")
 def extract_conversations(spark, sf_dir):
-    """Skew-safe ordered conversation assembly on top of extract_turns."""
+    """Skew-safe ordered conversation assembly on top of extract_turns.
+    bucket_size is pinned (not auto): the auto probe is an action over
+    its input, which HERE is the un-materialized extraction UDF — the
+    probe would execute the whole extraction once just to pick a regime
+    (job.py probes the written stage parquet instead, one cheap column
+    scan)."""
     df = spark_transcripts(spark, FLAGSHIP_CONVS, partitions=16)
     return (
-        conversation_text(extract_transcripts(df))
+        conversation_text(extract_transcripts(df), bucket_size=64)
         .select("conv_id", F.length("conv_text").alias("conv_chars"), "n_turns")
         .orderBy("conv_id")
     )

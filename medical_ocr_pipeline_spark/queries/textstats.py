@@ -473,8 +473,14 @@ def corpus_keep_drop(spark, sf_dir):
             ),
         )
     )
+    # eqNullSafe: a NULL prefix (NULL text) must behave like the window
+    # oracle's PARTITION BY (NULLs form their own group) — a plain inner
+    # join would silently drop NULL-pfx rows
     firsts = s.groupBy("pfx").agg(F.min("doc_id").alias("first_doc"))
-    s = s.join(firsts, "pfx")
+    s = s.join(
+        firsts.withColumnRenamed("pfx", "pfx_f"),
+        F.col("pfx").eqNullSafe(F.col("pfx_f")),
+    ).drop("pfx_f")
     reason = (
         F.when(F.col("doc_id") != F.col("first_doc"), "dup")
         .when(F.col("n_words") < CURATE_MIN_WORDS, "too_short")

@@ -112,3 +112,16 @@ def test_nonconvergence_raises_not_silent(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+
+
+def test_convergence_on_final_round_does_not_raise(spark):
+    """A graph whose labels converge exactly in the last allowed round
+    must return correct labels, not raise (the post-loop check verifies
+    the fixpoint instead of assuming non-convergence)."""
+    from medical_ocr_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = connected_components(edges, max_iter=1).collect()
+    assert {r.vertex: r.component for r in got} == {0: 0, 1: 0, 2: 0}

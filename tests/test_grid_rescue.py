@@ -147,3 +147,16 @@ def test_spark_parity_with_core(spark):
     want = pd.DataFrame(want, columns=["turn_idx", "text_final", "variant",
                                        "n_blocks"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_spanning_block_rescued_exactly_once():
+    """A malformed line whose bbox crosses a cell boundary (both cells
+    sparse) must be rescued ONCE — owned by its center cell — not once
+    per overlapped cell (full-text duplication J1 cannot catch)."""
+    payload = "200;1000;500;1020;0.9;ocr|spanning malformed line"
+    rescued = grid_rescue(payload, [])
+    assert len(rescued) == 1
+    b = rescued[0]
+    assert b["text"] == "spanning malformed line"
+    # center x=350 -> middle cell (333..666); clipped to it
+    assert b["bbox"] == [333.0, 1000.0, 500.0, 1020.0]

@@ -361,3 +361,50 @@ def test_media_thumbnails_spark(spark):
     w, h, arr = decode_image(bytes(got["ok_ppm"]["thumbnail"]))
     assert (w, h) == (2, 2)
     assert bytes(got["ok_ppm"]["thumbnail"]) == bytes(got["ok_bmp"]["thumbnail"])
+
+
+def test_null_payload_and_duration_tolerance(spark):
+    """NULL payloads are skipped (thumbnails) / feature-nulled
+    (features); NULL durations emit one probe frame/chunk instead of
+    vanishing; zero durations emit none."""
+    from medical_ocr_pipeline_spark.multimodal import (
+        MEDIA_SCHEMA,
+        audio_chunk_plan,
+        frame_sample_plan,
+        media_features,
+        media_thumbnails,
+    )
+
+    rows = [
+        ("img_null", "image", None,
+         {"mime": "image/bmp", "width": 1, "height": 1, "duration_ms": 0}),
+        ("img_ok", "image", _fixture("tiny.ppm"),
+         {"mime": "image/x-portable-pixmap", "width": 4, "height": 3,
+          "duration_ms": 0}),
+        ("vid_null_dur", "video", b"x",
+         {"mime": "video/x", "width": 0, "height": 0, "duration_ms": None}),
+        ("vid_zero_dur", "video", b"x",
+         {"mime": "video/x", "width": 0, "height": 0, "duration_ms": 0}),
+        ("aud_null_dur", "audio", _fixture("tiny.wav"),
+         {"mime": "audio/wav", "width": 0, "height": 0, "duration_ms": None}),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    thumbs = media_thumbnails(media, 2, 2).collect()
+    assert [r["media_id"] for r in thumbs] == ["img_ok"]
+
+    feats = {r["media_id"]: r for r in
+             media_features(media, real_decode=True).collect()}
+    assert len(feats) == 5  # row count preserved
+    assert feats["img_null"]["features"] is None
+    assert feats["img_ok"]["features"] is not None
+    assert feats["vid_null_dur"]["features"] is None  # video: no codec
+
+    frames = frame_sample_plan(media).collect()
+    assert [(r["media_id"], r["ts_ms"]) for r in frames] == [
+        ("vid_null_dur", 0)
+    ]
+    chunks = audio_chunk_plan(media).collect()
+    null_dur = [r for r in chunks if r["media_id"] == "aud_null_dur"]
+    assert len(null_dur) == 1
+    assert null_dur[0]["start_ms"] == 0 and null_dur[0]["end_ms"] == 2000
