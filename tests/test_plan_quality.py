@@ -210,3 +210,19 @@ def test_corpus_keep_drop_partial_agg_no_window(spark):
     plan = final_plan(corpus_keep_drop(spark, SF_DIR))
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_partition_pruning_on_partitioned_stage(spark, tmp_path):
+    """A stage written with partitionBy must prune partitions at read:
+    the scan's PartitionFilters carry the predicate and non-matching
+    directories are never listed as input files."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").parquet(out)
+
+    df = spark.read.parquet(out).where(F.col("event_type") == "view")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all("event_type=view" in f for f in files)
