@@ -68,26 +68,34 @@ def extract_transcripts(df: DataFrame, enable_fuzzy: bool = True) -> DataFrame:
         "two_col": pa.bool_(), "variant": pa.string(),
     }
 
+    # ts (event time) passes through when the input carries it, so the
+    # extracted stage stays watermarkable (streaming_turn_metrics
+    # composes directly on stream_extract's output); inputs without ts
+    # (ad-hoc frames, documents-as-transcripts) keep the base schema
+    has_ts = "ts" in df.columns
+    passthrough = ["conv_id", "turn_idx", "role"] + (["ts"] if has_ts else [])
+    out_schema = EXTRACT_SCHEMA
+    if has_ts:
+        out_schema = T.StructType(
+            EXTRACT_SCHEMA.fields[:3]
+            + [T.StructField("ts", T.TimestampType())]
+            + EXTRACT_SCHEMA.fields[3:]
+        )
+
     def run(batches):
         for batch in batches:
             results = [
                 extract_turn(payload, enable_fuzzy=enable_fuzzy)
                 for payload in batch.column("text").to_pylist()
             ]
-            arrays = [
-                batch.column("conv_id"),
-                batch.column("turn_idx"),
-                batch.column("role"),
-            ]
-            names = ["conv_id", "turn_idx", "role"]
+            arrays = [batch.column(c) for c in passthrough]
+            names = list(passthrough)
             for j, f in enumerate(_RESULT_FIELDS):
                 arrays.append(pa.array([r[j] for r in results], type=types[f]))
                 names.append(f)
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return df.select("conv_id", "turn_idx", "role", "text").mapInArrow(
-        run, schema=EXTRACT_SCHEMA
-    )
+    return df.select(*passthrough, "text").mapInArrow(run, schema=out_schema)
 
 
 def repartition_by_conv(df: DataFrame, n: int, salt_buckets: int = 0) -> DataFrame:

@@ -34,10 +34,14 @@ EXTRACT_JSON_SCHEMA = T.StructType([
 
 
 def repair_json(col):
-    """F3 as a Catalyst regexp chain: strip ``` fences, drop trailing
-    commas, trim."""
+    """F3 as a Catalyst regexp chain, mirroring the single-process chain
+    (core/parse.py strip_fences + light_repair): strip ``` fences, drop
+    trailing commas, cut to the first '{' or '[' (leading prose before
+    the JSON body is dropped, not a parse failure), trim."""
     c = F.regexp_replace(col, "```(?:json|JSON)?", "")
     c = F.regexp_replace(c, ",\\s*([}\\]])", "$1")
+    # (?s): the JSON body spans lines; empty match -> '' -> NULL doc
+    c = F.regexp_extract(c, "(?s)[\\[{].*", 0)
     return F.trim(c)
 
 
@@ -62,13 +66,13 @@ def structured_extract(transcripts: DataFrame) -> DataFrame:
         F.col("doc.summary").alias("summary"),
         F.col("doc.items").alias("items"),
         F.col("doc.dose").alias("dose"),
+        # failure = corrupt text or nothing to parse (NULL doc: empty /
+        # whitespace-only input).  A VALID but empty object ({}) is a
+        # successfully parsed piece with null fields — exactly how the
+        # single-process golden path counts it (json.loads succeeds);
+        # the all-fields-null test used here before misclassified it.
         (
-            F.col("doc._corrupt").isNotNull()
-            | (
-                F.col("doc.summary").isNull()
-                & F.col("doc.items").isNull()
-                & F.col("doc.dose").isNull()
-            )
+            F.col("doc").isNull() | F.col("doc._corrupt").isNotNull()
         ).alias("parse_failed"),
     )
 

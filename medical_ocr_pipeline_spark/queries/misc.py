@@ -19,26 +19,50 @@ _WORD_SPLIT = "[^a-z0-9]+"
     sql=f"""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
+           CAST(SUM(CASE WHEN props IS NOT NULL AND json_valid(props)
+                              AND json_type(props) = 'OBJECT'
+                         THEN 0 ELSE 1 END) AS BIGINT)
              AS parse_failures,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), {R}) AS avg_k
+           CAST(SUM(CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+                         THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                         END) AS BIGINT) AS sum_k,
+           ROUND(AVG(CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+                          THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                          END), {R}) AS avg_k
     FROM events
     GROUP BY event_type ORDER BY event_type
     """,
 )
 def f3_json_parse(spark, sf_dir):
-    """F3 at scale: from_json in PERMISSIVE mode over the events props
-    column; failures counted, never raised."""
+    """F3 at scale: from_json with PERMISSIVE corrupt-record capture over
+    the events props column; failures counted, never raised.
+
+    Failure = NULL/empty props (from_json yields a NULL struct), corrupt
+    text, or valid-JSON-that-is-not-an-object ("str", [..] — from_json
+    routes both to the corrupt column).  Plain `doc IS NULL` cannot
+    detect malformed objects: from_json returns a struct of NULLs for
+    '{{bad', not a NULL struct — the corrupt column is the only reliable
+    failure signal.  The F3 light-repair (drop trailing commas) runs
+    BEFORE the parse, exactly as in the reference chain — which also
+    aligns the engines' JSON dialects (DuckDB's yyjson accepts trailing
+    commas, Spark's Jackson does not).  The oracle mirrors via
+    json_valid + json_type='OBJECT' (and guards json_extract, which
+    ERRORS on malformed input in DuckDB)."""
+    repaired = F.regexp_replace(F.col("props"), ",\\s*([}\\]])", "$1")
     parsed = load(spark, sf_dir, "events").select(
         "event_type",
-        F.from_json(F.col("props"), "k INT").alias("doc"),
+        F.from_json(
+            repaired,
+            "k INT, _corrupt STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("doc"),
     )
+    failed = F.col("doc").isNull() | F.col("doc._corrupt").isNotNull()
     return (
         parsed.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("doc").isNull().cast("int")).alias("parse_failures"),
+            F.sum(failed.cast("int")).cast("long").alias("parse_failures"),
             F.sum("doc.k").cast("long").alias("sum_k"),
             F.round(F.avg("doc.k"), R).alias("avg_k"),
         )
@@ -86,7 +110,10 @@ def o6_max_by_pick(spark, sf_dir):
 )
 def o4_most_changed(spark, sf_dir):
     """O4 top-12 most-changed (03a_llm_cleanup_qa cell 0:226-232):
-    largest adjacent deltas, deterministic tie-break."""
+    largest adjacent deltas, deterministic tie-break.  The top-12 rank
+    key is the RAW delta (exactly as the oracle's ORDER BY) — ranking on
+    the rounded display value would let two raw-distinct deltas tie at
+    4 decimals and flip membership at the rank-12 cutoff."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -97,10 +124,13 @@ def o4_most_changed(spark, sf_dir):
         .select(
             "event_id",
             "user_id",
-            F.round(F.col("value") - F.col("prev_value"), 4).alias("change"),
+            (F.col("value") - F.col("prev_value")).alias("raw_change"),
         )
-        .orderBy(F.abs(F.col("change")).desc(), "event_id")
+        .orderBy(F.abs(F.col("raw_change")).desc(), "event_id")
         .limit(12)
+        .select(
+            "event_id", "user_id", F.round("raw_change", 4).alias("change")
+        )
     )
 
 
@@ -292,7 +322,11 @@ def set_ops_custkeys(spark, sf_dir):
     both = urgent.intersect(low).agg(F.count("*").alias("n")).select(
         F.lit("both").alias("bucket"), "n"
     )
-    only = urgent.exceptAll(low).agg(F.count("*").alias("n")).select(
+    # subtract == EXCEPT DISTINCT: matches the SQL oracle's EXCEPT and
+    # plans as a left-anti join; exceptAll would plan the heavier
+    # replicate-and-count rewrite and silently change semantics if the
+    # upstream .distinct() were ever dropped
+    only = urgent.subtract(low).agg(F.count("*").alias("n")).select(
         F.lit("urgent_only").alias("bucket"), "n"
     )
     return both.unionByName(only).orderBy("bucket")

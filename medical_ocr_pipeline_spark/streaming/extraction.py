@@ -20,18 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from medical_ocr_pipeline_spark.pipeline import extract_transcripts
+from medical_ocr_pipeline_spark.schemas import TRANSCRIPT
 
-TRANSCRIPT_SCHEMA = T.StructType([
-    T.StructField("conv_id", T.StringType()),
-    T.StructField("turn_idx", T.IntegerType()),
-    T.StructField("role", T.StringType()),
-    T.StructField("text", T.StringType()),
-    T.StructField("tool", T.StringType()),
-    T.StructField("ts", T.TimestampType()),
-])
+# single source of truth (schemas.py) — a local copy could drift and
+# silently null out columns on the streaming readers
+TRANSCRIPT_SCHEMA = TRANSCRIPT
 
 
 def stream_extract(

@@ -147,3 +147,47 @@ def test_stream_dedup_within_watermark(spark, tmpdirs):
     got = spark.read.parquet(out)
     assert got.count() == n_unique
     assert got.select("conv_id", "turn_idx").distinct().count() == n_unique
+
+
+def test_streaming_turn_metrics_composes_with_extraction(spark, tmpdirs):
+    """The advertised composition works end-to-end: stream_extract's
+    output carries ts (event-time passthrough), and streaming_turn_metrics
+    windows it under a watermark — verified as a real stream into a
+    memory sink, with totals reconciling against the batch counts."""
+    from medical_ocr_pipeline_spark.pipeline import EXTRACT_SCHEMA
+    from medical_ocr_pipeline_spark.streaming.extraction import (
+        streaming_turn_metrics,
+    )
+    from pyspark.sql import types as T
+
+    inp = f"{tmpdirs}/in"
+    out = f"{tmpdirs}/out"
+    spark_transcripts(spark, 10, partitions=2).write.parquet(inp)
+    stream_extract(spark, inp, out, f"{tmpdirs}/ckpt")
+
+    extracted = spark.read.parquet(out)
+    assert "ts" in extracted.columns  # event time survives extraction
+
+    schema = T.StructType(
+        EXTRACT_SCHEMA.fields[:3]
+        + [T.StructField("ts", T.TimestampType())]
+        + EXTRACT_SCHEMA.fields[3:]
+    )
+    stream = spark.readStream.schema(schema).parquet(out)
+    q = (
+        streaming_turn_metrics(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("turn_metrics")
+        # complete mode: append would withhold windows the watermark has
+        # not yet closed (the tail of the data), understating the totals
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("turn_metrics").toPandas()
+    assert got["turns_processed"].sum() == extracted.count()
+    assert got["bytes_stripped"].sum() == (
+        extracted.agg(F.sum("bytes_stripped")).collect()[0][0]
+    )
+    assert len(got) >= 1
