@@ -52,19 +52,25 @@ def page_width(blocks: list[dict]) -> float:
     return max(xs) if xs else 595.0
 
 
-def detect_handwriting(blocks: list[dict]) -> bool:
-    """P11: few native blocks OR very tall/variable text boxes."""
+def detect_handwriting(blocks: list[dict],
+                       hts: list[float] | None = None,
+                       med_h: float | None = None) -> bool:
+    """P11: few native blocks OR very tall/variable text boxes.  hts and
+    med_h may be passed in by callers that already computed them (the
+    per-turn hot path — avoids re-deriving heights and the median)."""
     if not blocks:
         return False
     n_native = sum(1 for b in blocks if "native" in (b.get("source") or "").lower())
     ratio_native = n_native / len(blocks)
-    hts = [block_h(b) for b in blocks]
-    med_h = statistics.median(hts) if hts else 12
-    iqr = (
-        statistics.quantiles(hts, n=4)[2] - statistics.quantiles(hts, n=4)[0]
-        if len(hts) >= 4
-        else 0
-    )
+    if hts is None:
+        hts = [block_h(b) for b in blocks]
+    if med_h is None:
+        med_h = statistics.median(hts) if hts else 12
+    if len(hts) >= 4:
+        q = statistics.quantiles(hts, n=4)
+        iqr = q[2] - q[0]
+    else:
+        iqr = 0
     return (ratio_native < 0.35) or (med_h > 22) or (iqr > 18)
 
 
@@ -158,10 +164,9 @@ def normalize_turn(blocks: list[dict]) -> tuple[list[dict], dict]:
 
     H = page_height(blocks)
     W = page_width(blocks)
-    handwriting = detect_handwriting(blocks)
-
     hts = [block_h(b) for b in blocks]
     med_h = statistics.median(hts) if hts else 12
+    handwriting = detect_handwriting(blocks, hts=hts, med_h=med_h)
     tol_y = max(MIN_TOL_Y, BASE_LINE_MERGE_TOL_Y * med_h)
     tol_x = max(MIN_TOL_X, BASE_LINE_MERGE_TOL_X * med_h)
 

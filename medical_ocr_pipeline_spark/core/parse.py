@@ -302,8 +302,10 @@ def need_escalation(blocks: list[dict]) -> bool:
         return False
     if not blocks:
         return True
+    # total < ESCALATION_MIN_CHARS is already guaranteed by the early
+    # return above — only the secondary conditions remain to check
     mean_conf = sum(b["confidence"] for b in blocks) / len(blocks)
-    return total < ESCALATION_MIN_CHARS and (mean_conf < 0.70 or len(blocks) < 10)
+    return mean_conf < 0.70 or len(blocks) < 10
 
 
 def escalate(payload: str, primary: list[dict]) -> list[dict]:

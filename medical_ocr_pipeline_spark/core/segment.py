@@ -25,6 +25,11 @@ _NON_ALPHA = re.compile(r"[^A-Za-z]")
 
 def is_heading(t: str) -> bool:
     s = t.strip()
+    # reference-exact quirk (02a cell 0:34-35): the length bail precedes
+    # the letters test, so a CONTIGUOUS 3-letter acronym ("EKG") is NOT
+    # a heading even though the ALL-CAPS rule below says 3-24 letters —
+    # only separator-bearing forms ("E K G") reach it.  Kept as-is for
+    # golden parity with the reference.
     if len(s) <= 3:
         return False
     if HEAD_RX.match(s):

@@ -90,17 +90,20 @@ def apply_dictionary(text: str) -> tuple[str, int]:
     return text, n
 
 
-# Executor-global memo: fuzzy lookup is a pure function of the lowered
-# token (VOCAB and cutoff are constants), so caching across turns/batches
-# cannot change results — it only removes repeated difflib work.  Bounded
-# to keep long-lived python workers from growing without limit.
-_FUZZY_MEMO: dict[str, str | None] = {}
+# Executor-global memo: fuzzy lookup is a pure function of (lowered
+# token, cutoff) — VOCAB is a constant — so caching across turns/batches
+# cannot change results, it only removes repeated difflib work.  The
+# cutoff is PART OF THE KEY: a token-only key would silently serve one
+# cutoff's verdict to callers using another.  Bounded to keep long-lived
+# python workers from growing without limit.
+_FUZZY_MEMO: dict[tuple[str, float], str | None] = {}
 _FUZZY_MEMO_MAX = 262_144
 
 
 def _fuzzy_lookup(low: str, cutoff: float) -> str | None:
-    if low in _FUZZY_MEMO:
-        return _FUZZY_MEMO[low]
+    key = (low, cutoff)
+    if key in _FUZZY_MEMO:
+        return _FUZZY_MEMO[key]
     if (
         len(low) < FUZZY_MIN_TOKEN_LEN
         or low in STOPWORDS
@@ -112,7 +115,7 @@ def _fuzzy_lookup(low: str, cutoff: float) -> str | None:
         matches = difflib.get_close_matches(low, VOCAB, n=1, cutoff=cutoff)
         fix = matches[0] if matches else None
     if len(_FUZZY_MEMO) < _FUZZY_MEMO_MAX:
-        _FUZZY_MEMO[low] = fix
+        _FUZZY_MEMO[key] = fix
     return fix
 
 

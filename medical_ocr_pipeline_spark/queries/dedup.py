@@ -381,11 +381,16 @@ def dedup_embedding_cosine(spark, sf_dir):
     ).repartition(16)
     a = n.alias("a")
     b = n.alias("b")
-    cos = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    # try_divide: zero-norm vectors yield NULL cosine (excluded by the
+    # threshold below), not an ANSI divide-by-zero job abort
+    cos = F.try_divide(
+        F.aggregate(
+            F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        F.col("a.nrm") * F.col("b.nrm"),
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .where(cos >= EMB_DUP_THR)
@@ -565,11 +570,16 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cos = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    # try_divide: zero-norm vectors yield NULL cosine (excluded by the
+    # threshold below), not an ANSI divide-by-zero job abort
+    cos = F.try_divide(
+        F.aggregate(
+            F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        F.col("a.nrm") * F.col("b.nrm"),
+    )
     return (
         a.join(
             b,

@@ -39,6 +39,15 @@ def _norm(a):
     )
 
 
+def _cosine(dot, norm_prod):
+    """try_divide: a zero-norm (all-zero / padding) vector must yield a
+    NULL cosine — dropped by threshold filters, ranked last in top-k —
+    not a job-aborting ArithmeticException under Spark 4's default ANSI
+    mode.  (DuckDB oracles produce NaN for the same rows, which their
+    threshold predicates likewise exclude.)"""
+    return F.try_divide(dot, norm_prod)
+
+
 @register(
     "cosine_topk",
     sql=f"""
@@ -85,8 +94,10 @@ def cosine_topk(spark, sf_dir):
         "neighbor_id",
         "label",
         F.round(
-            _dot(F.col("qe"), F.col("embedding"))
-            / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
+            _cosine(
+                _dot(F.col("qe"), F.col("embedding")),
+                _norm(F.col("qe")) * _norm(F.col("embedding")),
+            ),
             R,
         ).alias("cosine"),
     )
@@ -108,7 +119,10 @@ def cosine_topk(spark, sf_dir):
              CAST(unnest(embedding) AS DOUBLE) AS v
       FROM embeddings
     ), byd AS (
-      SELECT label, pos, ROUND(AVG(v), 8) AS v, COUNT(*) AS cnt
+      SELECT label, pos,
+             CAST(SUM(CAST(FLOOR(v * 100000000) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) AS v,
+             COUNT(*) AS cnt
       FROM ex GROUP BY label, pos
     ), c AS (
       SELECT label, list(v ORDER BY pos) AS centroid, MAX(cnt) AS n
@@ -126,16 +140,30 @@ def cosine_topk(spark, sf_dir):
     """,
 )
 def label_centroid_sim(spark, sf_dir):
-    """Per-label centroid (element-wise avg over the group, rounded to 8
-    before the pairwise cosine so both engines agree) and cosine between
-    every label pair — the clustered-similarity aggregate."""
+    """Per-label centroid (element-wise mean) and cosine between every
+    label pair — the clustered-similarity aggregate.
+
+    Centroid components use the INTEGER-EXACT form from base.py's hash
+    discipline: floor(v * 1e8) per row (identical in both engines: one
+    double multiply + floor), BIGINT sum (order-independent, unlike a
+    double avg whose partial-aggregation order can flip the 8th
+    decimal), then ONE double division by the count — deterministic
+    bit-identical centroids feeding the pairwise cosine."""
     emb = load(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
     )
     c = (
         exploded.groupBy("label", "pos")
-        .agg(F.round(F.avg("col"), 8).alias("v"), F.count("*").alias("cnt"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("col") * 100000000).cast("long")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("v"),
+            F.count("*").alias("cnt"),
+        )
         .groupBy("label")
         .agg(
             F.transform(
@@ -154,8 +182,10 @@ def label_centroid_sim(spark, sf_dir):
             F.col("a.n").alias("n_a"),
             F.col("b.n").alias("n_b"),
             F.round(
-                _dot(F.col("a.centroid"), F.col("b.centroid"))
-                / (_norm(F.col("a.centroid")) * _norm(F.col("b.centroid"))),
+                _cosine(
+                    _dot(F.col("a.centroid"), F.col("b.centroid")),
+                    _norm(F.col("a.centroid")) * _norm(F.col("b.centroid")),
+                ),
                 R,
             ).alias("cosine"),
         )
@@ -230,8 +260,10 @@ def lsh_bucket_topk(spark, sf_dir):
             "neighbor_id",
             "label",
             F.round(
-                _dot(F.col("qe"), F.col("embedding"))
-                / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
+                _cosine(
+                    _dot(F.col("qe"), F.col("embedding")),
+                    _norm(F.col("qe")) * _norm(F.col("embedding")),
+                ),
                 R,
             ).alias("cosine"),
         )
@@ -256,9 +288,9 @@ def _assignments(emb, centroids):
     scored = F.broadcast(centroids).crossJoin(emb).select(
         "vec_id",
         "centroid_id",
-        (
-            _dot(F.col("embedding"), F.col("ce"))
-            / (_norm(F.col("embedding")) * _norm(F.col("ce")))
+        _cosine(
+            _dot(F.col("embedding"), F.col("ce")),
+            _norm(F.col("embedding")) * _norm(F.col("ce")),
         ).alias("sim"),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
@@ -310,8 +342,10 @@ def ann_ivf_topk(spark, sf_dir):
             "neighbor_id",
             "label",
             F.round(
-                _dot(F.col("qe"), F.col("embedding"))
-                / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
+                _cosine(
+                    _dot(F.col("qe"), F.col("embedding")),
+                    _norm(F.col("qe")) * _norm(F.col("embedding")),
+                ),
                 R,
             ).alias("cosine"),
         )

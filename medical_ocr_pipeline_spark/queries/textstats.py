@@ -172,7 +172,8 @@ _STOP = "('the','a','and','of','to','in','is','for','on','with')"
       FROM documents
     )
     SELECT lang,
-           ROUND(AVG(CAST(special AS DOUBLE) / n), {R}) AS special_ratio,
+           ROUND(AVG(CAST(special AS DOUBLE) / NULLIF(n, 0)), {R})
+             AS special_ratio,
            ROUND(AVG(CAST(len(list_filter(words, w -> w IN {_STOP})) AS DOUBLE)
                      / GREATEST(len(words), 1)), {R}) AS stopword_ratio,
            ROUND(AVG(CAST(len(words) AS DOUBLE)
@@ -185,7 +186,9 @@ _STOP = "('the','a','and','of','to','in','is','for','on','with')"
 def f14_quality_scores(spark, sf_dir):
     """F14-style quality metrics (01_qa_pipeline_evaluation cell 5):
     special-char ratio, stopword ratio, repetition factor — the
-    training-data quality-scoring triple."""
+    training-data quality-scoring triple.  An empty document contributes
+    a NULL special_ratio (try_divide / NULLIF(n,0), skipped by AVG in
+    both engines) rather than aborting the job under ANSI mode."""
     stop_arr = F.array(
         *[F.lit(s) for s in
           ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")]
@@ -204,7 +207,9 @@ def f14_quality_scores(spark, sf_dir):
     return (
         t.select(
             "lang",
-            (F.col("special").cast("double") / F.col("n")).alias("sr"),
+            F.try_divide(F.col("special").cast("double"), F.col("n")).alias(
+                "sr"
+            ),
             (
                 F.size(
                     F.filter("words", lambda w: F.array_contains(stop_arr, w))

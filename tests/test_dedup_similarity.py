@@ -140,3 +140,36 @@ def test_embedding_lsh_dedup_plan_is_bucket_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zero_vector_yields_null_cosine_not_crash(spark, tmp_path):
+    """An all-zero embedding must not abort the job under Spark 4's
+    default ANSI mode: try_divide yields NULL cosine, the threshold
+    filter drops the pair, and top-k ranks it last."""
+    import numpy as np
+    import pandas as pd
+
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        dedup_embedding_cosine,
+    )
+    from medical_ocr_pipeline_spark.queries.similarity import cosine_topk
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(30):
+        vec = (
+            [0.0] * 64 if i == 7
+            else rng.normal(size=64).astype("float32").tolist()
+        )
+        rows.append((i, i % 3, vec))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    pairs = dedup_embedding_cosine(spark, str(tmp_path)).collect()
+    assert all(r.vec_a != 7 and r.vec_b != 7 for r in pairs)
+
+    topk = cosine_topk(spark, str(tmp_path)).collect()
+    assert topk  # ran to completion
+    assert all(r.neighbor_id != 7 or r.cosine is None for r in topk)

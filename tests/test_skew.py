@@ -157,3 +157,37 @@ def test_corpus_prefix_dedup_boilerplate_skew(spark, tmp_path):
     # first are dup-reasoned
     dup_row = got_pdf[got_pdf.reason == "dup"]
     assert int(dup_row.n_docs.iloc[0]) == 3 * (n // 5) - 1
+
+
+def test_quality_scores_empty_doc_matches_oracle(spark, tmp_path):
+    """An empty document contributes a NULL special_ratio in BOTH
+    engines (try_divide / NULLIF) instead of aborting under ANSI mode or
+    poisoning the average with NaN."""
+    import duckdb
+
+    from medical_ocr_pipeline_spark.queries.base import REGISTRY
+
+    rows = [
+        (0, "some real text with words", "en", "synth", 25),
+        (1, "", "en", "synth", 0),          # empty doc: the ANSI hazard
+        (2, "another document here", "en", "synth", 21),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    q = REGISTRY["f14_quality_scores"]
+    got = q.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(q.sql).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert int(got.n_docs.iloc[0]) == 3  # empty doc still counted
