@@ -73,8 +73,18 @@ def regroup_lines_catalyst(
 ) -> DataFrame:
     """Input: exploded blocks (conv_id, turn_idx, text, confidence,
     x0, y0, x1, y1, source).  Output: paragraph blocks, same columns plus
-    para_id, in reading order."""
-    w_read = W.partitionBy(*_TURN).orderBy(F.round("y0", 1), F.round("x0", 1))
+    para_id, in reading order.
+
+    The reading-order window carries exact-coordinate + text tiebreakers
+    after the rounded keys: without a TOTAL order, tied rounded (y0, x0)
+    rows would enumerate arbitrarily per run and the lag/cumsum line
+    assignment could differ between executions.  (The in-batch core
+    breaks such ties by input order, which a distributed table does not
+    have — equivalence with core.lineify is asserted on inputs whose
+    rounded keys are tie-free.)"""
+    w_read = W.partitionBy(*_TURN).orderBy(
+        F.round("y0", 1), F.round("x0", 1), "y0", "x0", "text"
+    )
     w_run = w_read.rowsBetween(W.unboundedPreceding, W.currentRow)
 
     lines = (

@@ -78,9 +78,19 @@ def extract_transcripts(df: DataFrame, enable_fuzzy: bool = True) -> DataFrame:
     if has_ts:
         out_schema = T.StructType(
             EXTRACT_SCHEMA.fields[:3]
-            + [T.StructField("ts", T.TimestampType())]
+            + [T.StructField("ts", T.TimestampNTZType())]
             + EXTRACT_SCHEMA.fields[3:]
         )
+    # cast passthrough inputs to the declared output types up front:
+    # the Arrow batches re-emit these columns verbatim, so an --input
+    # table with e.g. bigint turn_idx would otherwise fail Arrow schema
+    # verification mid-job instead of being coerced by a cheap Catalyst
+    # cast here
+    casts = {"conv_id": "string", "turn_idx": "int", "role": "string",
+             "ts": "timestamp_ntz"}
+    df = df.select(
+        *[F.col(c).cast(casts[c]).alias(c) for c in passthrough], "text"
+    )
 
     def run(batches):
         for batch in batches:
@@ -124,20 +134,25 @@ def ordered_turns(df: DataFrame) -> DataFrame:
 ASSEMBLY_STATE_BYTES = 64 << 20
 
 
+def _ordered_concat(key_col: str, text_col: str):
+    """The assembly idiom shared by both regimes: collect (key, text)
+    structs, sort by key, join texts with blank lines.  One definition so
+    the single- vs two-phase equivalence contract is structural."""
+    return F.concat_ws(
+        "\n\n",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(key_col, text_col))),
+            lambda s: s[text_col],
+        ),
+    )
+
+
 def _assemble_single_phase(extracted: DataFrame) -> DataFrame:
     """One shuffle on conv_id; the whole conversation's turns pass
     through one reduce task — fastest when per-conversation state is
     small, an OOM hazard for megaconversations."""
     return extracted.groupBy("conv_id").agg(
-        F.concat_ws(
-            "\n\n",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("turn_idx", "text_final"))
-                ),
-                lambda s: s["text_final"],
-            ),
-        ).alias("conv_text"),
+        _ordered_concat("turn_idx", "text_final").alias("conv_text"),
         F.count("*").cast("int").alias("n_turns"),
     )
 
@@ -180,25 +195,11 @@ def conversation_text(
         "bucket", (F.col("turn_idx") / F.lit(bucket_size)).cast("long")
     )
     partial = bucketed.groupBy("conv_id", "bucket").agg(
-        F.concat_ws(
-            "\n\n",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("turn_idx", "text_final"))
-                ),
-                lambda s: s["text_final"],
-            ),
-        ).alias("bucket_text"),
+        _ordered_concat("turn_idx", "text_final").alias("bucket_text"),
         F.count("*").alias("n_turns"),
     )
     return partial.groupBy("conv_id").agg(
-        F.concat_ws(
-            "\n\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("bucket", "bucket_text"))),
-                lambda s: s["bucket_text"],
-            ),
-        ).alias("conv_text"),
+        _ordered_concat("bucket", "bucket_text").alias("conv_text"),
         F.sum("n_turns").cast("int").alias("n_turns"),
     )
 
@@ -251,18 +252,24 @@ def write_stage_iceberg(df: DataFrame, table: str, mode: str = "overwrite",
             "write_stage() falls back to parquet in this environment"
         )
     writer = df.writeTo(table).using("iceberg")
+    partitioned = writer
+    if bucket_col and bucket_col in df.columns:
+        partitioned = writer.partitionedBy(
+            F.bucket(n_buckets, F.col(bucket_col))
+        )
     if mode == "append":
         # existence is checked explicitly: catching the append error and
         # retrying create() would mask real append failures (schema
-        # mismatch, commit conflict) behind "table already exists"
+        # mismatch, commit conflict) behind "table already exists".  A
+        # first append CREATES the table with the same bucket spec the
+        # overwrite path uses — otherwise an append-first caller would
+        # pin the table unpartitioned forever
         if spark.catalog.tableExists(table):
             writer.append()
         else:
-            writer.create()
+            partitioned.create()
         return
-    if bucket_col and bucket_col in df.columns:
-        writer = writer.partitionedBy(F.bucket(n_buckets, F.col(bucket_col)))
-    writer.createOrReplace()
+    partitioned.createOrReplace()
 
 
 def write_stage(df: DataFrame, path: str, mode: str = "overwrite",
@@ -277,13 +284,25 @@ def write_stage(df: DataFrame, path: str, mode: str = "overwrite",
     df.write.mode(mode).parquet(path)
 
 
+def stage_is_complete(spark, path: str) -> bool:
+    """A stage directory counts as complete ONLY if the committer's
+    _SUCCESS marker exists — a killed job can leave a readable-but-
+    partial parquet directory, and resuming from it would silently build
+    downstream stages on truncated data.  Uses the Hadoop FileSystem API
+    so non-local paths (hdfs/s3a) work the same."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    return p.getFileSystem(conf).exists(p)
+
+
 def resume_or_compute(spark, path: str, compute) -> DataFrame:
-    """S9 analogue: newest-stage fallback discovery -> read the completed
-    stage output if it exists, else compute it.  (Checkpoint/resume.)"""
-    try:
+    """S9 analogue: newest-stage fallback discovery -> read the COMPLETED
+    stage output if it exists (verified via the _SUCCESS marker, not mere
+    readability), else compute it.  (Checkpoint/resume.)"""
+    if stage_is_complete(spark, path):
         return spark.read.parquet(path)
-    except Exception:
-        return compute()
+    return compute()
 
 
 def conversation_digest_md(conversations: DataFrame) -> DataFrame:

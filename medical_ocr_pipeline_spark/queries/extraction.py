@@ -76,31 +76,25 @@ def extract_documents(spark, sf_dir):
 def catalyst_regroup_lines_query(spark, sf_dir):
     """A1/A2 as pure Catalyst windows over an exploded cluster-wide blocks
     table (operators/sessionize.py), equivalence-tested against the
-    in-batch core in tests/test_sessionize_catalyst.py.  Rows-only."""
-    from pyspark.sql import functions as F
-
+    in-batch core in tests/test_sessionize_catalyst.py.  Rows-only.
+    The explode goes through pipeline.explode_blocks (the canonical
+    exploded form) so a BLOCK schema change has one place to land."""
     from medical_ocr_pipeline_spark.operators.sessionize import (
         regroup_lines_catalyst,
     )
-    from medical_ocr_pipeline_spark.pipeline import extract_blocks_table
+    from medical_ocr_pipeline_spark.pipeline import (
+        explode_blocks,
+        extract_blocks_table,
+    )
 
     tr = spark_transcripts(spark, 60, partitions=8)
-    blocks = (
-        extract_blocks_table(tr)
-        .select(
-            "conv_id", "turn_idx",
-            F.posexplode("blocks").alias("block_idx", "b"),
-        )
-        .select(
-            "conv_id", "turn_idx",
-            F.col("b.text").alias("text"),
-            F.col("b.confidence").alias("confidence"),
-            F.col("b.bbox")[0].alias("x0"),
-            F.col("b.bbox")[1].alias("y0"),
-            F.col("b.bbox")[2].alias("x1"),
-            F.col("b.bbox")[3].alias("y1"),
-            F.col("b.source").alias("source"),
-        )
+    blocks = explode_blocks(extract_blocks_table(tr)).select(
+        "conv_id", "turn_idx", "text", "confidence",
+        F.col("bbox")[0].alias("x0"),
+        F.col("bbox")[1].alias("y0"),
+        F.col("bbox")[2].alias("x1"),
+        F.col("bbox")[3].alias("y1"),
+        "source",
     )
     return (
         regroup_lines_catalyst(blocks)

@@ -248,8 +248,9 @@ SESSION_GAP_S = 1800
     "w4_sessionize",
     sql=f"""
     WITH g AS (
-      SELECT user_id, ts, value,
-             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S}
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > {SESSION_GAP_S} * 1000000
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -257,7 +258,7 @@ SESSION_GAP_S = 1800
     ), s AS (
       SELECT user_id, ts, value,
              CAST(SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS session_id
       FROM g
@@ -271,9 +272,17 @@ SESSION_GAP_S = 1800
 )
 def w4_sessionize(spark, sf_dir):
     """W2/W4 gap sessionization (the A1-A3 lag/cumsum pattern over event
-    time instead of y-coordinates)."""
+    time instead of y-coordinates).
+
+    Engine-boundary discipline: the gap compares MICROSECOND-exact
+    integers (unix_micros / epoch_us) — unix_timestamp truncates to
+    seconds while DuckDB epoch() keeps the fraction, so a gap straddling
+    the threshold by sub-second amounts would split sessions differently
+    (latent: the testdata has no such gap today).  Both windows carry
+    the full (ts, event_id) order so tied timestamps cannot reorder the
+    running sum."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    wrun = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     g = (
@@ -284,8 +293,11 @@ def w4_sessionize(spark, sf_dir):
             F.when(
                 F.col("prev_ts").isNull()
                 | (
-                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
-                    > SESSION_GAP_S
+                    # ts is TIMESTAMP_NTZ; the session tz is UTC so the
+                    # cast to TIMESTAMP is exact
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                    > SESSION_GAP_S * 1_000_000
                 ),
                 1,
             ).otherwise(0),
@@ -811,14 +823,17 @@ def w_ntile_quartiles(spark, sf_dir):
 @register(
     "q_below_avg_parts",
     sql=f"""
+    WITH t AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
     SELECT l.l_partkey AS partkey,
            COUNT(*) AS n_small_lines,
            ROUND(SUM(l.l_extendedprice), {R}) AS small_revenue
-    FROM lineitem l
-    WHERE l.l_quantity < (
-      SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
-      WHERE l2.l_partkey = l.l_partkey
-    )
+    FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
+    WHERE 2 * CAST(l.l_quantity AS BIGINT) * t.cnt < t.sum_q
     GROUP BY l.l_partkey
     HAVING COUNT(*) >= 2
     ORDER BY partkey
@@ -830,16 +845,27 @@ def q_below_avg_parts(spark, sf_dir):
     is exactly the plan Catalyst's DecorrelateInnerQuery would produce:
     one extra combinable aggregate over the same fact instead of a
     per-row subquery execution.  At 100 TB both sides shuffle on
-    l_partkey once and AQE reuses the partitioning."""
+    l_partkey once and AQE reuses the partitioning.
+
+    The threshold predicate is INTEGER-EXACT in both engines:
+    qty < 0.5 * avg  is rewritten as  2 * qty * cnt < sum(qty)
+    (l_quantity is integer-valued, so sums and products are exact) —
+    a float average feeding a PREDICATE is the one place the
+    ROUND_DIGITS discipline cannot absorb a one-ulp summation-order
+    difference, because it flips row MEMBERSHIP, not a display value."""
     l = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     thresholds = l.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_q"),
+        F.count("*").alias("cnt"),
     )
     return (
         l.join(thresholds, "l_partkey")
-        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .where(
+            2 * F.col("l_quantity").cast("long") * F.col("cnt")
+            < F.col("sum_q")
+        )
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             F.count("*").alias("n_small_lines"),

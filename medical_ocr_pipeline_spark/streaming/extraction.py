@@ -64,9 +64,12 @@ def streaming_turn_metrics(extracted_with_ts: DataFrame,
                            watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window extraction metrics: late rows beyond the
     watermark are dropped, state is bounded — the 10^12-turn-safe way to
-    keep running counts."""
+    keep running counts.  ts is cast to TIMESTAMP up front (watermarks
+    reject TIMESTAMP_NTZ, which is what the transcript source carries;
+    the session tz is UTC so the cast is exact)."""
     return (
-        extracted_with_ts.withWatermark("ts", watermark)
+        extracted_with_ts.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"))
         .agg(
             F.count("*").alias("turns_processed"),

@@ -170,7 +170,7 @@ def test_streaming_turn_metrics_composes_with_extraction(spark, tmpdirs):
 
     schema = T.StructType(
         EXTRACT_SCHEMA.fields[:3]
-        + [T.StructField("ts", T.TimestampType())]
+        + [T.StructField("ts", T.TimestampNTZType())]
         + EXTRACT_SCHEMA.fields[3:]
     )
     stream = spark.readStream.schema(schema).parquet(out)
