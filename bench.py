@@ -96,7 +96,14 @@ def main() -> None:
 
     from medical_ocr_pipeline_spark.synth import make_payload
 
-    gen_ver = zlib.crc32(make_payload("conv_000000", 0).encode()) % 100000
+    # sample spans several convs x turns so ALL payload-variant builders
+    # contribute to the cache version (one payload would miss edits to
+    # the other three variants)
+    gen_ver = zlib.crc32(
+        "".join(
+            make_payload(f"conv_{c:06d}", t) for c in range(3) for t in range(8)
+        ).encode()
+    ) % 100000
     input_path = f"/tmp/spark_graft_bench_transcripts_{BENCH_CONVS}_{gen_ver}"
     if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
         spark_transcripts(spark, BENCH_CONVS, partitions=int(cpus) * 4).write.mode(

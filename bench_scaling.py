@@ -13,9 +13,11 @@ GC) and the rest are task slots, mirroring a production executor layout
 Protocol per size:
   1. read the SAME pre-materialized deterministic transcripts parquet,
   2. warm JVM + python workers (untimed),
-  3. run the full per-turn extraction pipeline, best of 2,
+  3. run the full per-turn extraction pipeline ONCE per fresh JVM;
+     best-of-TRIALS fresh-JVM invocations per size, interleaved across
+     sizes so host-load phases hit both equally,
   4. order-insensitive checksum over every output row -> proves
-     turn-level output equality across cluster sizes,
+     turn-level output equality across cluster sizes AND trials,
   5. report turns/sec.
 
 Efficiency = (throughput@4N / throughput@N) / 4, reported raw and
@@ -53,13 +55,19 @@ sys.path.insert(0, REPO)
 N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "32000"))
 SIZES = (8, 32)
 def _gen_ver() -> int:
-    """Version the materialized input by a sample payload hash so a
-    generator change rebuilds it (same scheme as bench.py)."""
+    """Version the materialized input by a payload-sample hash so a
+    generator change rebuilds it (same scheme as bench.py).  The sample
+    spans many turns of several conversations so every payload-variant
+    builder contributes to the hash — a single payload would miss edits
+    to the other three variants."""
     import zlib
 
     from medical_ocr_pipeline_spark.synth import make_payload
 
-    return zlib.crc32(make_payload("conv_000000", 0).encode()) % 100000
+    sample = "".join(
+        make_payload(f"conv_{c:06d}", t) for c in range(3) for t in range(8)
+    )
+    return zlib.crc32(sample.encode()) % 100000
 
 
 INPUT_PATH = f"/tmp/spark_graft_scaling_input_{N_CONVS}_{_gen_ver()}"
@@ -217,27 +225,25 @@ def child(cores: int) -> None:
     tr = spark.read.parquet(INPUT_PATH)
     extract_transcripts(tr.limit(2000)).count()  # warm workers (untimed)
 
-    best = None
-    n = checksum = 0
-    for _ in range(1):
-        t0 = time.time()
-        row = (
-            extract_transcripts(tr)
-            .select(
-                F.xxhash64(
-                    "conv_id", "turn_idx", "text_final", "n_blocks",
-                    "bytes_stripped", "parse_failures",
-                ).alias("h")
-            )
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"),
-            )
-            .collect()[0]
+    # ONE timed pass per fresh JVM: best-of happens across interleaved
+    # fresh-JVM trials in run_all_sizes (TRIALS per size), not in-process
+    t0 = time.time()
+    row = (
+        extract_transcripts(tr)
+        .select(
+            F.xxhash64(
+                "conv_id", "turn_idx", "text_final", "n_blocks",
+                "bytes_stripped", "parse_failures",
+            ).alias("h")
         )
-        dt = time.time() - t0
-        n, checksum = row["n"], int(row["checksum"])
-        best = dt if best is None or dt < best else best
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"),
+        )
+        .collect()[0]
+    )
+    best = time.time() - t0
+    n, checksum = row["n"], int(row["checksum"])
     print(
         json.dumps(
             {
@@ -259,14 +265,15 @@ def _package_zip() -> str:
 
     path = os.path.join(REPO, "dist", "medical_ocr_pipeline_spark.zip")
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    if not os.path.exists(path):
-        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
-            pkg = os.path.join(REPO, "medical_ocr_pipeline_spark")
-            for root, _dirs, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, REPO))
+    # ALWAYS rebuild: a stale zip would silently ship old package code
+    # to the measured spark-submit runs (the zip shadows PYTHONPATH)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "medical_ocr_pipeline_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
     return path
 
 
@@ -275,8 +282,14 @@ def run_once(cores: int) -> dict:
     (the north rule's deployment shape) with a plain-python fallback."""
     submit = shutil.which("spark-submit")
     if submit:
+        # driver memory/JVM flags MUST ride the spark-submit command
+        # line: the driver JVM starts before SparkSession.builder runs,
+        # so conf set there is silently ignored under this launch path
         cmd = [
-            submit, "--py-files", _package_zip(),
+            submit,
+            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
+            "--conf", "spark.driver.extraJavaOptions=-XX:+UseG1GC",
+            "--py-files", _package_zip(),
             os.path.abspath(__file__), "--child", str(cores),
         ]
     else:
@@ -306,7 +319,12 @@ def run_all_sizes() -> list[dict]:
             trials[c].append(run_once(c))
     results = []
     for c in SIZES:
-        assert len({t["checksum"] for t in trials[c]}) == 1
+        sums = {t["checksum"] for t in trials[c]}
+        if len(sums) != 1:
+            raise RuntimeError(
+                f"nondeterministic output across trials at {c} cores: "
+                f"checksums {sorted(sums)}"
+            )
         best = max(trials[c], key=lambda t: t["turns_per_sec"])
         best["all_tps"] = [t["turns_per_sec"] for t in trials[c]]
         results.append(best)
@@ -371,7 +389,7 @@ def main() -> None:
             f"input: {N_CONVS} convs, {hi['turns']} turns (deterministic "
             f"synthetic transcripts, identical parquet for both sizes); "
             f"each size pinned to its CPU count via taskset, "
-            f"slots = cores - cores/8.\n\n"
+            f"slots = cores - cores/{os.environ.get('SPARK_GRAFT_RESERVE_DIV', '8')}.\n\n"
             f"| cores | slots | turns | sec | turns/sec |\n|---|---|---|---|---|\n"
             + "".join(
                 f"| {r['cores']} | {r['slots']} | {r['turns']} | {r['sec']} "

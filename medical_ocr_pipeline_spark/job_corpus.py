@@ -10,8 +10,8 @@ extraction.
 Writes:
   <out>/docs_curated/   one row per document: gate verdict with
                         first-failing reason (prefix-dup / too_short /
-                        repetitive), exact-dup fingerprint, token count,
-                        dup rank — the per-doc form of the
+                        repetitive), exact-dup fingerprint, token
+                        count — the per-doc form of the
                         corpus_keep_drop registry query — plus the
                         near-dup cluster id (connected components over
                         the Jaccard pairs) and is_representative;
@@ -36,91 +36,24 @@ import time
 
 from pyspark.sql import functions as F
 
-from medical_ocr_pipeline_spark.queries.dedup import (
-    JACCARD_THR,
-    _shingles_spark,
-)
-from medical_ocr_pipeline_spark.queries.textstats import (
-    CURATE_MAX_REP,
-    CURATE_MIN_WORDS,
-    CURATE_PFX_WORDS,
-)
-
-_WORD_SPLIT = "[^a-z0-9]+"
+from medical_ocr_pipeline_spark.queries.dedup import ngram_jaccard_pairs
+from medical_ocr_pipeline_spark.queries.textstats import document_verdicts
 
 
 def curate_documents(docs):
-    """Per-document keep/drop verdict frame (see corpus_keep_drop for
-    the aggregated oracle-checked form of the same gates)."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
+    """Per-document keep/drop verdict frame: delegates to the shared
+    document_verdicts core (the oracle-checked corpus_keep_drop gates),
+    adding the source column and the exact-dup fingerprint."""
+    return document_verdicts(
+        docs, extra_cols=("source",), with_fingerprint=True
     )
-    s = (
-        docs.select("doc_id", "lang", "source", words.alias("words"),
-                    F.col("text"))
-        .select(
-            "doc_id", "lang", "source",
-            F.size("words").alias("n_words"),
-            (
-                F.size("words").cast("double")
-                / F.nullif(F.size(F.array_distinct("words")), F.lit(0))
-            ).alias("rep"),
-            F.array_join(
-                F.slice("words", 1, CURATE_PFX_WORDS), " "
-            ).alias("pfx"),
-            F.md5(
-                F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
-            ).alias("fp"),
-        )
-    )
-    # two-phase prefix dedup (combinable min, no hot-key window sort) —
-    # same skew-safe shape as corpus_keep_drop; eqNullSafe keeps
-    # NULL-text docs (NULL pfx) in the frame as their own group
-    firsts = s.groupBy("pfx").agg(F.min("doc_id").alias("first_doc"))
-    s = s.join(
-        firsts.withColumnRenamed("pfx", "pfx_f"),
-        F.col("pfx").eqNullSafe(F.col("pfx_f")),
-    ).drop("pfx_f")
-    reason = (
-        F.when(F.col("doc_id") != F.col("first_doc"), "dup")
-        .when(F.col("n_words") < CURATE_MIN_WORDS, "too_short")
-        .when(F.col("rep") >= CURATE_MAX_REP, "repetitive")
-        .otherwise("keep")
-    )
-    return s.withColumn("reason", reason).withColumn(
-        "keep", F.col("reason") == "keep"
-    ).drop("pfx", "first_doc")
 
 
 def near_dup_pairs(docs):
-    """Exact n-gram Jaccard pairs via the shingle inverted-index join."""
-    sh = _shingles_spark(docs).persist()
-    ex = sh.select(
-        "doc_id", F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("s"),
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(
-            F.count("*").alias("common"),
-            F.first("a.n_sh").alias("na"),
-            F.first("b.n_sh").alias("nb"),
-        )
-    )
-    jac = F.col("common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("common")
-    )
-    return pairs.where(jac >= JACCARD_THR).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    )
+    """Exact n-gram Jaccard pairs — the shared inverted-index core from
+    queries/dedup.py (same function the oracle-checked registry query
+    runs)."""
+    return ngram_jaccard_pairs(docs)
 
 
 def main() -> None:
@@ -144,8 +77,9 @@ def main() -> None:
     write_stage(pairs, f"{args.out}/dup_pairs")
     pairs = spark.read.parquet(f"{args.out}/dup_pairs")
 
-    # near-dup clusters: component = min doc_id of each Jaccard cluster;
-    # final keep = gate verdict AND cluster representative
+    # near-dup clusters: component label = min doc_id of each Jaccard
+    # cluster; representative = min doc_id among the cluster's
+    # GATE-PASSING members; final keep = gate verdict AND representative
     from medical_ocr_pipeline_spark.operators.components import (
         dedup_keep_representatives,
     )

@@ -114,15 +114,39 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def dedup_keep_representatives(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """docs (doc_id, ...) + near-dup pairs (doc_a, doc_b) -> docs with
-    (component, is_representative): keep the minimum doc_id of each
-    near-dup cluster, plus every unpaired document."""
+    """docs (doc_id, ..., keep) + near-dup pairs (doc_a, doc_b) -> docs
+    with (component, is_representative).
+
+    The representative of a cluster is the minimum doc_id among its
+    GATE-PASSING members (when docs carries a `keep` column) — choosing
+    the global min-id would let a gate-failing representative silently
+    drop every good member of its cluster (the junk doc is dropped for
+    its own reason AND the good docs lose the representative race: the
+    whole cluster vanishes).  Clusters with no gate-passing member have
+    no representative.  Unpaired documents represent themselves."""
     comp = connected_components(
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
     )
-    return (
+    labeled = (
         docs.join(comp, docs.doc_id == comp.vertex, "left")
         .drop("vertex")
         .withColumn("component", F.coalesce("component", F.col("doc_id")))
-        .withColumn("is_representative", F.col("doc_id") == F.col("component"))
+    )
+    if "keep" in docs.columns:
+        rep = (
+            labeled.where(F.col("keep"))
+            .groupBy("component")
+            .agg(F.min("doc_id").alias("rep_doc"))
+        )
+        return (
+            labeled.join(rep, "component", "left")
+            .withColumn(
+                "is_representative",
+                F.col("rep_doc").isNotNull()
+                & (F.col("doc_id") == F.col("rep_doc")),
+            )
+            .drop("rep_doc")
+        )
+    return labeled.withColumn(
+        "is_representative", F.col("doc_id") == F.col("component")
     )

@@ -147,6 +147,23 @@ def _ordered_concat(key_col: str, text_col: str):
     )
 
 
+def assembly_regime(
+    extracted: DataFrame,
+    state_bytes_threshold: int = ASSEMBLY_STATE_BYTES,
+) -> tuple[int, int]:
+    """The adaptive probe conversation_text uses, exposed so benchmarks
+    report the SAME decision the engine makes: returns (bucket_size,
+    max_conv_state_bytes) — bucket_size 0 means single-phase.  Runs one
+    combinable aggregation over `extracted` (an action)."""
+    mx = (
+        extracted.groupBy("conv_id")
+        .agg(F.sum(F.length("text_final") + F.lit(2)).alias("b"))
+        .agg(F.max("b"))
+        .first()[0]
+    ) or 0
+    return (64 if mx > state_bytes_threshold else 0), int(mx)
+
+
 def _assemble_single_phase(extracted: DataFrame) -> DataFrame:
     """One shuffle on conv_id; the whole conversation's turns pass
     through one reduce task — fastest when per-conversation state is
@@ -182,13 +199,7 @@ def conversation_text(
     the (few) bucket strings per conversation in bucket order.
     """
     if bucket_size is None:
-        mx = (
-            extracted.groupBy("conv_id")
-            .agg(F.sum(F.length("text_final") + F.lit(2)).alias("b"))
-            .agg(F.max("b"))
-            .first()[0]
-        ) or 0
-        bucket_size = 64 if mx > state_bytes_threshold else 0
+        bucket_size, _ = assembly_regime(extracted, state_bytes_threshold)
     if not bucket_size:
         return _assemble_single_phase(extracted)
     bucketed = extracted.withColumn(

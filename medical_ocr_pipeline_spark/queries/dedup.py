@@ -117,15 +117,23 @@ _SHINGLES_DUCK = """
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Registry wrapper over the shared inverted-index pair core."""
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(docs):
     """Exact n-gram Jaccard near-dup pairs via shingle inverted-index
-    self-join (no O(n^2) cross join — the join key is the shingle)."""
-    # Persist the shingle arrays BEFORE exploding: without the barrier,
-    # CollapseProject inlines the (expensive) shingle-building expression
-    # into the Generate node and re-evaluates it once per exploded output
-    # row (~50x per doc); and the self-join would recompute the whole
-    # pipeline for both sides.  At cluster scale this is the materialized
-    # shingle index, the standard shape.
-    sh = _shingles_spark(load(spark, sf_dir, "documents")).persist()
+    self-join (no O(n^2) cross join — the join key is the shingle).
+    THE shared core: the registry query and job_corpus both call this,
+    so the production job cannot drift from the oracle-checked form.
+
+    Persist the shingle arrays BEFORE exploding: without the barrier,
+    CollapseProject inlines the (expensive) shingle-building expression
+    into the Generate node and re-evaluates it once per exploded output
+    row (~50x per doc); and the self-join would recompute the whole
+    pipeline for both sides.  At cluster scale this is the materialized
+    shingle index, the standard shape."""
+    sh = _shingles_spark(docs).persist()
     ex = sh.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
     )

@@ -417,6 +417,57 @@ CURATE_MAX_REP = 3.0
 CURATE_PFX_WORDS = 8
 
 
+def document_verdicts(docs, extra_cols: tuple = (),
+                      with_fingerprint: bool = False):
+    """Per-document curation verdict frame — THE shared core of the
+    oracle-checked corpus_keep_drop aggregate and job_corpus's per-doc
+    output (one definition, so the production job can never drift from
+    the DuckDB-verified gates).
+
+    Output: (doc_id, lang, *extra_cols, n_words, rep, [fp,] reason,
+    keep).  Prefix dedup is the skew-safe two-phase min (combinable,
+    eqNullSafe on the prefix so NULL-text docs form their own group —
+    the window oracle's PARTITION BY semantics)."""
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
+    )
+    cols = [
+        "doc_id",
+        "lang",
+        *extra_cols,
+        F.size("words").alias("n_words"),
+        (
+            F.size("words").cast("double")
+            / F.nullif(F.size(F.array_distinct("words")), F.lit(0))
+        ).alias("rep"),
+        F.array_join(F.slice("words", 1, CURATE_PFX_WORDS), " ").alias("pfx"),
+    ]
+    if with_fingerprint:
+        cols.append(
+            F.md5(
+                F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+            ).alias("fp")
+        )
+    s = docs.select("doc_id", "lang", *extra_cols, words.alias("words"),
+                    "text").select(*cols)
+    firsts = s.groupBy("pfx").agg(F.min("doc_id").alias("first_doc"))
+    s = s.join(
+        firsts.withColumnRenamed("pfx", "pfx_f"),
+        F.col("pfx").eqNullSafe(F.col("pfx_f")),
+    ).drop("pfx_f")
+    reason = (
+        F.when(F.col("doc_id") != F.col("first_doc"), "dup")
+        .when(F.col("n_words") < CURATE_MIN_WORDS, "too_short")
+        .when(F.col("rep") >= CURATE_MAX_REP, "repetitive")
+        .otherwise("keep")
+    )
+    return (
+        s.withColumn("reason", reason)
+        .withColumn("keep", F.col("reason") == "keep")
+        .drop("pfx", "first_doc")
+    )
+
+
 @register(
     "corpus_keep_drop",
     sql=f"""
@@ -459,41 +510,9 @@ def corpus_keep_drop(spark, sf_dir):
     the hot prefix is pre-aggregated map-side — then a join back on pfx,
     which AQE skew-split handles (the build side is one row per distinct
     prefix).  dup_rank>1 == doc_id != min(doc_id) per prefix, exactly."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
-    )
-    s = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "lang", words.alias("words"))
-        .select(
-            "doc_id",
-            "lang",
-            F.size("words").alias("n_words"),
-            (
-                F.size("words").cast("double")
-                / F.nullif(F.size(F.array_distinct("words")), F.lit(0))
-            ).alias("rep"),
-            F.array_join(F.slice("words", 1, CURATE_PFX_WORDS), " ").alias(
-                "pfx"
-            ),
-        )
-    )
-    # eqNullSafe: a NULL prefix (NULL text) must behave like the window
-    # oracle's PARTITION BY (NULLs form their own group) — a plain inner
-    # join would silently drop NULL-pfx rows
-    firsts = s.groupBy("pfx").agg(F.min("doc_id").alias("first_doc"))
-    s = s.join(
-        firsts.withColumnRenamed("pfx", "pfx_f"),
-        F.col("pfx").eqNullSafe(F.col("pfx_f")),
-    ).drop("pfx_f")
-    reason = (
-        F.when(F.col("doc_id") != F.col("first_doc"), "dup")
-        .when(F.col("n_words") < CURATE_MIN_WORDS, "too_short")
-        .when(F.col("rep") >= CURATE_MAX_REP, "repetitive")
-        .otherwise("keep")
-    )
+    s = document_verdicts(load(spark, sf_dir, "documents"))
     return (
-        s.groupBy(reason.alias("reason"))
+        s.groupBy(F.col("reason"))
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg("n_words"), R).alias("avg_words"),

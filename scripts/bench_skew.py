@@ -90,22 +90,17 @@ def main() -> None:
             out = (row["n"], int(row["h"]))
         return best, out
 
-    from medical_ocr_pipeline_spark.pipeline import ASSEMBLY_STATE_BYTES
+    from medical_ocr_pipeline_spark.pipeline import assembly_regime
 
-    # the adaptive probe, timed once on its own: ONE combinable
-    # sum-of-lengths scan — at production scale it is noise next to
-    # shuffling the text itself, at micro-bench scale it is visible,
-    # so it is reported separately from the chosen plan's time
+    # the adaptive probe — the ENGINE'S OWN decision function, timed once
+    # on its own: ONE combinable sum-of-lengths scan.  At production
+    # scale it is noise next to shuffling the text itself, at micro-bench
+    # scale it is visible, so it is reported separately from the chosen
+    # plan's time.
     t0 = time.time()
-    mx = (
-        extracted.groupBy("conv_id")
-        .agg(F.sum(F.length("text_final") + F.lit(2)).alias("b"))
-        .agg(F.max("b"))
-        .first()[0]
-    ) or 0
+    chosen_bucket, mx = assembly_regime(extracted)
     t_probe = time.time() - t0
-    regime = "two_phase" if mx > ASSEMBLY_STATE_BYTES else "single_phase"
-    chosen_bucket = 64 if regime == "two_phase" else 0
+    regime = "two_phase" if chosen_bucket else "single_phase"
 
     # the plan the adaptive path selects, without re-probing per run;
     # when it selects single_phase the two plans are IDENTICAL, so one

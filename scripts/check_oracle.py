@@ -46,7 +46,11 @@ def value_hash(pdf) -> str:
                 col = col.dt.tz_localize(None)
             except TypeError:
                 pass
-            pdf[c] = col.astype("int64") // 10**9
+            # normalize to ns first: DuckDB .df() returns datetime64[us]
+            # while Spark toPandas gives datetime64[ns] — a raw
+            # astype(int64)//1e9 would bucket us-resolution columns into
+            # 1000-second units and ns ones into seconds
+            pdf[c] = col.astype("datetime64[ns]").astype("int64") // 10**9
 
     def norm(v):
         if isinstance(v, bool):
@@ -128,12 +132,18 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
             if "value hash mismatch" in problems:
-                merged = got.merge(
-                    want, how="outer", indicator=True,
-                    on=list(got.columns),
-                )
-                diff = merged[merged["_merge"] != "both"]
-                print(diff.head(6).to_string())
+                try:
+                    merged = got.merge(
+                        want, how="outer", indicator=True,
+                        on=list(got.columns),
+                    )
+                    diff = merged[merged["_merge"] != "both"]
+                    print(diff.head(6).to_string())
+                except Exception as ex:
+                    # diff printing is best-effort (dtype-mismatched
+                    # columns make pandas merge raise); never let it
+                    # abort the remaining checks
+                    print(f"  (diff unavailable: {ex})")
         else:
             print(f"OK    {name}: {len(got)} rows ({time.time() - t0:.1f}s)")
 

@@ -125,3 +125,30 @@ def test_convergence_on_final_round_does_not_raise(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     got = connected_components(edges, max_iter=1).collect()
     assert {r.vertex: r.component for r in got} == {0: 0, 1: 0, 2: 0}
+
+
+def test_representative_is_min_gate_passing_member(spark):
+    """A cluster whose min-id member fails the quality gate must still
+    keep its best gate-passing member: the representative is min doc_id
+    among keep=true members, not the global min."""
+    from medical_ocr_pipeline_spark.operators.components import (
+        dedup_keep_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, False), (2, True), (3, True), (9, True)],
+        "doc_id long, keep boolean",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: (r.component, r.is_representative)
+        for r in dedup_keep_representatives(docs, pairs).collect()
+    }
+    # cluster {1,2,3}: 1 fails the gate, so 2 represents it
+    assert got[1] == (1, False)
+    assert got[2] == (1, True)
+    assert got[3] == (1, False)
+    # unpaired doc represents itself
+    assert got[9] == (9, True)
