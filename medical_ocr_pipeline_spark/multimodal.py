@@ -128,6 +128,14 @@ def decode_audio(payload: bytes):
             f"only PCM WAV decodes natively ({e}); plug soundfile/librosa "
             "into decode_audio() for compressed formats"
         ) from e
+    except (EOFError, struct.error) as e:
+        # stdlib wave raises EOFError on a truncated header (e.g. bare
+        # b'RIFF') and struct.error on short chunk fields — malformed
+        # payloads, not unsupported formats, so surface them as
+        # ValueError so per-row failure tolerance in media_features()
+        # catches them (ADVICE r02 #1: a single corrupt audio payload
+        # must never fail the Spark task)
+        raise ValueError(f"malformed/truncated WAV payload: {e!r}") from e
     if width != 2:
         raise NotImplementedError("only 16-bit PCM WAV supported")
     return sr, ch, np.frombuffer(raw, dtype="<i2"), n
@@ -235,7 +243,13 @@ def media_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
                 for k, p in zip(kinds, payloads):
                     try:
                         feats.append(real_decode_features(k, p))
-                    except (NotImplementedError, ValueError, TypeError):
+                    except (NotImplementedError, ValueError, TypeError,
+                            EOFError, struct.error):
+                        # EOFError/struct.error are belt-and-braces: the
+                        # kernels re-raise malformed-payload errors as
+                        # ValueError, but a decoder path that leaks the
+                        # raw stdlib error must still cost one row, not
+                        # the task
                         feats.append(None)
             else:
                 feats = [deterministic_fake_decode(p) for p in payloads]
@@ -370,7 +384,8 @@ def media_thumbnails(media: DataFrame, out_w: int = 32,
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     w, h, arr = decode_image(payload)
-                except (NotImplementedError, ValueError, TypeError):
+                except (NotImplementedError, ValueError, TypeError,
+                        EOFError, struct.error):
                     # TypeError covers NULL payloads (payload column is
                     # nullable); a bad row is skipped, never fatal
                     continue

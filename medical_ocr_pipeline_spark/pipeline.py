@@ -255,7 +255,18 @@ def write_stage_iceberg(df: DataFrame, table: str, mode: str = "overwrite",
     to append.  New tables are partitioned by bucket(n, conv_id) per the
     survey's partition spec when the column is present.  Raises
     RuntimeError if the runtime lacks the Iceberg catalog — callers use
-    write_stage(), which falls back to parquet."""
+    write_stage(), which falls back to parquet.
+
+    Only 'overwrite' and 'append' are accepted: the parquet fallback
+    honors DataFrameWriter modes like 'error'/'ignore', and silently
+    mapping those to createOrReplace here would overwrite a table the
+    caller asked to protect (ADVICE r02 #3)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(
+            f"write_stage_iceberg supports mode='overwrite'|'append', "
+            f"got {mode!r} (DataFrameWriterV2 has no error/ignore "
+            "semantics; use the parquet path for those)"
+        )
     spark = df.sparkSession
     if not iceberg_available(spark):
         raise RuntimeError(

@@ -51,3 +51,14 @@ def test_write_stage_iceberg_snapshots(spark, tmp_path):  # pragma: no cover
     snaps = spark.sql("SELECT * FROM local.db.stage.snapshots").count()
     assert snaps == 2
     assert spark.read.table("local.db.stage").count() == 20
+
+
+def test_write_stage_iceberg_rejects_foreign_modes(spark):
+    """ADVICE r02 #3: DataFrameWriterV2 has no error/ignore semantics —
+    mapping them to createOrReplace would silently overwrite a table the
+    caller asked to protect.  Validation precedes the runtime check so
+    the contract is pinned even without the jar."""
+    df = spark.range(1).selectExpr("cast(id as string) AS conv_id")
+    for bad in ("error", "ignore", "errorifexists", ""):
+        with pytest.raises(ValueError, match="overwrite.*append"):
+            write_stage_iceberg(df, "local.db.t", mode=bad)

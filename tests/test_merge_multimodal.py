@@ -408,3 +408,37 @@ def test_null_payload_and_duration_tolerance(spark):
     null_dur = [r for r in chunks if r["media_id"] == "aud_null_dur"]
     assert len(null_dur) == 1
     assert null_dur[0]["start_ms"] == 0 and null_dur[0]["end_ms"] == 2000
+
+
+def test_truncated_wav_is_row_failure_not_task_failure(spark):
+    """ADVICE r02 #1: stdlib wave raises EOFError on a truncated header
+    (b'RIFF' alone); that must cost the row its features, never the
+    task.  decode_audio itself surfaces it as ValueError."""
+    import pytest
+
+    from medical_ocr_pipeline_spark.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+        media_features,
+    )
+
+    with pytest.raises(ValueError, match="malformed/truncated WAV"):
+        decode_audio(b"RIFF")
+    # a RIFF/WAVE container whose fmt chunk is cut short exercises the
+    # struct.error path inside chunk parsing
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_audio(b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01")
+
+    rows = [
+        ("aud_trunc", "audio", b"RIFF",
+         {"mime": "audio/wav", "width": 0, "height": 0, "duration_ms": 10}),
+        ("aud_short", "audio", b"RIFF\x24\x00\x00\x00WAVEfmt \x10",
+         {"mime": "audio/wav", "width": 0, "height": 0, "duration_ms": 10}),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in
+             media_features(media, real_decode=True).collect()}
+    assert len(feats) == 2  # both rows survive
+    assert feats["aud_trunc"]["features"] is None
+    assert feats["aud_short"]["features"] is None
+    assert feats["aud_trunc"]["n_bytes"] == 4
