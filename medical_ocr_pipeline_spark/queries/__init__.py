@@ -22,3 +22,25 @@ from medical_ocr_pipeline_spark.queries import (  # noqa: F401
     relational,
 )
 from medical_ocr_pipeline_spark.queries.base import REGISTRY  # noqa: F401
+
+# Queries promoted to the FRONT of the registry (and therefore into the
+# driver's 50-entry window) regardless of module import order: entries
+# that are new or semantically changed this round, so every change lands
+# with an independent driver correctness record (VERDICT r02 #1 /
+# ADVICE r02 #2 — q_below_avg_parts was the one oracle query that never
+# got a driver row; w4_sessionize / q_semi / q_anti changed in round 2
+# after the window was set).  Entries pushed out past slot 50 by this
+# promotion are all green in CORRECTNESS_r02.json with unchanged code.
+_PROMOTE_TO_WINDOW = [
+    "q_below_avg_parts",
+    "w4_sessionize",
+    "q_semi_urgent_customers",
+    "q_anti_dormant_customers",
+]
+
+_ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}
+for _n, _s in list(REGISTRY.items()):
+    if _n not in _ordered:
+        _ordered[_n] = _s
+REGISTRY.clear()
+REGISTRY.update(_ordered)
