@@ -1,0 +1,149 @@
+"""K-way parallel engine ensemble: run every extractor family that is
+healthy for the payload over the SAME payload, union, J1-dedup.
+
+Reference parity (the one execution shape the variant-dispatched fast
+path never exercises end-to-end):
+  - `01_extract_blocks.ipynb cell 4:430-434` runs ALL enabled OCR
+    engines on the same rasterized page;
+  - `merge_ensemble` (cell 4:388-400) unions native + every engine's
+    blocks, regroups lines, J1-deduplicates, tags sections;
+  - the native text layer is gated at `native_len_gate` chars
+    (cell 1:45, cell 4:447-450) before entering the union;
+  - per-engine block lists are kept for traceability (cell 4:437-444) —
+    our analogue is the per-engine A5-style metrics row with a J8
+    argmax `is_best` flag.
+
+Engine registry per payload family ("healthy engines" ≙ the reference's
+`use_easyocr`/`use_tesseract`/... flags — an engine that would read
+garbage off this family is disabled, exactly like a disabled service):
+
+  html   -> native html DOM-walk + heavy tag-strip + relaxed layout
+  plain  -> native plain-line    + heavy tag-strip + relaxed layout
+  layout -> native strict layout + relaxed layout over ALL lines
+            (two real-geometry engines; the heavy strip engine is
+            unhealthy here — it would read coordinate syntax as prose)
+  json   -> native json only (other engines would read JSON source as
+            prose; the json parser carries its own fallback chain)
+
+Dedup soundness: within a family the engines share a coordinate system
+— strict+relaxed layout emit identical real bboxes for shared lines
+(IoU 1.0), and html/plain/heavy use LINE-ANCHORED synthetic bboxes
+(parse.py _line_anchored_blocks: block y-span = its payload line's slice
+of the page), so the same content read by two engines lands at the same
+coordinates and J1's IoU >= 0.5 AND fuzzy-similarity >= 0.92 test
+absorbs cross-engine overlap the same way it absorbs cross-OCR overlap
+on the reference's real page coordinates.
+"""
+
+from __future__ import annotations
+
+from medical_ocr_pipeline_spark.core.parse import (
+    NATIVE_LEN_GATE_CHARS,
+    detect_variant,
+    heavy_strip_blocks_anchored,
+    parse_html_anchored,
+    parse_json_fenced,
+    parse_layout,
+    parse_layout_relaxed,
+    parse_plain_anchored,
+)
+
+
+def run_engines(payload: str) -> tuple[list[tuple[str, list[dict]]], str, int]:
+    """Run every healthy engine for the sniffed family over the whole
+    payload.  Returns ([(engine_name, blocks), ...], variant,
+    parse_failures); the first entry is always the native engine."""
+    if payload is None or not payload.strip():
+        return [], "empty", 0
+    variant = detect_variant(payload)
+    failures = 0
+    if variant == "html":
+        engines = [
+            ("html", parse_html_anchored(payload)),
+            ("heavy", heavy_strip_blocks_anchored(payload)),
+            ("relaxed", parse_layout_relaxed(payload)),
+        ]
+    elif variant == "plain":
+        engines = [
+            ("plain", parse_plain_anchored(payload)),
+            ("heavy", heavy_strip_blocks_anchored(payload)),
+            ("relaxed", parse_layout_relaxed(payload)),
+        ]
+    elif variant == "layout":
+        strict, failures = parse_layout(payload)
+        engines = [
+            ("layout", strict),
+            ("relaxed", parse_layout_relaxed(payload, include_strict=True)),
+        ]
+    else:  # json
+        blocks, failures = parse_json_fenced(payload)
+        engines = [("json", blocks)]
+    return engines, variant, failures
+
+
+def merge_ensemble(
+    engines: list[tuple[str, list[dict]]],
+    native_len_gate: int = NATIVE_LEN_GATE_CHARS,
+) -> tuple[list[dict], list[dict]]:
+    """Union of all engine outputs with the native gate (P4), plus the
+    per-engine A5-style metrics with the J8 argmax `is_best` flag.
+
+    Returns (union_blocks, metrics).  metrics rows:
+      {engine, n_blocks, n_chars, mean_conf, gated_out, is_best}
+    Best engine = argmax over union participants by (n_chars, mean_conf,
+    engine name) — the reference's best-engine pick re-expressed on the
+    per-engine traceability rows.
+    """
+    metrics: list[dict] = []
+    union: list[dict] = []
+    for pos, (name, blocks) in enumerate(engines):
+        n_chars = sum(len(b["text"]) for b in blocks)
+        mean_conf = (
+            sum(b["confidence"] for b in blocks) / len(blocks) if blocks else 0.0
+        )
+        # the native gate exists because OCR engines back native up
+        # (reference cell 4:449); with a single-engine family there is
+        # no fallback, so gating would wipe the page — don't
+        gated_out = pos == 0 and len(engines) > 1 and n_chars < native_len_gate
+        metrics.append({
+            "engine": name,
+            "n_blocks": len(blocks),
+            "n_chars": n_chars,
+            "mean_conf": mean_conf,
+            "gated_out": gated_out,
+            "is_best": False,
+        })
+        if not gated_out:
+            union.extend(blocks)
+    contenders = [m for m in metrics if not m["gated_out"] and m["n_blocks"]]
+    if contenders:
+        best = max(
+            contenders,
+            key=lambda m: (m["n_chars"], m["mean_conf"], m["engine"]),
+        )
+        best["is_best"] = True
+    return union, metrics
+
+
+def extract_turn_ensemble(payload: str, enable_fuzzy: bool = True):
+    """Full per-turn pipeline over the k-way ensemble union instead of
+    the variant-dispatched single parse: engines -> gate -> union ->
+    (shared finish_extract: P1/P2 -> J1 -> A1/A2 -> J1 -> P7 -> 01b ->
+    02 -> 03 -> 02a -> A12).  The two-pass escalation / grid-rescue
+    branches of the fast path are subsumed: the heavy and relaxed
+    engines run UNCONDITIONALLY here (the reference runs all healthy
+    engines on every page, not only on weak ones).
+
+    Returns (ExtractResult, engine_metrics) — variant is tagged
+    '+ens<k>' with the number of engines that contributed blocks.
+    """
+    from medical_ocr_pipeline_spark.core.extract import finish_extract
+
+    engines, variant, parse_failures = run_engines(payload)
+    union, metrics = merge_ensemble(engines)
+    k = sum(1 for m in metrics if not m["gated_out"] and m["n_blocks"])
+    result, gated, final_blocks = finish_extract(
+        union, f"{variant}+ens{k}", parse_failures, payload,
+        enable_fuzzy=enable_fuzzy,
+    )
+    return result, metrics

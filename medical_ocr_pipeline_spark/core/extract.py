@@ -106,6 +106,17 @@ def extract_turn_blocks(payload: str, enable_fuzzy: bool = True):
             raw_blocks = raw_blocks + rescued
             variant = variant + "+rescue"
 
+    return finish_extract(
+        raw_blocks, variant, parse_failures, payload, enable_fuzzy=enable_fuzzy
+    )
+
+
+def finish_extract(raw_blocks: list[dict], variant: str, parse_failures: int,
+                   payload: str, enable_fuzzy: bool = True):
+    """Stages 01 (post-parse) through A12, shared by the single-dispatch
+    path above and the k-way ensemble path (core/ensemble.py): gates ->
+    dedup -> regroup -> dedup -> sections -> normalize -> cleanup ->
+    select -> segment -> materialize."""
     # 01: P1 confidence gate + P2 empty-text filter
     gated = [
         b for b in raw_blocks

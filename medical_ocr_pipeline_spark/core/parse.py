@@ -57,17 +57,23 @@ class _MainContentParser(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.blocks: list[tuple[str, int, int]] = []  # (text, chars, link_chars)
+        # (text, chars, link_chars, source_line0) — source_line0 is the
+        # 0-based payload line where the block's first text appeared
+        # (getpos at first buffered data), used by the ensemble's
+        # line-anchored coordinate system; parse_html ignores it
+        self.blocks: list[tuple[str, int, int, int]] = []
         self._drop_depth = 0
         self._link_depth = 0
         self._buf: list[str] = []
         self._link_chars = 0
+        self._block_line = 0
 
     def _flush(self) -> None:
         raw = "".join(self._buf)
         text = _WS_RE.sub(" ", raw).strip()
         if len(text) >= _MIN_BLOCK_CHARS:
-            self.blocks.append((text, len(text), self._link_chars))
+            self.blocks.append((text, len(text), self._link_chars,
+                                self._block_line))
         self._buf = []
         self._link_chars = 0
 
@@ -96,6 +102,8 @@ class _MainContentParser(HTMLParser):
     def handle_data(self, data):
         if self._drop_depth:
             return
+        if data.strip() and not "".join(self._buf).strip():
+            self._block_line = self.getpos()[0] - 1  # first text of block
         self._buf.append(data)
         if self._link_depth:
             self._link_chars += len(data.strip())
@@ -124,6 +132,31 @@ def _stacked_blocks(lines: list[str], source: str, conf: float,
     return out
 
 
+def _line_anchored_blocks(pairs: list[tuple[int, str]], total_lines: int,
+                          source: str, conf: float,
+                          page_h: float = PAGE_H) -> list[dict]:
+    """Ensemble coordinate system: each text block is anchored to its
+    0-based PAYLOAD line index over the payload's total line count, so
+    every engine that read the same payload places the same content at
+    the same synthetic coordinates — J1's IoU test then absorbs
+    cross-engine overlap exactly as it absorbs cross-OCR overlap on the
+    reference's real page coordinates."""
+    if not pairs or total_lines <= 0:
+        return []
+    slice_h = page_h / total_lines
+    out = []
+    for idx, text in pairs:
+        i = min(max(idx, 0), total_lines - 1)
+        y0 = i * slice_h
+        out.append({
+            "text": text,
+            "confidence": conf,
+            "bbox": [0.0, y0, PAGE_W, min(page_h, y0 + slice_h)],
+            "source": source,
+        })
+    return out
+
+
 def parse_html(payload: str) -> list[dict]:
     """Boilerplate-stripped main-content blocks with link-density gating."""
     p = _MainContentParser()
@@ -133,11 +166,40 @@ def parse_html(payload: str) -> list[dict]:
     except Exception:
         pass
     kept = []
-    for text, chars, link_chars in p.blocks:
+    for text, chars, link_chars, _line in p.blocks:
         density = link_chars / chars if chars else 1.0
         if density <= _LINK_DENSITY_MAX:
             kept.append(text)
     return _stacked_blocks(kept, "html", 0.95)
+
+
+def parse_html_anchored(payload: str) -> list[dict]:
+    """Ensemble-mode html engine: same DOM walk and link-density gate as
+    parse_html, but blocks are line-anchored (see _line_anchored_blocks)
+    instead of output-index-stacked, so they share a coordinate system
+    with the other ensemble engines."""
+    p = _MainContentParser()
+    try:
+        p.feed(payload)
+        p.close()
+    except Exception:
+        pass
+    pairs = []
+    for text, chars, link_chars, line in p.blocks:
+        density = link_chars / chars if chars else 1.0
+        if density <= _LINK_DENSITY_MAX:
+            pairs.append((line, text))
+    return _line_anchored_blocks(
+        pairs, len(payload.splitlines()), "html", 0.95
+    )
+
+
+def parse_plain_anchored(payload: str) -> list[dict]:
+    """Ensemble-mode plain engine: non-empty lines at their payload line
+    index (vs parse_plain's output-index stacking)."""
+    lines = payload.splitlines()
+    pairs = [(i, ln.strip()) for i, ln in enumerate(lines) if ln.strip()]
+    return _line_anchored_blocks(pairs, len(lines), "native", 0.98)
 
 
 def strip_fences(payload: str) -> str:
@@ -308,20 +370,52 @@ def need_escalation(blocks: list[dict]) -> bool:
     return mean_conf < 0.70 or len(blocks) < 10
 
 
-def escalate(payload: str, primary: list[dict]) -> list[dict]:
-    """J9-style rescue: heavy fallback pass over the raw payload (markup
-    and fences stripped first so tag soup never re-enters), union with the
-    gated primary (P4: primary kept only if >= 100 chars)."""
+HEAVY_CONF = 0.60
+
+
+def heavy_strip_blocks(payload: str) -> list[dict]:
+    """The 'heavy engine' pass over the raw payload: markup and fences
+    stripped first so tag soup never re-enters, then the plain-line
+    extractor.  Shared by two-pass escalation (below) and the k-way
+    ensemble (core/ensemble.py) — one definition so both tiers see the
+    identical heavy output."""
     defenced = strip_fences(payload)
     # strip tags line-by-line (keeping newlines so parse_plain still sees
     # line structure)
     stripped = "\n".join(
         re.sub(r"<[^>]+>", " ", ln) for ln in defenced.splitlines()
     )
-    heavy = [
-        {**b, "source": "heavy", "confidence": 0.60}
+    return [
+        {**b, "source": "heavy", "confidence": HEAVY_CONF}
         for b in parse_plain(stripped)
     ]
+
+
+_FENCE_LINE_RE = re.compile(r"^\s*```")
+
+
+def heavy_strip_blocks_anchored(payload: str) -> list[dict]:
+    """Ensemble-mode heavy engine: tag-strip per ORIGINAL payload line
+    (pure fence-marker lines skipped), blocks anchored to their payload
+    line index — identical content found by another engine lands at the
+    identical bbox, so J1 keeps exactly one copy (the higher-confidence
+    native one)."""
+    lines = payload.splitlines()
+    pairs = []
+    for i, ln in enumerate(lines):
+        if _FENCE_LINE_RE.match(ln):
+            continue
+        text = re.sub(r"<[^>]+>", " ", ln).strip()
+        text = _WS_RE.sub(" ", text)
+        if text:
+            pairs.append((i, text))
+    return _line_anchored_blocks(pairs, len(lines), "heavy", HEAVY_CONF)
+
+
+def escalate(payload: str, primary: list[dict]) -> list[dict]:
+    """J9-style rescue: heavy fallback pass over the raw payload, union
+    with the gated primary (P4: primary kept only if >= 100 chars)."""
+    heavy = heavy_strip_blocks(payload)
     primary_chars = sum(len(b["text"]) for b in primary)
     gated_primary = primary if primary_chars >= NATIVE_LEN_GATE_CHARS else []
     return gated_primary + heavy
@@ -387,14 +481,20 @@ def translate_blocks(blocks: list[dict], dx: float, dy: float,
     return out
 
 
-def parse_layout_relaxed(payload: str) -> list[dict]:
+def parse_layout_relaxed(payload: str, include_strict: bool = False) -> list[dict]:
     """The 'heavy engine' of the payload analogue: re-parse ONLY the
     lines the strict layout regex rejected, accepting separator variants
     (';' / whitespace / mixed) and missing conf/source fields.  Lines the
-    fast pass already parsed are never re-emitted (no duplicates)."""
+    fast pass already parsed are never re-emitted (no duplicates).
+
+    include_strict=True parses EVERY line (the k-way ensemble mode,
+    reference merge_ensemble 01_extract_blocks cell 4:388-400: each
+    engine reads the whole page independently and J1 dedup absorbs the
+    overlap — strict lines re-parsed here carry identical text+bbox, so
+    IoU=1 / ratio=1 and dedup keeps exactly one copy)."""
     out: list[dict] = []
     for ln in payload.splitlines():
-        if not ln.strip() or _LAYOUT_LINE_RE.match(ln):
+        if not ln.strip() or (not include_strict and _LAYOUT_LINE_RE.match(ln)):
             continue
         head, sep, text = ln.partition("|")
         if not sep or not text.strip():

@@ -46,11 +46,18 @@ _RESULT_FIELDS = [
 ]
 
 
-def extract_transcripts(df: DataFrame, enable_fuzzy: bool = True) -> DataFrame:
+def extract_transcripts(df: DataFrame, enable_fuzzy: bool = True,
+                        ensemble: bool = False) -> DataFrame:
     """Per-turn main-content extraction over Arrow batches (no shuffle).
 
     Input: transcripts (conv_id, turn_idx, role, text, tool, ts).
     Output: EXTRACT_SCHEMA, one row per input turn.
+
+    ensemble=True runs the k-way parallel engine ensemble per turn
+    (core/ensemble.py — every healthy extractor family over the same
+    payload, union, J1 dedup; reference merge_ensemble shape) instead of
+    the variant-dispatched fast path.  Same output schema; the variant
+    column carries '+ens<k>'.
 
     mapInArrow, not mapInPandas: the extractor consumes python strings
     and produces python scalars either way, so the pandas DataFrame on
@@ -92,10 +99,19 @@ def extract_transcripts(df: DataFrame, enable_fuzzy: bool = True) -> DataFrame:
         *[F.col(c).cast(casts[c]).alias(c) for c in passthrough], "text"
     )
 
+    if ensemble:
+        from medical_ocr_pipeline_spark.core.ensemble import extract_turn_ensemble
+
+        def extractor(payload):
+            return extract_turn_ensemble(payload, enable_fuzzy=enable_fuzzy)[0]
+    else:
+        def extractor(payload):
+            return extract_turn(payload, enable_fuzzy=enable_fuzzy)
+
     def run(batches):
         for batch in batches:
             results = [
-                extract_turn(payload, enable_fuzzy=enable_fuzzy)
+                extractor(payload)
                 for payload in batch.column("text").to_pylist()
             ]
             arrays = [batch.column(c) for c in passthrough]

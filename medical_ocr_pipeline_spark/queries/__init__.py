@@ -36,6 +36,7 @@ _PROMOTE_TO_WINDOW = [
     "w4_sessionize",
     "q_semi_urgent_customers",
     "q_anti_dormant_customers",
+    "ensemble_engine_metrics",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

@@ -104,3 +104,55 @@ def catalyst_regroup_lines_query(spark, sf_dir):
         )
         .orderBy("conv_id", "turn_idx", "para_id")
     )
+
+
+@register("ensemble_engine_metrics")
+def ensemble_engine_metrics(spark, sf_dir):
+    """K-way parallel engine ensemble (U1/S3 full form, reference
+    merge_ensemble 01_extract_blocks cell 4:388-400,430-450): every
+    healthy extractor family runs over the SAME payload; this query
+    returns the per-engine A5-style traceability metrics with the J8
+    argmax is_best flag, plus the merged turn's block count and variant
+    tag.  Rows-only (difflib dedup inside the merge); exact union/dedup
+    semantics are golden-pinned in tests/test_ensemble.py."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from medical_ocr_pipeline_spark.core.ensemble import extract_turn_ensemble
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("engine", T.StringType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("mean_conf", T.DoubleType()),
+        T.StructField("gated_out", T.BooleanType()),
+        T.StructField("is_best", T.BooleanType()),
+        T.StructField("merged_blocks", T.IntegerType()),
+        T.StructField("variant", T.StringType()),
+    ])
+
+    def run(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for conv_id, turn_idx, payload in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                res, metrics = extract_turn_ensemble(payload)
+                for m in metrics:
+                    rows.append((
+                        conv_id, int(turn_idx), m["engine"], m["n_blocks"],
+                        m["n_chars"], round(m["mean_conf"], 4),
+                        m["gated_out"], m["is_best"], res.n_blocks,
+                        res.variant,
+                    ))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    df = spark_transcripts(spark, 40, partitions=8)
+    return (
+        df.select("conv_id", "turn_idx", "text")
+        .mapInPandas(run, schema=schema)
+        .orderBy("conv_id", "turn_idx", "engine")
+    )
