@@ -96,17 +96,115 @@ def _decode_bmp(payload: bytes):
     return w, h, (rgb[::-1] if flip else rgb)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter_row(ftype: int, line: bytearray, prev: bytes, ch: int):
+    """Reconstruct one scanline in place per PNG filter types 0-4
+    (RFC 2083 §6); `prev` is the reconstructed previous scanline (zeros
+    for the first row), `ch` the bytes per pixel."""
+    n = len(line)
+    if ftype == 0:
+        return
+    if ftype == 1:  # Sub
+        for i in range(ch, n):
+            line[i] = (line[i] + line[i - ch]) & 0xFF
+    elif ftype == 2:  # Up
+        for i in range(n):
+            line[i] = (line[i] + prev[i]) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(n):
+            a = line[i - ch] if i >= ch else 0
+            line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for i in range(n):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                pred = a
+            elif pb <= pc:
+                pred = b
+            else:
+                pred = c
+            line[i] = (line[i] + pred) & 0xFF
+    else:
+        raise ValueError(f"invalid PNG filter type {ftype}")
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + per-row unfiltering,
+    filter types 0-4): 8-bit non-interlaced truecolor (color type 2) and
+    truecolor+alpha (type 6).  Alpha is dropped — the pipeline's image
+    kernels operate on HxWx3.  Palette/gray/16-bit/interlaced raise
+    NotImplementedError (the documented codec extension point);
+    malformed streams raise ValueError.  Per-row python loops: sized for
+    the thumbnail/feature kernels' Arrow-batched per-row payloads."""
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6):
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA PNG decode natively (depth={depth}, "
+            f"color_type={color}); plug PIL here for palette/gray/16-bit"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    ch = 3 if color == 2 else 4
+    stride = w * ch
+    if len(raw) < h * (1 + stride):
+        raise ValueError("PNG pixel data shorter than IHDR dimensions")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        off = y * (1 + stride)
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        _png_unfilter_row(raw[off], line, prev, ch)
+        out += line
+        prev = bytes(line)
+    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch)
+    return w, h, px[:, :, :3]
+
+
 def decode_image(payload: bytes):
-    """Pure-python image decode: PPM P6 and 24-bit BMP.  Returns
-    (width, height, HxWx3 uint8 array).  Other formats raise
-    NotImplementedError — plug PIL/opencv here for JPEG/PNG."""
+    """Pure-python image decode: PPM P6, 24-bit BMP, and 8-bit RGB/RGBA
+    PNG.  Returns (width, height, HxWx3 uint8 array).  Other formats
+    raise NotImplementedError — plug PIL/opencv here for JPEG etc."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only PPM P6 / 24-bit BMP decode natively; JPEG/PNG need "
-        "PIL/opencv wired into decode_image()"
+        "only PPM P6 / 24-bit BMP / 8-bit RGB(A) PNG decode natively; "
+        "JPEG needs PIL/opencv wired into decode_image()"
     )
 
 
@@ -359,6 +457,28 @@ def encode_ppm(arr) -> bytes:
     """HxWx3 uint8 -> PPM P6 bytes (the inverse of _decode_ppm)."""
     h, w = arr.shape[:2]
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def encode_png(arr) -> bytes:
+    """HxWx3 uint8 -> 8-bit truecolor PNG bytes (filter type 0 rows,
+    one zlib stream) — the codec-format thumbnail sink paired with
+    _decode_png."""
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 THUMB_SCHEMA = T.StructType([

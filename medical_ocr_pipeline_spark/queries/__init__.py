@@ -37,6 +37,7 @@ _PROMOTE_TO_WINDOW = [
     "q_semi_urgent_customers",
     "q_anti_dormant_customers",
     "ensemble_engine_metrics",
+    "media_thumbnails_smoke",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

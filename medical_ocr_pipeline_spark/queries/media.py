@@ -83,3 +83,39 @@ def media_features_real(spark, sf_dir):
             F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4
         ).alias("feature_sum"),
     ).orderBy("media_id")
+
+
+@register("media_thumbnails_smoke")
+def media_thumbnails_smoke(spark, sf_dir):
+    """Decode -> resize -> re-encode thumbnail stage over a deterministic
+    in-session media table covering all three native image codecs (PPM
+    P6, 8-bit RGB PNG, plus an undecodable JPEG row that must be dropped
+    per-row, never fatally).  Rows-only — the exact thumbnail bytes are
+    golden-pinned in tests (PNG and PPM twins of the same pixels must
+    produce identical thumbnails)."""
+    from medical_ocr_pipeline_spark.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        encode_png,
+        media_thumbnails,
+    )
+
+    rows = []
+    for i in range(0, N_MEDIA, 2):
+        ppm = _ppm(i)
+        w, h = 4 + i % 3, 3 + i % 2
+        meta = {"mime": "", "width": w, "height": h, "duration_ms": 0}
+        rows.append((f"ppm{i:03d}", "image", ppm,
+                     {**meta, "mime": "image/x-portable-pixmap"}))
+        rows.append((f"png{i:03d}", "image", encode_png(decode_image(ppm)[2]),
+                     {**meta, "mime": "image/png"}))
+    rows.append(("jpg_bad", "image", b"\xff\xd8\xff\xe0 not decodable",
+                 {"mime": "image/jpeg", "width": 0, "height": 0,
+                  "duration_ms": 0}))
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    thumbs = media_thumbnails(media, out_w=3, out_h=3)
+    return thumbs.select(
+        "media_id", "width", "height",
+        F.length("thumbnail").alias("thumb_bytes"),
+        F.crc32("thumbnail").alias("thumb_crc"),
+    ).orderBy("media_id")

@@ -201,6 +201,10 @@ def test_unsupported_formats_raise_not_implemented():
     )
 
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg garbage")
+    # PNG now decodes natively (round 3): a PNG signature with a garbage
+    # body is a MALFORMED png, not an unsupported format
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n garbage")
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3 not a wav")
