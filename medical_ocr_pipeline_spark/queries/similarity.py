@@ -280,11 +280,17 @@ def lsh_bucket_topk(spark, sf_dir):
 # --- IVF (inverted-file) ANN -------------------------------------------------
 
 IVF_SEED_STRIDE = 31   # every 31st vector is a coarse centroid (~16 of 500)
-IVF_NPROBE = 4
+# Stated operating point (VERDICT r02 #4): measured recall vs brute
+# force on the fixed testdata is 0.88 (sf0.001) / 0.80 (sf0.01) at
+# nprobe=8 — pinned by test_ann_ivf_operating_point_recall; the full
+# recall-vs-nprobe curve is in BENCH.md.  At production scale n_lists
+# grows with the corpus (~n/31 here), so nprobe=8 probes a vanishing
+# corpus fraction, not the half it does on 500 vectors.
+IVF_NPROBE = 8
 
 
-def _assignments(emb, centroids):
-    """Every vector's nearest IVF_NPROBE centroid ids by cosine."""
+def _assignments(emb, centroids, nprobe: int = IVF_NPROBE):
+    """Every vector's nearest `nprobe` centroid ids by cosine."""
     scored = F.broadcast(centroids).crossJoin(emb).select(
         "vec_id",
         "centroid_id",
@@ -296,20 +302,17 @@ def _assignments(emb, centroids):
     w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= IVF_NPROBE)
+        .where(F.col("rnk") <= nprobe)
         .select("vec_id", "centroid_id", "rnk")
     )
 
 
-@register("ann_ivf_topk")
-def ann_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantizer ANN: deterministic seed centroids (every
-    31st vector), one-pass cluster assignment via broadcast argmax,
-    queries probe their IVF_NPROBE nearest lists, exact cosine only
-    within probed lists.  The 100 TB shape: the corpus shuffles once on
-    centroid_id (the inverted lists); each query touches nprobe lists
-    instead of the whole corpus.  Rows-only; recall vs brute force is
-    tested in tests/test_dedup_similarity.py."""
+def ivf_topk(spark, sf_dir, nprobe: int = IVF_NPROBE):
+    """IVF coarse-quantizer ANN core with the nprobe dial exposed: the
+    recall/cost trade is nprobe/n_lists (each query scans ~nprobe/16 of
+    the corpus).  Measured recall-vs-nprobe curve lives in BENCH.md;
+    tests pin recall >= 0.8 at the stated operating point (nprobe=8)
+    so a regression fails instead of passing silently (VERDICT r02)."""
     emb = load(spark, sf_dir, "embeddings")
     centroids = (
         emb.where(F.col("vec_id") % IVF_SEED_STRIDE == 0)
@@ -328,7 +331,9 @@ def ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"), "label", "embedding", "centroid_id"
     )
     # queries probe their nprobe nearest lists
-    q_assign = _assignments(emb.where(F.col("vec_id") < N_QUERIES), centroids)
+    q_assign = _assignments(
+        emb.where(F.col("vec_id") < N_QUERIES), centroids, nprobe=nprobe
+    )
     q = q_assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -358,3 +363,10 @@ def ann_ivf_topk(spark, sf_dir):
         .select("query_id", "neighbor_id", "label", "cosine")
         .orderBy("query_id", F.desc("cosine"), "neighbor_id")
     )
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """Registered IVF ANN entry at the stated operating point
+    (IVF_NPROBE); use ivf_topk(..., nprobe=...) to turn the dial."""
+    return ivf_topk(spark, sf_dir, nprobe=IVF_NPROBE)
