@@ -152,3 +152,33 @@ def test_representative_is_min_gate_passing_member(spark):
     assert got[3] == (1, False)
     # unpaired doc represents itself
     assert got[9] == (9, True)
+
+
+def test_reliable_checkpoint_dir_variant(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoints under the given directory (the cluster-safe form —
+    localCheckpoint blocks die with their executor); results must be
+    identical to the default local variant."""
+    import os
+
+    from medical_ocr_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    reliable = {
+        (r["vertex"], r["component"])
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    local = {
+        (r["vertex"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert reliable == local
+    assert reliable == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)}
+    # checkpoint files actually landed under the requested dir
+    found = [fs for _, _, fs in os.walk(ckpt) if fs]
+    assert found, "no reliable checkpoint files written"

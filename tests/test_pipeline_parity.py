@@ -118,5 +118,7 @@ def test_null_payloads_survive_extraction(spark):
     assert got[0].text_final == "" and got[0].parse_failures == 0
     assert got[1].text_final == "hello world"
     assert got[2].conv_id is None
-    convs = conversation_text(extract_transcripts(df)).collect()
+    convs = conversation_text(
+        extract_transcripts(df), allow_unmaterialized=True
+    ).collect()
     assert len(convs) == 2
