@@ -297,10 +297,16 @@ def run_once(cores: int) -> dict:
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     env = dict(os.environ, PYTHONPATH=REPO)
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, env=env, check=True
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    if proc.returncode != 0:
+        # surface the child's actual failure (a bare CalledProcessError
+        # hides spark-submit's stderr entirely)
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(
+            f"scaling child (cores={cores}) exited {proc.returncode}; "
+            "stderr tail above"
+        )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))

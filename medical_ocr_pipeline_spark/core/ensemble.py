@@ -17,25 +17,41 @@ Engine registry per payload family ("healthy engines" ≙ the reference's
 `use_easyocr`/`use_tesseract`/... flags — an engine that would read
 garbage off this family is disabled, exactly like a disabled service):
 
-  html   -> native html DOM-walk + heavy tag-strip + relaxed layout
-  plain  -> native plain-line    + heavy tag-strip + relaxed layout
+  html   -> native html DOM-walk + heavy tag-strip
+  plain  -> native plain-line    + heavy tag-strip
   layout -> native strict layout + relaxed layout over ALL lines
             (two real-geometry engines; the heavy strip engine is
             unhealthy here — it would read coordinate syntax as prose)
   json   -> native json only (other engines would read JSON source as
             prose; the json parser carries its own fallback chain)
 
+The relaxed layout engine is UNHEALTHY for the html/plain families by
+the same rule that excludes heavy from layout: it reads prose that
+happens to match coordinate syntax ('20;90;400;120;0.8|...') as real
+geometry, emitting the embedded text at parsed-bbox coordinates that
+are disjoint from the line-anchored system the rest of the family uses
+— undedupable duplication, not signal.
+
 Dedup soundness: within a family the engines share a coordinate system
 — strict+relaxed layout emit identical real bboxes for shared lines
-(IoU 1.0), and html/plain/heavy use LINE-ANCHORED synthetic bboxes
-(parse.py _line_anchored_blocks: block y-span = its payload line's slice
-of the page), so the same content read by two engines lands at the same
-coordinates and J1's IoU >= 0.5 AND fuzzy-similarity >= 0.92 test
-absorbs cross-engine overlap the same way it absorbs cross-OCR overlap
-on the reference's real page coordinates.
+(IoU 1.0); plain/heavy use LINE-ANCHORED synthetic bboxes (parse.py
+_line_anchored_blocks: block y-span = its payload line's slice of the
+page) and the html engine spans its blocks over their full source-line
+range.  Same-granularity overlap (two engines reading the same line)
+dedups through J1's IoU >= 0.5 AND fuzzy >= 0.92 test exactly like
+cross-OCR overlap on the reference's real page coordinates.
+Cross-GRANULARITY overlap (a multi-line DOM paragraph vs the heavy
+engine's per-line copies of it, or a minified one-line document where
+the heavy engine reads everything as one line) cannot pass the fuzzy
+test — whole vs part — so merge_ensemble additionally applies a
+containment dedup: a block whose normalized text is a substring of a
+vertically-overlapping longer block is dropped before the union is
+handed to finish_extract.
 """
 
 from __future__ import annotations
+
+import re
 
 from medical_ocr_pipeline_spark.core.parse import (
     NATIVE_LEN_GATE_CHARS,
@@ -61,13 +77,11 @@ def run_engines(payload: str) -> tuple[list[tuple[str, list[dict]]], str, int]:
         engines = [
             ("html", parse_html_anchored(payload)),
             ("heavy", heavy_strip_blocks_anchored(payload)),
-            ("relaxed", parse_layout_relaxed(payload)),
         ]
     elif variant == "plain":
         engines = [
             ("plain", parse_plain_anchored(payload)),
             ("heavy", heavy_strip_blocks_anchored(payload)),
-            ("relaxed", parse_layout_relaxed(payload)),
         ]
     elif variant == "layout":
         strict, failures = parse_layout(payload)
@@ -81,12 +95,69 @@ def run_engines(payload: str) -> tuple[list[tuple[str, list[dict]]], str, int]:
     return engines, variant, failures
 
 
+_WS_RE = re.compile(r"\s+")
+
+
+def _containment_dedup(blocks: list[dict]) -> list[dict]:
+    """Cross-granularity dedup for the ensemble union: drop a block whose
+    whitespace-normalized lowercase text is CONTAINED in a longer block
+    that vertically covers >= half of the candidate's own span.
+
+    J1 (IoU + fuzzy >= 0.92) absorbs same-granularity overlap only — a
+    multi-line DOM paragraph vs the heavy engine's per-line copies of it
+    is whole-vs-part, never fuzzy-similar, so without this pass the same
+    content ships twice in text_final.  The vertical-overlap guard keeps
+    genuine repeats (the same phrase at two distinct places in the
+    document) intact.  Greedy from the longest text so the superset block
+    survives and every contained copy drops; output preserves input
+    order (finish_extract's J1 re-sorts spatially anyway)."""
+    if len(blocks) < 2:
+        return blocks
+    norm = [
+        _WS_RE.sub(" ", (b.get("text") or "")).strip().lower()
+        for b in blocks
+    ]
+    order = sorted(
+        range(len(blocks)),
+        key=lambda i: (
+            -len(norm[i]),
+            -(blocks[i].get("confidence", 1.0)),
+            blocks[i]["bbox"][1],
+            blocks[i]["bbox"][0],
+        ),
+    )
+    kept_idx: list[int] = []
+    dropped: set[int] = set()
+    for i in order:
+        bi = blocks[i]["bbox"]
+        hi = max(bi[3] - bi[1], 1e-6)
+        contained = False
+        for j in kept_idx:
+            if len(norm[i]) > len(norm[j]):
+                continue
+            bj = blocks[j]["bbox"]
+            overlap = min(bi[3], bj[3]) - max(bi[1], bj[1])
+            if overlap / hi < 0.5:
+                continue
+            if norm[i] and norm[i] in norm[j]:
+                contained = True
+                break
+        if contained:
+            dropped.add(i)
+        else:
+            kept_idx.append(i)
+    if not dropped:
+        return blocks
+    return [b for k, b in enumerate(blocks) if k not in dropped]
+
+
 def merge_ensemble(
     engines: list[tuple[str, list[dict]]],
     native_len_gate: int = NATIVE_LEN_GATE_CHARS,
 ) -> tuple[list[dict], list[dict]]:
-    """Union of all engine outputs with the native gate (P4), plus the
-    per-engine A5-style metrics with the J8 argmax `is_best` flag.
+    """Union of all engine outputs with the native gate (P4) and the
+    cross-granularity containment dedup, plus the per-engine A5-style
+    metrics with the J8 argmax `is_best` flag.
 
     Returns (union_blocks, metrics).  metrics rows:
       {engine, n_blocks, n_chars, mean_conf, gated_out, is_best}
@@ -122,7 +193,7 @@ def merge_ensemble(
             key=lambda m: (m["n_chars"], m["mean_conf"], m["engine"]),
         )
         best["is_best"] = True
-    return union, metrics
+    return _containment_dedup(union), metrics
 
 
 def extract_turn_ensemble(payload: str, enable_fuzzy: bool = True):

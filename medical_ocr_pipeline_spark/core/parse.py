@@ -57,23 +57,24 @@ class _MainContentParser(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        # (text, chars, link_chars, source_line0) — source_line0 is the
-        # 0-based payload line where the block's first text appeared
-        # (getpos at first buffered data), used by the ensemble's
-        # line-anchored coordinate system; parse_html ignores it
-        self.blocks: list[tuple[str, int, int, int]] = []
+        # (text, chars, link_chars, line_first, line_last) — 0-based
+        # payload lines of the block's first and last text chunks (getpos
+        # while buffering), used by the ensemble's line-anchored
+        # coordinate system; parse_html ignores them
+        self.blocks: list[tuple[str, int, int, int, int]] = []
         self._drop_depth = 0
         self._link_depth = 0
         self._buf: list[str] = []
         self._link_chars = 0
         self._block_line = 0
+        self._block_line_last = 0
 
     def _flush(self) -> None:
         raw = "".join(self._buf)
         text = _WS_RE.sub(" ", raw).strip()
         if len(text) >= _MIN_BLOCK_CHARS:
             self.blocks.append((text, len(text), self._link_chars,
-                                self._block_line))
+                                self._block_line, self._block_line_last))
         self._buf = []
         self._link_chars = 0
 
@@ -102,8 +103,15 @@ class _MainContentParser(HTMLParser):
     def handle_data(self, data):
         if self._drop_depth:
             return
-        if data.strip() and not "".join(self._buf).strip():
-            self._block_line = self.getpos()[0] - 1  # first text of block
+        if data.strip():
+            line0 = self.getpos()[0] - 1  # 0-based line where chunk starts
+            # a chunk may itself span lines: attribute first/last text to
+            # the first/last non-blank segment
+            segs = data.splitlines()
+            txt_idx = [i for i, s in enumerate(segs) if s.strip()]
+            if not "".join(self._buf).strip():
+                self._block_line = line0 + txt_idx[0]  # first text of block
+            self._block_line_last = line0 + txt_idx[-1]
         self._buf.append(data)
         if self._link_depth:
             self._link_chars += len(data.strip())
@@ -166,7 +174,7 @@ def parse_html(payload: str) -> list[dict]:
     except Exception:
         pass
     kept = []
-    for text, chars, link_chars, _line in p.blocks:
+    for text, chars, link_chars, _first, _last in p.blocks:
         density = link_chars / chars if chars else 1.0
         if density <= _LINK_DENSITY_MAX:
             kept.append(text)
@@ -175,23 +183,39 @@ def parse_html(payload: str) -> list[dict]:
 
 def parse_html_anchored(payload: str) -> list[dict]:
     """Ensemble-mode html engine: same DOM walk and link-density gate as
-    parse_html, but blocks are line-anchored (see _line_anchored_blocks)
-    instead of output-index-stacked, so they share a coordinate system
-    with the other ensemble engines."""
+    parse_html, but each block's bbox spans its FULL source-line range
+    (first..last text line) in the shared line-slice coordinate system —
+    a paragraph written across n payload lines overlaps every one of the
+    heavy engine's per-line blocks for those lines, so the ensemble's
+    containment dedup (core/ensemble.py) can absorb the per-line copies.
+    Anchoring only to the first line (the round-3 original) left lines
+    2..n of a multi-line block spatially disjoint from the heavy copies
+    and duplicated the content in text_final."""
     p = _MainContentParser()
     try:
         p.feed(payload)
         p.close()
     except Exception:
         pass
-    pairs = []
-    for text, chars, link_chars, line in p.blocks:
+    total = len(payload.splitlines())
+    if total <= 0:
+        return []
+    slice_h = PAGE_H / total
+    out = []
+    for text, chars, link_chars, first, last in p.blocks:
         density = link_chars / chars if chars else 1.0
-        if density <= _LINK_DENSITY_MAX:
-            pairs.append((line, text))
-    return _line_anchored_blocks(
-        pairs, len(payload.splitlines()), "html", 0.95
-    )
+        if density > _LINK_DENSITY_MAX:
+            continue
+        i0 = min(max(first, 0), total - 1)
+        i1 = min(max(last, i0), total - 1)
+        out.append({
+            "text": text,
+            "confidence": 0.95,
+            "bbox": [0.0, i0 * slice_h, PAGE_W,
+                     min(PAGE_H, (i1 + 1) * slice_h)],
+            "source": "html",
+        })
+    return out
 
 
 def parse_plain_anchored(payload: str) -> list[dict]:
@@ -376,9 +400,12 @@ HEAVY_CONF = 0.60
 def heavy_strip_blocks(payload: str) -> list[dict]:
     """The 'heavy engine' pass over the raw payload: markup and fences
     stripped first so tag soup never re-enters, then the plain-line
-    extractor.  Shared by two-pass escalation (below) and the k-way
-    ensemble (core/ensemble.py) — one definition so both tiers see the
-    identical heavy output."""
+    extractor.  Used by two-pass escalation (below); the k-way ensemble
+    uses heavy_strip_blocks_anchored, which is NOT output-identical:
+    the anchored variant drops whole fence-marker lines (its
+    _FENCE_LINE_RE skips '```python code' entirely, while strip_fences
+    here keeps 'python code') and collapses whitespace per line — a
+    change to one variant does not propagate to the other."""
     defenced = strip_fences(payload)
     # strip tags line-by-line (keeping newlines so parse_plain still sees
     # line structure)

@@ -492,10 +492,11 @@ THUMB_SCHEMA = T.StructType([
 def media_thumbnails(media: DataFrame, out_w: int = 32,
                      out_h: int = 32) -> DataFrame:
     """Decode -> resize -> re-encode thumbnail stage for image rows,
-    Arrow-batched.  Real end-to-end for PPM/BMP payloads; rows whose
-    format needs an external codec are dropped with a per-batch count
-    rather than failing the stage (the reference's per-engine timeout /
-    failure-tolerance discipline, S4)."""
+    Arrow-batched.  Real end-to-end for PPM, BMP, and (since the
+    stdlib-zlib decoder landed) 8-bit RGB/RGBA PNG payloads; rows whose
+    format needs an external codec (JPEG/...) are dropped with a
+    per-batch count rather than failing the stage (the reference's
+    per-engine timeout / failure-tolerance discipline, S4)."""
     import pandas as pd
 
     def run(batches):

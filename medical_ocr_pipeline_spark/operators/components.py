@@ -48,14 +48,44 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     in executor block storage and an executor loss mid-loop makes the
     labels frame unrecomputable.  Without a dir (this sandbox / tests /
     single-JVM local mode) it falls back to localCheckpoint, which is
-    faster and safe when executors can't be lost independently."""
-    if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    faster and safe when executors can't be lost independently.
 
-    def _truncate(df: DataFrame) -> DataFrame:
+    Spark never deletes reliable checkpoint files on its own
+    (spark.cleaner.referenceTracking.cleanCheckpoints defaults to
+    false), so each round writes under its own
+    `{checkpoint_dir}/cc_rounds/round_i` subdirectory and round i-1 is
+    deleted as soon as round i is materialized AND the convergence
+    count (which still reads round i-1) has run — a 20-round dedup
+    graph leaves ONE labels snapshot on cluster storage, not 20.  The
+    final round's files back the returned DataFrame and must outlive
+    it: the caller owns deleting `checkpoint_dir` after consuming the
+    result.  setCheckpointDir is global to the SparkContext; the
+    previous checkpoint dir (if any) is restored before returning, but
+    when none was set the last round's subdir necessarily remains the
+    context's checkpoint dir."""
+    sc = edges.sparkSession.sparkContext
+    rounds_base = None
+    restore_dir = None
+    if checkpoint_dir is not None:
+        rounds_base = checkpoint_dir.rstrip("/") + "/cc_rounds"
+        restore_dir = sc.getCheckpointDir()
+
+    def _truncate(df: DataFrame, rnd: int) -> DataFrame:
         if checkpoint_dir is not None:
+            sc.setCheckpointDir(f"{rounds_base}/round_{rnd}")
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
+
+    def _drop_round(rnd: int) -> None:
+        """Delete round `rnd`'s checkpoint subdir via the Hadoop FS API
+        (works for HDFS/S3A/local alike, unlike os-level removal)."""
+        if checkpoint_dir is None or rnd < 0:
+            return
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(
+            f"{rounds_base}/round_{rnd}"
+        )
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
 
     sym = (
         edges.selectExpr("src AS a", "dst AS b")
@@ -68,7 +98,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         .withColumn("component", F.col("vertex"))
     )
     changed = -1
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # each vertex adopts min(own label, neighbors' labels)
         neighbor_min = (
             sym.join(labels, sym.b == labels.vertex)
@@ -99,13 +129,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                 ).alias("component"),
             )
         )
-        new_labels = _truncate(new_labels)
+        new_labels = _truncate(new_labels, it)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "vertex")
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        # the changed-count above was the last reader of round it-1's
+        # checkpoint — reclaim it now
+        _drop_round(it - 1)
         labels = new_labels
         if changed == 0:
             break
@@ -128,6 +161,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                 f"rounds ({would_change} labels still improvable); graph "
                 f"diameter exceeds 2^{max_iter} — raise max_iter"
             )
+    if restore_dir is not None:
+        sc.setCheckpointDir(restore_dir)
     return labels
 
 

@@ -182,3 +182,8 @@ def test_reliable_checkpoint_dir_variant(spark, tmp_path):
     # checkpoint files actually landed under the requested dir
     found = [fs for _, _, fs in os.walk(ckpt) if fs]
     assert found, "no reliable checkpoint files written"
+    # per-round cleanup: Spark never reclaims reliable checkpoints
+    # itself, so the loop must — exactly ONE round snapshot may remain
+    # (the one backing the returned frame), not one per iteration
+    rounds = sorted(os.listdir(os.path.join(ckpt, "cc_rounds")))
+    assert len(rounds) == 1, f"leaked round checkpoints: {rounds}"

@@ -74,7 +74,12 @@ def test_conversation_assembly_two_phase(spark, tmp_path):
 
     path = str(tmp_path / "tr2")
     spark_transcripts(spark, 10, partitions=2).write.parquet(path)
-    df = conversation_text(extract_transcripts(spark.read.parquet(path)))
+    # bucket_size forces the two-phase regime explicitly: the auto
+    # default would (correctly) refuse this unmaterialized UDF pipeline
+    # since the regime probe is an action over it (pipeline.py guard)
+    df = conversation_text(
+        extract_transcripts(spark.read.parquet(path)), bucket_size=64
+    )
     plan = final_plan(df)
     assert plan.count("Exchange") >= 2  # bucket agg + conv agg shuffles
 
