@@ -38,6 +38,8 @@ _PROMOTE_TO_WINDOW = [
     "q_anti_dormant_customers",
     "ensemble_engine_metrics",
     "media_thumbnails_smoke",
+    "contamination_check",
+    "pii_scrub",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

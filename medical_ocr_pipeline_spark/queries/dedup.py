@@ -625,3 +625,102 @@ def dedup_components(spark, sf_dir):
         connected_components(pairs.selectExpr("doc_a AS src", "doc_b AS dst"))
         .orderBy("vertex")
     )
+
+
+# --- benchmark contamination -------------------------------------------------
+
+# Deterministic "benchmark suite" analogue: every 19th document plays
+# the held-out eval set.  At production scale the benchmark side is a
+# real eval corpus — tiny next to the training corpus, which is why the
+# broadcast in contamination_probe is the right 100 TB shape.
+CONTAM_BENCH_MOD = 19
+CONTAM_BENCH_REM = 3
+# contaminated <=> overlap/total >= 1/CONTAM_RATE_DEN, checked in
+# integer arithmetic on both engines (no float-threshold edge)
+CONTAM_RATE_DEN = 20
+
+
+def contamination_probe(docs):
+    """Benchmark decontamination core (GPT-3 appendix-C style): score
+    every training document by word-3-gram shingle overlap with the
+    held-out benchmark subset (doc_id % CONTAM_BENCH_MOD ==
+    CONTAM_BENCH_REM).  Shares _shingles_spark with the Jaccard/MinHash
+    family so the tokenization cannot drift from the oracle-checked
+    dedup core.
+
+    100 TB shape: the benchmark side's DISTINCT shingle set is broadcast
+    and the corpus probes it with an equi-join — no self-join, no
+    inverted-index pair enumeration, no shuffle of the corpus beyond the
+    per-doc count.  Output: (doc_id, n_shingles, n_overlap,
+    contamination_rate, contaminated) for every non-benchmark doc with
+    >= 3 words."""
+    sh = _shingles_spark(docs).persist()
+    is_bench = (F.col("doc_id") % CONTAM_BENCH_MOD) == CONTAM_BENCH_REM
+    bench_sh = (
+        sh.where(is_bench)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus = sh.where(~is_bench).select(
+        "doc_id",
+        F.size("shingles").cast("long").alias("n_shingles"),
+        "shingles",
+    )
+    hits = (
+        corpus.select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    n_ov = F.coalesce("n_overlap", F.lit(0)).cast("long")
+    return (
+        corpus.drop("shingles")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_ov.alias("n_overlap"),
+            F.round(
+                n_ov.cast("double") / F.col("n_shingles"), R
+            ).alias("contamination_rate"),
+            (n_ov * CONTAM_RATE_DEN >= F.col("n_shingles")).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "contamination_check",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    b AS (
+      SELECT DISTINCT unnest(shingles) AS s
+      FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_REM}
+    ),
+    c AS (
+      SELECT doc_id, unnest(shingles) AS s
+      FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} <> {CONTAM_BENCH_REM}
+    ),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_overlap
+      FROM c JOIN b USING (s) GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           t.n_sh AS n_shingles,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / t.n_sh,
+                 {R}) AS contamination_rate,
+           COALESCE(h.n_overlap, 0) * {CONTAM_RATE_DEN} >= t.n_sh
+             AS contaminated
+    FROM (
+      SELECT doc_id, len(shingles) AS n_sh FROM sh
+      WHERE doc_id % {CONTAM_BENCH_MOD} <> {CONTAM_BENCH_REM}
+    ) t LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def contamination_check(spark, sf_dir):
+    """Registry wrapper over the shared contamination core."""
+    return contamination_probe(load(spark, sf_dir, "documents"))

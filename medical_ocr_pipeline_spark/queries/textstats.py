@@ -690,3 +690,83 @@ def f16_term_extraction(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- PII scrub ---------------------------------------------------------------
+
+# Patterns deliberately restricted to syntax with IDENTICAL semantics in
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, \b word boundaries — no lookaround, no backreferences.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def scrub_pii(docs):
+    """PII detection + redaction core — the pre-training scrub stage a
+    large-scale text pipeline runs before the corpus ships.  The
+    synthetic corpus carries no PII, so the op DEFINES a deterministic
+    augmentation (doc_id-derived emails/phones appended identically on
+    both engines) and then detects and redacts it; the oracle checks
+    count parity AND full redacted-string equality, which pins the
+    regex semantics across engines.
+
+    100 TB shape: pure per-row column expressions (regexp_count /
+    regexp_replace inside whole-stage codegen) — no shuffle, no UDF, no
+    state; the ORDER BY exists only for oracle determinism."""
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" cc admin"), did.cast("string"),
+                     F.lit("@corp.example.org")),
+        ).otherwise(F.lit("")),
+        F.lit(" or call 555-"), (did % 900 + 100).cast("string"),
+        F.lit("-"),
+        F.lpad(((did * 7) % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select("doc_id", pii_text.alias("pii_text"))
+    return aug.select(
+        "doc_id",
+        F.regexp_count("pii_text", F.lit(PII_EMAIL_RE))
+        .cast("long").alias("n_emails"),
+        F.regexp_count("pii_text", F.lit(PII_PHONE_RE))
+        .cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("pii_text", PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>",
+        ).alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "pii_scrub",
+    sql=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' cc admin' || doc_id || '@corp.example.org'
+                          ELSE '' END
+                  || ' or call 555-' || (doc_id % 900 + 100) || '-'
+                  || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+               AS pii_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '{PII_EMAIL_RE}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(pii_text, '{PII_PHONE_RE}'))
+                AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(pii_text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g'
+           ) AS clean_text
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """Registry wrapper over the shared PII-scrub core."""
+    return scrub_pii(load(spark, sf_dir, "documents"))
