@@ -173,3 +173,82 @@ def test_registry_query_shapes(spark):
         assert sum(r["is_best"] for r in grp) <= 1
         assert len({r["engine"] for r in grp}) == len(grp)
         assert all(r["variant"] == grp[0]["variant"] for r in grp)
+
+
+MULTILINE_HTML = """<html><body>
+<p>Patient presented with acute symptoms and was advised
+bed rest for two weeks following the initial consultation.</p>
+<div>Dosage was adjusted to 20mg twice daily after the follow-up visit showed improvement.</div>
+</body></html>"""
+
+MINIFIED_HTML = (
+    "<html><body><p>Alpha paragraph content here one.</p>"
+    "<p>Beta paragraph content here two.</p>"
+    "<p>Gamma paragraph content here three.</p></body></html>"
+)
+
+PSEUDO_LAYOUT_PLAIN = (
+    "First real sentence of the note goes here.\n"
+    "20;90;400;120;0.8|Relaxed separator line content here\n"
+    "Last sentence closes the note today."
+)
+
+
+def test_multiline_html_block_not_duplicated():
+    """Round-3 review regression: a <p> spanning two payload lines must
+    appear ONCE in the ensemble output — the html block spans its full
+    source-line range and the containment dedup absorbs the heavy
+    engine's per-line copies (anchoring only to the first line left
+    lines 2..n spatially disjoint and duplicated the content)."""
+    merged, _ = extract_turn_ensemble(MULTILINE_HTML)
+    for probe in ("Patient presented with acute",
+                  "bed rest for two weeks",
+                  "Dosage was adjusted to 20mg"):
+        assert merged.text_final.count(probe) == 1, probe
+
+
+def test_minified_html_single_line_not_duplicated_and_ordered():
+    """Minified one-line HTML: every DOM block anchors at line 0 and the
+    heavy engine reads the whole document as one line — containment must
+    collapse to exactly one copy of each paragraph, in document order."""
+    merged, _ = extract_turn_ensemble(MINIFIED_HTML)
+    text = merged.text_final
+    for probe in ("Alpha paragraph", "Beta paragraph", "Gamma paragraph"):
+        assert text.count(probe) == 1, probe
+    assert text.index("Alpha") < text.index("Beta") < text.index("Gamma")
+
+
+def test_plain_family_excludes_relaxed_engine():
+    """Round-3 review regression: a plain-prose line that happens to
+    match layout coordinate syntax must not be double-extracted (the
+    relaxed layout engine is unhealthy for the plain/html families —
+    it reads prose as geometry at undedupable real-bbox coordinates)."""
+    engines, variant, _ = run_engines(PSEUDO_LAYOUT_PLAIN)
+    assert variant == "plain"
+    assert [n for n, _ in engines] == ["plain", "heavy"]
+    merged, _ = extract_turn_ensemble(PSEUDO_LAYOUT_PLAIN)
+    assert merged.text_final.count("Relaxed separator line content here") == 1
+
+
+def test_containment_dedup_preserves_distinct_repeats():
+    """The containment pass must NOT collapse a genuine repeat: the same
+    phrase at two distinct document positions survives twice (the
+    vertical-overlap guard), while a contained copy at the same
+    position is dropped."""
+    from medical_ocr_pipeline_spark.core.ensemble import _containment_dedup
+
+    blocks = [
+        # long block spanning lines 0-1 (y 0..200 of a 1000-high page)
+        {"text": "alpha beta gamma delta", "confidence": 0.95,
+         "bbox": [0.0, 0.0, 612.0, 200.0], "source": "html"},
+        # per-line copy inside the span -> contained, dropped
+        {"text": "alpha beta", "confidence": 0.6,
+         "bbox": [0.0, 0.0, 612.0, 100.0], "source": "heavy"},
+        # same words far away -> genuine repeat, kept
+        {"text": "alpha beta", "confidence": 0.6,
+         "bbox": [0.0, 800.0, 612.0, 900.0], "source": "heavy"},
+    ]
+    out = _containment_dedup(blocks)
+    texts = [b["text"] for b in out]
+    assert texts == ["alpha beta gamma delta", "alpha beta"]
+    assert out[1]["bbox"][1] == 800.0
