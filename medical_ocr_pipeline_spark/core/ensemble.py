@@ -43,10 +43,14 @@ cross-OCR overlap on the reference's real page coordinates.
 Cross-GRANULARITY overlap (a multi-line DOM paragraph vs the heavy
 engine's per-line copies of it, or a minified one-line document where
 the heavy engine reads everything as one line) cannot pass the fuzzy
-test — whole vs part — so merge_ensemble additionally applies a
-containment dedup: a block whose normalized text is a substring of a
-vertically-overlapping longer block is dropped before the union is
-handed to finish_extract.
+test — whole vs part — so for the html/plain families merge_ensemble
+additionally applies a containment dedup (_containment_mask): visiting
+blocks highest-confidence first, a candidate that spatially co-locates
+with a kept block (>= half of the smaller extent on both axes) and
+whose entity+whitespace-normalized text contains or is contained in the
+kept block's is dropped before the union reaches finish_extract.  The
+layout family is exempt — real geometry, where same-band adjacent cells
+legitimately hold substring-related text.
 """
 
 from __future__ import annotations
@@ -98,75 +102,101 @@ def run_engines(payload: str) -> tuple[list[tuple[str, list[dict]]], str, int]:
 _WS_RE = re.compile(r"\s+")
 
 
-def _containment_dedup(blocks: list[dict]) -> list[dict]:
-    """Cross-granularity dedup for the ensemble union: drop a block whose
-    whitespace-normalized lowercase text is CONTAINED in a longer block
-    that vertically covers >= half of the candidate's own span.
+def _containment_mask(blocks: list[dict]) -> list[bool]:
+    """Cross-granularity dedup mask for the SYNTHETIC line-anchored
+    families (html/plain): J1 (IoU + fuzzy >= 0.92) absorbs
+    same-granularity overlap only — a multi-line DOM paragraph vs the
+    heavy engine's per-line copies, or a minified document the heavy
+    engine reads as one whole-line block, is whole-vs-part and never
+    fuzzy-similar, so without this pass the same content ships twice in
+    text_final.
 
-    J1 (IoU + fuzzy >= 0.92) absorbs same-granularity overlap only — a
-    multi-line DOM paragraph vs the heavy engine's per-line copies of it
-    is whole-vs-part, never fuzzy-similar, so without this pass the same
-    content ships twice in text_final.  The vertical-overlap guard keeps
-    genuine repeats (the same phrase at two distinct places in the
-    document) intact.  Greedy from the longest text so the superset block
-    survives and every contained copy drops; output preserves input
-    order (finish_extract's J1 re-sorts spatially anyway)."""
-    if len(blocks) < 2:
-        return blocks
+    Rule (J1's own confidence priority extended across granularity):
+    blocks are visited highest-confidence first; a candidate is dropped
+    when an already-kept block spatially co-locates with it (>= half of
+    the smaller extent overlapped on BOTH axes) and either text CONTAINS
+    the other after whitespace + HTML-entity normalization (the DOM walk
+    unescapes charrefs, the heavy tag-strip does not — without
+    html.unescape here an '&amp;' paragraph dodges the substring test
+    and duplicates).  Dropping the lower-confidence side of a
+    containment pair means a heavy whole-line superset never displaces
+    gated-in native blocks (it is the same region read worse, with
+    boilerplate glued on); its genuinely co-located surplus is the
+    boilerplate the native engine deliberately dropped.  The two-axis
+    overlap guard keeps genuine repeats (the same phrase at two distinct
+    document positions) intact.
+
+    NOT applied to the layout family: its engines share REAL page
+    geometry where horizontally adjacent same-band cells legitimately
+    hold substring-related text (e.g. table columns 'patient name' |
+    'name'), and strict/relaxed emit identical bboxes for shared lines
+    so J1 alone is sound there."""
+    n = len(blocks)
+    if n < 2:
+        return [True] * n
+    import html as _html
+
     norm = [
-        _WS_RE.sub(" ", (b.get("text") or "")).strip().lower()
+        _WS_RE.sub(" ", _html.unescape(b.get("text") or "")).strip().lower()
         for b in blocks
     ]
     order = sorted(
-        range(len(blocks)),
+        range(n),
         key=lambda i: (
-            -len(norm[i]),
             -(blocks[i].get("confidence", 1.0)),
+            -len(norm[i]),
             blocks[i]["bbox"][1],
             blocks[i]["bbox"][0],
         ),
     )
+    keep = [True] * n
     kept_idx: list[int] = []
-    dropped: set[int] = set()
     for i in order:
         bi = blocks[i]["bbox"]
         hi = max(bi[3] - bi[1], 1e-6)
-        contained = False
-        for j in kept_idx:
-            if len(norm[i]) > len(norm[j]):
-                continue
-            bj = blocks[j]["bbox"]
-            overlap = min(bi[3], bj[3]) - max(bi[1], bj[1])
-            if overlap / hi < 0.5:
-                continue
-            if norm[i] and norm[i] in norm[j]:
-                contained = True
-                break
-        if contained:
-            dropped.add(i)
-        else:
+        wi = max(bi[2] - bi[0], 1e-6)
+        if not norm[i]:
             kept_idx.append(i)
-    if not dropped:
-        return blocks
-    return [b for k, b in enumerate(blocks) if k not in dropped]
+            continue
+        for j in kept_idx:
+            bj = blocks[j]["bbox"]
+            ov_y = min(bi[3], bj[3]) - max(bi[1], bj[1])
+            if ov_y / min(hi, max(bj[3] - bj[1], 1e-6)) < 0.5:
+                continue
+            ov_x = min(bi[2], bj[2]) - max(bi[0], bj[0])
+            if ov_x / min(wi, max(bj[2] - bj[0], 1e-6)) < 0.5:
+                continue
+            if norm[j] and (norm[i] in norm[j] or norm[j] in norm[i]):
+                keep[i] = False
+                break
+        if keep[i]:
+            kept_idx.append(i)
+    return keep
 
 
 def merge_ensemble(
     engines: list[tuple[str, list[dict]]],
     native_len_gate: int = NATIVE_LEN_GATE_CHARS,
+    containment: bool = True,
 ) -> tuple[list[dict], list[dict]]:
-    """Union of all engine outputs with the native gate (P4) and the
-    cross-granularity containment dedup, plus the per-engine A5-style
-    metrics with the J8 argmax `is_best` flag.
+    """Union of all engine outputs with the native gate (P4) and — for
+    the synthetic line-anchored families — the cross-granularity
+    containment dedup, plus the per-engine A5-style metrics with the J8
+    argmax `is_best` flag.
 
     Returns (union_blocks, metrics).  metrics rows:
-      {engine, n_blocks, n_chars, mean_conf, gated_out, is_best}
-    Best engine = argmax over union participants by (n_chars, mean_conf,
-    engine name) — the reference's best-engine pick re-expressed on the
-    per-engine traceability rows.
-    """
+      {engine, n_blocks, n_chars, n_chars_kept, mean_conf, gated_out,
+       is_best}
+    n_blocks/n_chars/mean_conf describe the engine's RAW output (the
+    reference's per-engine traceability lists); n_chars_kept counts only
+    the blocks that survive into the shipped union, and the best-engine
+    argmax ranks by (n_chars_kept, mean_conf, name) — crediting an
+    engine for content the dedup then drops would systematically award
+    is_best to the heavy engine for re-reading what native already
+    extracted."""
     metrics: list[dict] = []
     union: list[dict] = []
+    owner: list[int] = []  # union index -> metrics position
     for pos, (name, blocks) in enumerate(engines):
         n_chars = sum(len(b["text"]) for b in blocks)
         mean_conf = (
@@ -180,20 +210,26 @@ def merge_ensemble(
             "engine": name,
             "n_blocks": len(blocks),
             "n_chars": n_chars,
+            "n_chars_kept": 0,
             "mean_conf": mean_conf,
             "gated_out": gated_out,
             "is_best": False,
         })
         if not gated_out:
             union.extend(blocks)
+            owner.extend([pos] * len(blocks))
+    mask = _containment_mask(union) if containment else [True] * len(union)
+    for b, pos, kept in zip(union, owner, mask):
+        if kept:
+            metrics[pos]["n_chars_kept"] += len(b["text"])
     contenders = [m for m in metrics if not m["gated_out"] and m["n_blocks"]]
     if contenders:
         best = max(
             contenders,
-            key=lambda m: (m["n_chars"], m["mean_conf"], m["engine"]),
+            key=lambda m: (m["n_chars_kept"], m["mean_conf"], m["engine"]),
         )
         best["is_best"] = True
-    return _containment_dedup(union), metrics
+    return [b for b, kept in zip(union, mask) if kept], metrics
 
 
 def extract_turn_ensemble(payload: str, enable_fuzzy: bool = True):
@@ -211,7 +247,9 @@ def extract_turn_ensemble(payload: str, enable_fuzzy: bool = True):
     from medical_ocr_pipeline_spark.core.extract import finish_extract
 
     engines, variant, parse_failures = run_engines(payload)
-    union, metrics = merge_ensemble(engines)
+    union, metrics = merge_ensemble(
+        engines, containment=variant in ("html", "plain")
+    )
     k = sum(1 for m in metrics if not m["gated_out"] and m["n_blocks"])
     result, gated, final_blocks = finish_extract(
         union, f"{variant}+ens{k}", parse_failures, payload,

@@ -57,24 +57,30 @@ class _MainContentParser(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        # (text, chars, link_chars, line_first, line_last) — 0-based
-        # payload lines of the block's first and last text chunks (getpos
-        # while buffering), used by the ensemble's line-anchored
-        # coordinate system; parse_html ignores them
-        self.blocks: list[tuple[str, int, int, int, int]] = []
+        # (text, chars, link_chars, line_first, line_last, col_first,
+        # col_end) — 0-based payload lines/columns of the block's first
+        # and last text chunks (getpos while buffering), used by the
+        # ensemble's line-anchored coordinate system; parse_html ignores
+        # them.  col_end is approximate when charref conversion shortens
+        # a chunk — the ensemble only needs ordering and overlap, not
+        # exact glyph extents.
+        self.blocks: list[tuple[str, int, int, int, int, int, int]] = []
         self._drop_depth = 0
         self._link_depth = 0
         self._buf: list[str] = []
         self._link_chars = 0
         self._block_line = 0
         self._block_line_last = 0
+        self._block_col = 0
+        self._block_col_end = 0
 
     def _flush(self) -> None:
         raw = "".join(self._buf)
         text = _WS_RE.sub(" ", raw).strip()
         if len(text) >= _MIN_BLOCK_CHARS:
             self.blocks.append((text, len(text), self._link_chars,
-                                self._block_line, self._block_line_last))
+                                self._block_line, self._block_line_last,
+                                self._block_col, self._block_col_end))
         self._buf = []
         self._link_chars = 0
 
@@ -104,14 +110,23 @@ class _MainContentParser(HTMLParser):
         if self._drop_depth:
             return
         if data.strip():
-            line0 = self.getpos()[0] - 1  # 0-based line where chunk starts
+            line0, col0 = self.getpos()
+            line0 -= 1  # 0-based line where chunk starts
             # a chunk may itself span lines: attribute first/last text to
             # the first/last non-blank segment
             segs = data.splitlines()
             txt_idx = [i for i, s in enumerate(segs) if s.strip()]
             if not "".join(self._buf).strip():
                 self._block_line = line0 + txt_idx[0]  # first text of block
+                first = segs[txt_idx[0]]
+                lead = len(first) - len(first.lstrip())
+                self._block_col = (col0 if txt_idx[0] == 0 else 0) + lead
             self._block_line_last = line0 + txt_idx[-1]
+            last = segs[txt_idx[-1]]
+            self._block_col_end = (
+                col0 + len(data) if len(segs) == 1
+                else len(last.rstrip())
+            )
         self._buf.append(data)
         if self._link_depth:
             self._link_chars += len(data.strip())
@@ -174,7 +189,7 @@ def parse_html(payload: str) -> list[dict]:
     except Exception:
         pass
     kept = []
-    for text, chars, link_chars, _first, _last in p.blocks:
+    for text, chars, link_chars, *_pos in p.blocks:
         density = link_chars / chars if chars else 1.0
         if density <= _LINK_DENSITY_MAX:
             kept.append(text)
@@ -197,21 +212,35 @@ def parse_html_anchored(payload: str) -> list[dict]:
         p.close()
     except Exception:
         pass
-    total = len(payload.splitlines())
+    lines = payload.splitlines()
+    total = len(lines)
     if total <= 0:
         return []
     slice_h = PAGE_H / total
     out = []
-    for text, chars, link_chars, first, last in p.blocks:
+    for text, chars, link_chars, first, last, col0, col1 in p.blocks:
         density = link_chars / chars if chars else 1.0
         if density > _LINK_DENSITY_MAX:
             continue
         i0 = min(max(first, 0), total - 1)
         i1 = min(max(last, i0), total - 1)
+        # single-line blocks get column-proportional x extents so several
+        # blocks sharing one source line (minified markup) keep document
+        # order under the final (y, x) spatial sort and stay spatially
+        # disjoint from EACH OTHER while still overlapping the heavy
+        # engine's full-width copy of the line; multi-line blocks own
+        # their lines and span the full width
+        x0, x1 = 0.0, PAGE_W
+        if i0 == i1:
+            ll = max(len(lines[i0]), 1)
+            x0 = min(max(col0, 0), ll) / ll * PAGE_W
+            x1 = min(max(col1, col0 + 1), ll) / ll * PAGE_W
+            if x1 <= x0:
+                x1 = min(PAGE_W, x0 + 1.0)
         out.append({
             "text": text,
             "confidence": 0.95,
-            "bbox": [0.0, i0 * slice_h, PAGE_W,
+            "bbox": [x0, i0 * slice_h, x1,
                      min(PAGE_H, (i1 + 1) * slice_h)],
             "source": "html",
         })

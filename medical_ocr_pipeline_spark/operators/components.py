@@ -92,12 +92,31 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         .unionByName(edges.selectExpr("dst AS a", "src AS b"))
         .distinct()
     )
+    try:
+        return _propagate(sym, max_iter, _truncate, _drop_round)
+    finally:
+        # the restore must survive the non-convergence RuntimeError and
+        # any mid-loop Spark failure — otherwise the context's GLOBAL
+        # checkpoint dir is left pointing inside {checkpoint_dir}/
+        # cc_rounds/round_N, a directory the caller is told to delete.
+        # Note: setCheckpointDir appends a random UUID, so restore_dir
+        # is the prior dir's UUID-resolved path and re-setting it nests
+        # one more UUID level under the original — functionally sound
+        # (later checkpoints still land under the caller's original
+        # base), just one directory deeper per pass through this path.
+        if restore_dir is not None:
+            sc.setCheckpointDir(restore_dir)
+
+
+def _propagate(sym, max_iter, _truncate, _drop_round):
+    """Min-label + pointer-jumping loop, split out so the caller's
+    try/finally checkpoint-dir restore wraps every exit path."""
+    changed = -1
     labels = (
         sym.select(F.col("a").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
     )
-    changed = -1
     for it in range(max_iter):
         # each vertex adopts min(own label, neighbors' labels)
         neighbor_min = (
@@ -161,8 +180,6 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                 f"rounds ({would_change} labels still improvable); graph "
                 f"diameter exceeds 2^{max_iter} — raise max_iter"
             )
-    if restore_dir is not None:
-        sc.setCheckpointDir(restore_dir)
     return labels
 
 

@@ -653,7 +653,12 @@ def contamination_probe(docs):
     inverted-index pair enumeration, no shuffle of the corpus beyond the
     per-doc count.  Output: (doc_id, n_shingles, n_overlap,
     contamination_rate, contaminated) for every non-benchmark doc with
-    >= 3 words."""
+    >= 3 words.
+
+    The shingle frame is persist()ed without an unpersist (the same
+    deliberate pattern as ngram_jaccard_pairs): the returned plan is
+    lazy, so the cache must outlive this function, and cached blocks are
+    LRU-evictable — the session owns reclamation, not the query."""
     sh = _shingles_spark(docs).persist()
     is_bench = (F.col("doc_id") % CONTAM_BENCH_MOD) == CONTAM_BENCH_REM
     bench_sh = (

@@ -127,6 +127,7 @@ def ensemble_engine_metrics(spark, sf_dir):
         T.StructField("engine", T.StringType()),
         T.StructField("n_blocks", T.IntegerType()),
         T.StructField("n_chars", T.LongType()),
+        T.StructField("n_chars_kept", T.LongType()),
         T.StructField("mean_conf", T.DoubleType()),
         T.StructField("gated_out", T.BooleanType()),
         T.StructField("is_best", T.BooleanType()),
@@ -144,7 +145,8 @@ def ensemble_engine_metrics(spark, sf_dir):
                 for m in metrics:
                     rows.append((
                         conv_id, int(turn_idx), m["engine"], m["n_blocks"],
-                        m["n_chars"], round(m["mean_conf"], 4),
+                        m["n_chars"], m["n_chars_kept"],
+                        round(m["mean_conf"], 4),
                         m["gated_out"], m["is_best"], res.n_blocks,
                         res.variant,
                     ))

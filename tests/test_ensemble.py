@@ -94,18 +94,22 @@ def test_json_family_is_single_engine():
 
 
 def test_best_engine_argmax_deterministic():
-    """J8: best = argmax(n_chars, mean_conf, name) over union
-    participants; exactly one best flag whenever any engine yields."""
+    """J8: best = argmax(n_chars_kept, mean_conf, name) over union
+    participants — SURVIVING contribution, not raw output (crediting
+    containment-dropped re-reads would hand is_best to the heavy engine
+    for duplicating native content); exactly one best flag whenever any
+    engine yields."""
     for payload in (HTML, LAYOUT, "Short plain line here.\nAnd another."):
         _, metrics = extract_turn_ensemble(payload)
         contenders = [m for m in metrics
                       if not m["gated_out"] and m["n_blocks"]]
         assert sum(m["is_best"] for m in metrics) == (1 if contenders else 0)
         if contenders:
-            best = max(contenders, key=lambda m: (m["n_chars"],
+            best = max(contenders, key=lambda m: (m["n_chars_kept"],
                                                   m["mean_conf"],
                                                   m["engine"]))
             assert [m for m in metrics if m["is_best"]] == [best]
+            assert all(m["n_chars_kept"] <= m["n_chars"] for m in metrics)
 
 
 def test_empty_and_none_payloads():
@@ -233,9 +237,9 @@ def test_plain_family_excludes_relaxed_engine():
 def test_containment_dedup_preserves_distinct_repeats():
     """The containment pass must NOT collapse a genuine repeat: the same
     phrase at two distinct document positions survives twice (the
-    vertical-overlap guard), while a contained copy at the same
+    two-axis overlap guard), while a contained copy at the same
     position is dropped."""
-    from medical_ocr_pipeline_spark.core.ensemble import _containment_dedup
+    from medical_ocr_pipeline_spark.core.ensemble import _containment_mask
 
     blocks = [
         # long block spanning lines 0-1 (y 0..200 of a 1000-high page)
@@ -248,7 +252,58 @@ def test_containment_dedup_preserves_distinct_repeats():
         {"text": "alpha beta", "confidence": 0.6,
          "bbox": [0.0, 800.0, 612.0, 900.0], "source": "heavy"},
     ]
-    out = _containment_dedup(blocks)
-    texts = [b["text"] for b in out]
-    assert texts == ["alpha beta gamma delta", "alpha beta"]
-    assert out[1]["bbox"][1] == 800.0
+    assert _containment_mask(blocks) == [True, False, True]
+
+
+def test_containment_drops_lower_confidence_superset():
+    """Round-3 review #3: a low-confidence whole-line superset (the
+    heavy engine's read of a minified page) must NOT displace the
+    gated-in native blocks it merely concatenates — the lower-confidence
+    side of a containment pair drops, whichever is longer."""
+    from medical_ocr_pipeline_spark.core.ensemble import _containment_mask
+
+    blocks = [
+        {"text": "Alpha paragraph.", "confidence": 0.95,
+         "bbox": [10.0, 0.0, 200.0, 100.0], "source": "html"},
+        {"text": "Beta paragraph.", "confidence": 0.95,
+         "bbox": [250.0, 0.0, 440.0, 100.0], "source": "html"},
+        # whole-line tag-strip: contains both native blocks + junk
+        {"text": "Alpha paragraph. var tracker=99; Beta paragraph.",
+         "confidence": 0.6,
+         "bbox": [0.0, 0.0, 612.0, 100.0], "source": "heavy"},
+    ]
+    assert _containment_mask(blocks) == [True, True, False]
+
+
+def test_containment_entity_normalization():
+    """Round-3 review #2: the DOM walk unescapes charrefs, the heavy
+    tag-strip does not — containment must compare entity-normalized
+    text or an '&amp;' paragraph dodges the substring test and ships
+    twice."""
+    from medical_ocr_pipeline_spark.core.ensemble import _containment_mask
+
+    blocks = [
+        {"text": "symptoms & fever persisted overnight",
+         "confidence": 0.95, "bbox": [0.0, 0.0, 612.0, 100.0],
+         "source": "html"},
+        {"text": "symptoms &amp; fever persisted overnight",
+         "confidence": 0.6, "bbox": [0.0, 0.0, 612.0, 100.0],
+         "source": "heavy"},
+    ]
+    assert _containment_mask(blocks) == [True, False]
+
+
+def test_layout_family_exempt_from_containment():
+    """Round-3 review #1: real-geometry side-by-side cells in the same
+    y-band with substring-related text ('patient name' | 'name') must
+    BOTH survive — the layout family never enters the containment pass."""
+    payload = (
+        "10,100,200,150,0.9,tess|patient name\n"
+        "300,100,500,150,0.9,tess|name\n"
+        "10,200,500,250,0.9,tess|some other row content here\n"
+    )
+    merged, _ = extract_turn_ensemble(payload)
+    assert "patient name" in merged.text_final
+    # the standalone cell survives: 'name' once inside 'patient name'
+    # plus once for the cell itself (containment would leave only 1)
+    assert merged.text_final.count("name") == 2
