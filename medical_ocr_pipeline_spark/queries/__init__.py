@@ -40,6 +40,7 @@ _PROMOTE_TO_WINDOW = [
     "media_thumbnails_smoke",
     "contamination_check",
     "pii_scrub",
+    "quality_repetition",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

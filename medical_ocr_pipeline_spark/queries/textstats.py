@@ -770,3 +770,223 @@ def scrub_pii(docs):
 def pii_scrub(spark, sf_dir):
     """Registry wrapper over the shared PII-scrub core."""
     return scrub_pii(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filter (Gopher-style, Rae et al. 2021 Table A1)
+# ---------------------------------------------------------------------------
+
+# word n-gram as (g, glen): the joined gram string and the number of
+# word characters one occurrence covers (separators excluded, so the
+# fraction is over the same character universe as word_chars below).
+# Built with transform+slice instead of sequence(1, size-n+1) because
+# Spark's sequence(1, 0) yields the DESCENDING [1, 0], and ws[i] past
+# the end raises under ANSI mode; slice() is total on both counts.
+def _gram_expr(n: int) -> str:
+    return f"""
+      slice(
+        transform(ws, (x, i) -> struct(
+          concat_ws(' ', slice(ws, i + 1, {n})) AS g,
+          aggregate(slice(ws, i + 1, {n}), 0, (a, y) -> a + length(y))
+            AS glen)),
+        1, greatest(size(ws) - {n} + 1, 0))
+    """
+
+
+_REP_WS_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+# per-occurrence covered chars must agree between engines: DuckDB builds
+# grams from lead() windows over the exploded word stream
+_REP_WS_DUCK = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x != '')"
+)
+# Gopher drop thresholds: top 2-gram char fraction 0.20, duplicate
+# 5-gram char fraction 0.15 (applied to the ROUNDED fractions in both
+# engines so the boundary cannot disagree across float formatting)
+REP_TOP2_MAX = 0.20
+REP_DUP5_MAX = 0.15
+
+
+@register(
+    "quality_repetition",
+    sql=f"""
+    WITH ws AS (
+      SELECT doc_id,
+             unnest({_REP_WS_DUCK}) AS w,
+             generate_subscripts({_REP_WS_DUCK}, 1) AS pos
+      FROM documents
+    ),
+    base AS (
+      -- from the word LIST, not the exploded stream: a wordless doc
+      -- must still emit a row (n_words 0), matching Spark's base
+      SELECT doc_id, CAST(len(wl) AS BIGINT) AS n_words,
+             COALESCE(list_sum(list_transform(wl, x -> length(x))), 0)
+               AS word_chars
+      FROM (SELECT doc_id, {_REP_WS_DUCK} AS wl FROM documents)
+    ),
+    led AS (
+      SELECT doc_id, w,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
+             lead(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4
+      FROM ws
+    ),
+    bic AS (
+      SELECT doc_id, w || ' ' || w1 AS g,
+             length(w) + length(w1) AS glen, COUNT(*) AS c
+      FROM led WHERE w1 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    top2 AS (
+      SELECT doc_id, c AS top_bigram_count, c * glen AS top_chars
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+            FROM bic)
+      WHERE rn = 1
+    ),
+    fic AS (
+      SELECT doc_id,
+             w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS g,
+             length(w) + length(w1) + length(w2) + length(w3)
+               + length(w4) AS glen,
+             COUNT(*) AS c
+      FROM led WHERE w4 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    dup5 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dup_chars
+      FROM fic GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           CAST(COALESCE(t.top_bigram_count, 0) AS BIGINT)
+             AS top_bigram_count,
+           COALESCE(ROUND(COALESCE(t.top_chars, 0)
+                 / NULLIF(b.word_chars, 0), {R}), 0.0) AS top_bigram_frac,
+           COALESCE(ROUND(COALESCE(d.dup_chars, 0)
+                 / NULLIF(b.word_chars, 0), {R}), 0.0) AS dup_5gram_frac,
+           (COALESCE(ROUND(COALESCE(t.top_chars, 0)
+                  / NULLIF(b.word_chars, 0), {R}), 0.0) >= {REP_TOP2_MAX}
+            OR COALESCE(ROUND(COALESCE(d.dup_chars, 0)
+                     / NULLIF(b.word_chars, 0), {R}), 0.0)
+               >= {REP_DUP5_MAX})
+             AS repetitive
+    FROM base b
+    LEFT JOIN top2 t USING (doc_id)
+    LEFT JOIN dup5 d USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def quality_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filter (Rae et al. 2021, Table A1
+    of the Gopher paper; the reference's cleanup QA has no corpus-level
+    analogue — this is a training-data-pipeline op): per document, the
+    character fraction covered by the most frequent word 2-gram and by
+    all duplicated word 5-grams, with the published drop thresholds
+    (0.20 / 0.15).  Both fractions are over word characters (separators
+    excluded), computed from the same lowercased [^a-z0-9]+ split as the
+    tokenizer family.
+
+    Scale shape: SINGLE scan of (doc_id, text), everything per-doc and
+    array-side — grams are a narrow transform, duplicate counting is a
+    run-length walk over the array_sort()ed gram list, so the whole
+    query is shuffle-free except the presentation-order sort.  Both
+    metrics are per-document, so no groupBy is ever needed; at 100 TB
+    the job is embarrassingly parallel like the extraction path."""
+    return repetition_metrics(load(spark, sf_dir, "documents"))
+
+
+# run-length walks over array_sort()ed gram lists.  Accumulator fields:
+# pg/pl = current run's gram text and per-occurrence char length,
+# run = current run length; comparing x.g = a.pg with pg NULL (the
+# seed) is NULL, so the first element always takes the ELSE branch.
+# Ties on run length keep the FIRST (lexicographically smallest) gram
+# because the update requires strictly-greater — i.e. argmax by
+# (count desc, gram asc), mirroring the oracle's row_number order.
+_TOP_RUN_EXPR = """
+  aggregate(
+    array_sort({arr}),
+    named_struct('pg', CAST(NULL AS STRING), 'pl', 0, 'run', 0,
+                 'maxc', 0, 'bestlen', 0),
+    (a, x) -> CASE WHEN x.g = a.pg THEN
+        named_struct('pg', a.pg, 'pl', a.pl, 'run', a.run + 1,
+                     'maxc', a.maxc, 'bestlen', a.bestlen)
+      ELSE
+        named_struct('pg', x.g, 'pl', x.glen, 'run', 1,
+          'maxc', CASE WHEN a.run > a.maxc THEN a.run ELSE a.maxc END,
+          'bestlen', CASE WHEN a.run > a.maxc THEN a.pl
+                          ELSE a.bestlen END)
+      END,
+    a -> named_struct(
+      'c', CASE WHEN a.run > a.maxc THEN a.run ELSE a.maxc END,
+      'glen', CASE WHEN a.run > a.maxc THEN a.pl ELSE a.bestlen END))
+"""
+
+_DUP_RUN_EXPR = """
+  aggregate(
+    array_sort({arr}),
+    named_struct('pg', CAST(NULL AS STRING), 'pl', 0, 'run', 0,
+                 'dup', 0L),
+    (a, x) -> CASE WHEN x.g = a.pg THEN
+        named_struct('pg', a.pg, 'pl', a.pl, 'run', a.run + 1,
+                     'dup', a.dup)
+      ELSE
+        named_struct('pg', x.g, 'pl', x.glen, 'run', 1,
+          'dup', a.dup + CASE WHEN a.run > 1
+                              THEN CAST(a.run AS BIGINT) * a.pl
+                              ELSE 0L END)
+      END,
+    a -> a.dup + CASE WHEN a.run > 1
+                      THEN CAST(a.run AS BIGINT) * a.pl ELSE 0L END)
+"""
+
+
+def repetition_metrics(raw_docs):
+    """Shared core for quality_repetition: (doc_id, text) frame in,
+    per-doc repetition metrics + drop flag out (schema in the registry
+    docstring).  Wordless docs get 0.0 fractions, not NULL.
+
+    Pure per-row Catalyst: one projection computes word stats, the top
+    bigram (count + covered chars) and the duplicated-5-gram chars from
+    sorted gram arrays — no explode, no groupBy, no join."""
+    docs = raw_docs.select("doc_id", F.expr(_REP_WS_SPARK).alias("ws"))
+    per_doc = docs.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.expr("aggregate(ws, 0L, (a, y) -> a + length(y))")
+        .alias("word_chars"),
+        F.expr(_TOP_RUN_EXPR.format(arr=_gram_expr(2))).alias("t2"),
+        F.expr(_DUP_RUN_EXPR.format(arr=_gram_expr(5))).alias("dup_chars"),
+    )
+    top_frac = F.coalesce(
+        F.round(
+            F.try_divide(
+                (F.col("t2.c").cast("long") * F.col("t2.glen"))
+                .cast("double"),
+                F.nullif(F.col("word_chars"), F.lit(0)),
+            ),
+            R,
+        ),
+        F.lit(0.0),
+    )
+    dup_frac = F.coalesce(
+        F.round(
+            F.try_divide(
+                F.col("dup_chars").cast("double"),
+                F.nullif(F.col("word_chars"), F.lit(0)),
+            ),
+            R,
+        ),
+        F.lit(0.0),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("t2.c").cast("long").alias("top_bigram_count"),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_5gram_frac"),
+        (
+            (top_frac >= F.lit(REP_TOP2_MAX))
+            | (dup_frac >= F.lit(REP_DUP5_MAX))
+        ).alias("repetitive"),
+    ).orderBy("doc_id")

@@ -85,3 +85,50 @@ def test_pii_scrub_no_python_nodes(spark):
 
     df = REGISTRY["pii_scrub"].fn(spark, SF_DIR)
     assert not plan_has_python_node(df)
+
+
+def test_repetition_metrics_hand_computed(spark):
+    """Gopher repetition metrics pinned on hand-computable docs:
+    a pure 2-gram loop, a duplicated 5-gram, a distinct-word doc long
+    enough to clear both thresholds, and a wordless doc (0.0 fractions,
+    never NULL, still one output row)."""
+    from medical_ocr_pipeline_spark.queries.textstats import (
+        repetition_metrics,
+    )
+
+    rows = [
+        # 'aa bb' x3 of 5 bigrams; word_chars 12, top covers 3*4=12
+        (1, "aa bb aa bb aa bb"),
+        # 'a b c d e' twice among 16 5-grams; 20 1-char words
+        (2, "a b c d e a b c d e x y z w v u t s r q"),
+        # 18 distinct words, top bigram c=1; glen/word_chars < 0.20
+        (3, "one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen seventeen eighteen"),
+        (4, "   "),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in repetition_metrics(_docs(spark, rows)).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+
+    assert got[1]["n_words"] == 6
+    assert got[1]["top_bigram_count"] == 3
+    assert got[1]["top_bigram_frac"] == 1.0   # 12/12
+    assert got[1]["dup_5gram_frac"] == 0.0    # both 5-grams unique
+    assert got[1]["repetitive"]
+
+    assert got[2]["top_bigram_count"] == 2    # 'a b' twice
+    assert got[2]["dup_5gram_frac"] == 0.5    # 2*5 chars of 20
+    assert got[2]["repetitive"]
+
+    assert got[3]["top_bigram_count"] == 1
+    assert 0.0 < got[3]["top_bigram_frac"] < 0.20
+    assert got[3]["dup_5gram_frac"] == 0.0
+    assert not got[3]["repetitive"]
+
+    assert got[4]["n_words"] == 0
+    assert got[4]["top_bigram_count"] == 0
+    assert got[4]["top_bigram_frac"] == 0.0
+    assert got[4]["dup_5gram_frac"] == 0.0
+    assert not got[4]["repetitive"]

@@ -231,3 +231,19 @@ def test_partition_pruning_on_partitioned_stage(spark, tmp_path):
     assert "PartitionFilters" in plan and "event_type" in plan
     files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
     assert files and all("event_type=view" in f for f in files)
+
+
+def test_repetition_plan_is_single_scan_no_shuffle(spark):
+    """quality_repetition computes everything per-document array-side:
+    exactly one parquet scan, no joins, no Window, no groupBy exchange —
+    the only Exchange allowed is the presentation-order sort."""
+    from medical_ocr_pipeline_spark.queries import REGISTRY
+
+    plan = final_plan(REGISTRY["quality_repetition"].fn(spark, SF_DIR))
+    # the AQE toString repeats the tree under '== Initial Plan ==';
+    # assert on the final section only
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # AQE may split the final sort
