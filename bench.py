@@ -34,6 +34,10 @@ HEADLINE = [
     "corpus_keep_drop",
     "funnel_conversion",
     "tfidf_top_terms",
+    # round 3: Gopher repetition filter (single-scan, shuffle-free) —
+    # NOTE for cross-round total comparisons: this entry adds ~1-2 s to
+    # headline_queries_total vs BENCH_r02; compare per-query
+    "quality_repetition",
 ]
 
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
