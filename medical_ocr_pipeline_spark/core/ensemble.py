@@ -55,6 +55,7 @@ legitimately hold substring-related text.
 
 from __future__ import annotations
 
+import html as _html
 import re
 
 from medical_ocr_pipeline_spark.core.parse import (
@@ -134,8 +135,6 @@ def _containment_mask(blocks: list[dict]) -> list[bool]:
     n = len(blocks)
     if n < 2:
         return [True] * n
-    import html as _html
-
     norm = [
         _WS_RE.sub(" ", _html.unescape(b.get("text") or "")).strip().lower()
         for b in blocks
@@ -177,7 +176,7 @@ def _containment_mask(blocks: list[dict]) -> list[bool]:
 def merge_ensemble(
     engines: list[tuple[str, list[dict]]],
     native_len_gate: int = NATIVE_LEN_GATE_CHARS,
-    containment: bool = True,
+    containment: bool = False,
 ) -> tuple[list[dict], list[dict]]:
     """Union of all engine outputs with the native gate (P4) and — for
     the synthetic line-anchored families — the cross-granularity
@@ -193,7 +192,13 @@ def merge_ensemble(
     argmax ranks by (n_chars_kept, mean_conf, name) — crediting an
     engine for content the dedup then drops would systematically award
     is_best to the heavy engine for re-reading what native already
-    extracted."""
+    extracted.
+
+    containment defaults to FALSE because the pass is only sound for
+    the synthetic line-anchored families — callers must opt in per
+    family (extract_turn_ensemble passes variant in ('html', 'plain'));
+    a True default would hand layout-family callers the same-band
+    substring-cell collapse the family exemption exists to prevent."""
     metrics: list[dict] = []
     union: list[dict] = []
     owner: list[int] = []  # union index -> metrics position

@@ -776,35 +776,36 @@ def pii_scrub(spark, sf_dir):
 # Repetition-based quality filter (Gopher-style, Rae et al. 2021 Table A1)
 # ---------------------------------------------------------------------------
 
-# word n-gram as (g, glen): the joined gram string and the number of
-# word characters one occurrence covers (separators excluded, so the
-# fraction is over the same character universe as word_chars below).
-# Built with transform+slice instead of sequence(1, size-n+1) because
-# Spark's sequence(1, 0) yields the DESCENDING [1, 0], and ws[i] past
-# the end raises under ANSI mode; slice() is total on both counts.
+# word n-gram strings ('w1 w2 ... wn').  Built with transform+slice
+# instead of sequence(1, size-n+1) because Spark's sequence(1, 0)
+# yields the DESCENDING [1, 0], and ws[i] past the end raises under
+# ANSI mode; slice() is total on both counts.  The word characters one
+# occurrence covers (separators excluded) need no second fold: words
+# are non-empty [a-z0-9]+ runs joined by single spaces, so
+# glen == length(g) - (n - 1).
 def _gram_expr(n: int) -> str:
     return f"""
       slice(
-        transform(ws, (x, i) -> struct(
-          concat_ws(' ', slice(ws, i + 1, {n})) AS g,
-          aggregate(slice(ws, i + 1, {n}), 0, (a, y) -> a + length(y))
-            AS glen)),
+        transform(ws, (x, i) -> concat_ws(' ', slice(ws, i + 1, {n}))),
         1, greatest(size(ws) - {n} + 1, 0))
     """
 
 
-_REP_WS_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_REP_WS_SPARK = f"filter(split(lower(text), '{_WORD_SPLIT}'), x -> x != '')"
 # per-occurrence covered chars must agree between engines: DuckDB builds
 # grams from lead() windows over the exploded word stream
 _REP_WS_DUCK = (
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    f"list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),"
     " x -> x != '')"
 )
 # Gopher drop thresholds: top 2-gram char fraction 0.20, duplicate
-# 5-gram char fraction 0.15 (applied to the ROUNDED fractions in both
-# engines so the boundary cannot disagree across float formatting)
-REP_TOP2_MAX = 0.20
-REP_DUP5_MAX = 0.15
+# 5-gram char fraction 0.15.  Applied in exact integer basis points
+# (floor(chars * 10000 / word_chars), BIGINT division) — base.py's
+# header documents that ROUND(double) can disagree between Spark and
+# DuckDB within half an ulp of the boundary, so thresholds must never
+# compare rounded doubles
+REP_TOP2_MAX_BP = 2000
+REP_DUP5_MAX_BP = 1500
 
 
 @register(
@@ -857,24 +858,27 @@ REP_DUP5_MAX = 0.15
              SUM(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dup_chars
       FROM fic GROUP BY doc_id
     )
-    SELECT b.doc_id,
-           CAST(b.n_words AS BIGINT) AS n_words,
-           CAST(COALESCE(t.top_bigram_count, 0) AS BIGINT)
-             AS top_bigram_count,
-           COALESCE(ROUND(COALESCE(t.top_chars, 0)
-                 / NULLIF(b.word_chars, 0), {R}), 0.0) AS top_bigram_frac,
-           COALESCE(ROUND(COALESCE(d.dup_chars, 0)
-                 / NULLIF(b.word_chars, 0), {R}), 0.0) AS dup_5gram_frac,
-           (COALESCE(ROUND(COALESCE(t.top_chars, 0)
-                  / NULLIF(b.word_chars, 0), {R}), 0.0) >= {REP_TOP2_MAX}
-            OR COALESCE(ROUND(COALESCE(d.dup_chars, 0)
-                     / NULLIF(b.word_chars, 0), {R}), 0.0)
-               >= {REP_DUP5_MAX})
+    SELECT doc_id, n_words, top_bigram_count,
+           top_bp / 10000.0 AS top_bigram_frac,
+           dup_bp / 10000.0 AS dup_5gram_frac,
+           (top_bp >= {REP_TOP2_MAX_BP} OR dup_bp >= {REP_DUP5_MAX_BP})
              AS repetitive
-    FROM base b
-    LEFT JOIN top2 t USING (doc_id)
-    LEFT JOIN dup5 d USING (doc_id)
-    ORDER BY b.doc_id
+    FROM (
+      SELECT b.doc_id,
+             CAST(b.n_words AS BIGINT) AS n_words,
+             CAST(COALESCE(t.top_bigram_count, 0) AS BIGINT)
+               AS top_bigram_count,
+             CASE WHEN b.word_chars > 0
+                  THEN (COALESCE(t.top_chars, 0) * 10000) // b.word_chars
+                  ELSE 0 END AS top_bp,
+             CASE WHEN b.word_chars > 0
+                  THEN (COALESCE(d.dup_chars, 0) * 10000) // b.word_chars
+                  ELSE 0 END AS dup_bp
+      FROM base b
+      LEFT JOIN top2 t USING (doc_id)
+      LEFT JOIN dup5 d USING (doc_id)
+    )
+    ORDER BY doc_id
     """,
 )
 def quality_repetition(spark, sf_dir):
@@ -896,23 +900,24 @@ def quality_repetition(spark, sf_dir):
     return repetition_metrics(load(spark, sf_dir, "documents"))
 
 
-# run-length walks over array_sort()ed gram lists.  Accumulator fields:
-# pg/pl = current run's gram text and per-occurrence char length,
-# run = current run length; comparing x.g = a.pg with pg NULL (the
-# seed) is NULL, so the first element always takes the ELSE branch.
-# Ties on run length keep the FIRST (lexicographically smallest) gram
-# because the update requires strictly-greater — i.e. argmax by
-# (count desc, gram asc), mirroring the oracle's row_number order.
+# run-length walks over array_sort()ed gram-string lists.  Accumulator
+# fields: pg/pl = current run's gram text and its per-occurrence word
+# chars (length(g) - (n-1) separators), run = current run length;
+# comparing x = a.pg with pg NULL (the seed) is NULL, so the first
+# element always takes the ELSE branch.  Ties on run length keep the
+# FIRST (lexicographically smallest) gram because the update requires
+# strictly-greater — i.e. argmax by (count desc, gram asc), mirroring
+# the oracle's row_number order.
 _TOP_RUN_EXPR = """
   aggregate(
     array_sort({arr}),
     named_struct('pg', CAST(NULL AS STRING), 'pl', 0, 'run', 0,
                  'maxc', 0, 'bestlen', 0),
-    (a, x) -> CASE WHEN x.g = a.pg THEN
+    (a, x) -> CASE WHEN x = a.pg THEN
         named_struct('pg', a.pg, 'pl', a.pl, 'run', a.run + 1,
                      'maxc', a.maxc, 'bestlen', a.bestlen)
       ELSE
-        named_struct('pg', x.g, 'pl', x.glen, 'run', 1,
+        named_struct('pg', x, 'pl', length(x) - {sep}, 'run', 1,
           'maxc', CASE WHEN a.run > a.maxc THEN a.run ELSE a.maxc END,
           'bestlen', CASE WHEN a.run > a.maxc THEN a.pl
                           ELSE a.bestlen END)
@@ -927,11 +932,11 @@ _DUP_RUN_EXPR = """
     array_sort({arr}),
     named_struct('pg', CAST(NULL AS STRING), 'pl', 0, 'run', 0,
                  'dup', 0L),
-    (a, x) -> CASE WHEN x.g = a.pg THEN
+    (a, x) -> CASE WHEN x = a.pg THEN
         named_struct('pg', a.pg, 'pl', a.pl, 'run', a.run + 1,
                      'dup', a.dup)
       ELSE
-        named_struct('pg', x.g, 'pl', x.glen, 'run', 1,
+        named_struct('pg', x, 'pl', length(x) - {sep}, 'run', 1,
           'dup', a.dup + CASE WHEN a.run > 1
                               THEN CAST(a.run AS BIGINT) * a.pl
                               ELSE 0L END)
@@ -948,45 +953,46 @@ def repetition_metrics(raw_docs):
 
     Pure per-row Catalyst: one projection computes word stats, the top
     bigram (count + covered chars) and the duplicated-5-gram chars from
-    sorted gram arrays — no explode, no groupBy, no join."""
+    sorted gram arrays — no explode, no groupBy, no join.  Fractions
+    and the drop flag derive from exact integer basis points (BIGINT
+    floor division), so the engines can never disagree at a threshold
+    boundary; the reported doubles are bp/10000.0, identical IEEE
+    results in both engines."""
     docs = raw_docs.select("doc_id", F.expr(_REP_WS_SPARK).alias("ws"))
     per_doc = docs.select(
         "doc_id",
         F.size("ws").alias("n_words"),
         F.expr("aggregate(ws, 0L, (a, y) -> a + length(y))")
         .alias("word_chars"),
-        F.expr(_TOP_RUN_EXPR.format(arr=_gram_expr(2))).alias("t2"),
-        F.expr(_DUP_RUN_EXPR.format(arr=_gram_expr(5))).alias("dup_chars"),
+        F.expr(
+            _TOP_RUN_EXPR.format(arr=_gram_expr(2), sep=1)
+        ).alias("t2"),
+        F.expr(
+            _DUP_RUN_EXPR.format(arr=_gram_expr(5), sep=4)
+        ).alias("dup_chars"),
     )
-    top_frac = F.coalesce(
-        F.round(
-            F.try_divide(
-                (F.col("t2.c").cast("long") * F.col("t2.glen"))
-                .cast("double"),
-                F.nullif(F.col("word_chars"), F.lit(0)),
-            ),
-            R,
-        ),
-        F.lit(0.0),
-    )
-    dup_frac = F.coalesce(
-        F.round(
-            F.try_divide(
-                F.col("dup_chars").cast("double"),
-                F.nullif(F.col("word_chars"), F.lit(0)),
-            ),
-            R,
-        ),
-        F.lit(0.0),
-    )
-    return per_doc.select(
+    bp = per_doc.select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
         F.col("t2.c").cast("long").alias("top_bigram_count"),
-        top_frac.alias("top_bigram_frac"),
-        dup_frac.alias("dup_5gram_frac"),
+        F.expr(
+            "CASE WHEN word_chars > 0 THEN "
+            "(CAST(t2.c AS BIGINT) * t2.glen * 10000) DIV word_chars "
+            "ELSE 0L END"
+        ).alias("top_bp"),
+        F.expr(
+            "CASE WHEN word_chars > 0 THEN "
+            "(dup_chars * 10000) DIV word_chars ELSE 0L END"
+        ).alias("dup_bp"),
+    )
+    return bp.select(
+        "doc_id",
+        "n_words",
+        "top_bigram_count",
+        (F.col("top_bp") / F.lit(10000.0)).alias("top_bigram_frac"),
+        (F.col("dup_bp") / F.lit(10000.0)).alias("dup_5gram_frac"),
         (
-            (top_frac >= F.lit(REP_TOP2_MAX))
-            | (dup_frac >= F.lit(REP_DUP5_MAX))
+            (F.col("top_bp") >= F.lit(REP_TOP2_MAX_BP))
+            | (F.col("dup_bp") >= F.lit(REP_DUP5_MAX_BP))
         ).alias("repetitive"),
     ).orderBy("doc_id")
