@@ -14,6 +14,7 @@ from medical_ocr_pipeline_spark.queries import (  # noqa: F401
     similarity,
     temporal,
     textstats,
+    curation,
     dedup,
     misc,
     qa,
@@ -41,6 +42,9 @@ _PROMOTE_TO_WINDOW = [
     "contamination_check",
     "pii_scrub",
     "quality_repetition",
+    "quality_gopher_rules",
+    "span_boilerplate",
+    "token_budget_sample",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

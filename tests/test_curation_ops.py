@@ -132,3 +132,146 @@ def test_repetition_metrics_hand_computed(spark):
     assert got[4]["top_bigram_frac"] == 0.0
     assert got[4]["dup_5gram_frac"] == 0.0
     assert not got[4]["repetitive"]
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Each Gopher rule pinned by a doc that fails exactly that rule,
+    plus one doc that passes all five and an empty doc."""
+    from medical_ocr_pipeline_spark.queries.curation import gopher_rules
+
+    good = " ".join(
+        ["the", "a", "and"] + [f"word{i:02d}" for i in range(57)]
+    )  # 60 words, mean len in [3,10], all alpha, 3 stopwords
+    short = "the a quick brown fox jumps over lazy dogs now"  # 10 words
+    longwords = " ".join(
+        ["the", "a"] + ["supercalifragilistic"] * 58
+    )  # mean word length > 10
+    symbols = good + " " + "!@#$%^&*" * 2  # 16 symbols > 60/10
+    numeric = " ".join(
+        ["the", "a"] + [str(1000 + i) for i in range(58)]
+    )  # 2/60 alpha words < 80%
+    nostop = " ".join([f"word{i:02d}" for i in range(60)])  # 0 stopwords
+    rows = [
+        (1, good), (2, short), (3, longwords), (4, symbols),
+        (5, numeric), (6, nostop), (7, "   "),
+    ]
+    got = {r["doc_id"]: r for r in gopher_rules(_docs(spark, rows)).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
+
+    assert got[1]["keep"]
+    assert all(got[1][c] for c in (
+        "ok_word_count", "ok_mean_len", "ok_symbol_ratio", "ok_alpha",
+        "ok_stop"))
+    assert got[1]["n_words"] == 60
+
+    assert not got[2]["ok_word_count"] and not got[2]["keep"]
+    assert got[2]["ok_mean_len"] and got[2]["ok_alpha"]
+
+    assert not got[3]["ok_mean_len"] and not got[3]["keep"]
+    assert got[3]["mean_word_len"] > 10.0
+
+    assert not got[4]["ok_symbol_ratio"] and not got[4]["keep"]
+    assert got[4]["ok_word_count"]
+
+    assert not got[5]["ok_alpha"] and not got[5]["keep"]
+
+    assert not got[6]["ok_stop"] and not got[6]["keep"]
+    assert got[6]["ok_word_count"] and got[6]["ok_alpha"]
+
+    assert got[7]["n_words"] == 0 and not got[7]["keep"]
+    assert got[7]["mean_word_len"] == 0.0
+
+
+def test_gopher_rules_plan_single_scan(spark):
+    """The rule set is pure per-row Catalyst: no join, no aggregate, no
+    Python node — the only exchange is the presentation sort."""
+    from medical_ocr_pipeline_spark.pipeline import plan_has_python_node
+    from medical_ocr_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["quality_gopher_rules"].fn(spark, SF_DIR)
+    assert not plan_has_python_node(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_span_boilerplate_hand_computed(spark):
+    """Cross-doc span sharing flags both sharers; WITHIN-doc repeats do
+    not count (document frequency is distinct-doc based, the C4
+    semantic); spanless docs still emit a row."""
+    from medical_ocr_pipeline_spark.queries.curation import (
+        boilerplate_metrics,
+    )
+
+    rows = [
+        (1, "alpha beta gamma x1 x2"),   # 3 spans, 1 shared with doc 2
+        (2, "zz alpha beta gamma"),      # 2 spans, 1 shared with doc 1
+        (3, "p q r s"),                  # 2 spans, none shared
+        (4, "a b"),                      # too short: 0 spans
+        (5, "m n o m n o m n o"),        # span repeats ONLY within-doc
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_metrics(_docs(spark, rows)).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+
+    assert got[1]["n_spans"] == 3 and got[1]["n_boiler_spans"] == 1
+    assert got[1]["boiler_frac"] == 0.3333 and got[1]["flagged"]
+
+    assert got[2]["n_spans"] == 2 and got[2]["n_boiler_spans"] == 1
+    assert got[2]["boiler_frac"] == 0.5 and got[2]["flagged"]
+
+    assert got[3]["n_boiler_spans"] == 0 and not got[3]["flagged"]
+
+    assert got[4]["n_spans"] == 0 and got[4]["boiler_frac"] == 0.0
+    assert not got[4]["flagged"]
+
+    # 'm n o' occurs 3x in doc 5 but in only ONE distinct doc -> df=1
+    assert got[5]["n_boiler_spans"] == 0 and not got[5]["flagged"]
+
+
+def test_token_budget_sample_semantics(spark):
+    """The smallest language keeps everything (ppm = 1e6); larger
+    languages keep a hash-thresholded subset; the whole result is
+    deterministic across runs (no RNG)."""
+    from medical_ocr_pipeline_spark.queries.curation import (
+        budget_sample_summary,
+    )
+
+    rows = []
+    for i in range(4):   # small lang: 4 docs x 5 tokens
+        rows.append(("aa", i, "t1 t2 t3 t4 t5"))
+    for i in range(40):  # large lang: 40 docs x 10 tokens
+        rows.append(("bb", 100 + i, " ".join(f"w{j}" for j in range(10))))
+    docs = spark.createDataFrame(
+        rows, "lang string, doc_id int, text string"
+    )
+    out = {r["lang"]: r for r in budget_sample_summary(docs).collect()}
+    assert set(out) == {"aa", "bb"}
+
+    aa, bb = out["aa"], out["bb"]
+    assert aa["total_tokens"] == 20 and bb["total_tokens"] == 400
+    assert aa["keep_rate_ppm"] == 1_000_000
+    assert aa["kept_docs"] == 4 and aa["kept_tokens"] == 20
+    assert bb["keep_rate_ppm"] == 50_000  # 20 * 1e6 // 400
+    assert bb["kept_docs"] <= bb["n_docs"]
+    assert bb["kept_tokens"] <= bb["total_tokens"]
+
+    again = {r["lang"]: r for r in budget_sample_summary(docs).collect()}
+    assert {k: v.asDict() for k, v in out.items()} == {
+        k: v.asDict() for k, v in again.items()
+    }
+
+
+def test_token_budget_sample_plan_broadcasts_rates(spark):
+    """The per-lang rate frame must broadcast back to the keep pass (it
+    is tiny at any scale) — no sort-merge shuffle of the doc stream on
+    lang, which would funnel each language through one reducer."""
+    from medical_ocr_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["token_budget_sample"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
