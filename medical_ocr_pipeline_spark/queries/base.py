@@ -26,6 +26,13 @@ from dataclasses import dataclass
 
 ROUND_DIGITS = 4
 
+# md5-hex prefix -> 48-bit BIGINT, the engine-agreement-critical hash
+# used by the MinHash/SimHash/CDC families and the curation sampler.
+# ONE canonical template per engine (Spark conv() vs DuckDB 0x cast) so
+# a fix to substr length / signedness propagates everywhere.
+MD5_INT48_SPARK = "cast(conv(substr(md5({x}), 1, 12), 16, 10) as bigint)"
+MD5_INT48_DUCK = "CAST(('0x' || substr(md5({x}), 1, 12)) AS BIGINT)"
+
 
 @dataclass
 class QuerySpec:

@@ -30,17 +30,24 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from medical_ocr_pipeline_spark.queries.base import load, register
+from medical_ocr_pipeline_spark.queries.base import (
+    MD5_INT48_DUCK,
+    MD5_INT48_SPARK,
+    load,
+    register,
+)
 from medical_ocr_pipeline_spark.queries.textstats import (
     _REP_WS_DUCK,
     _REP_WS_SPARK,
     _TOKEN_RE,
     _gram_expr,
+    STOP_WORDS,
+    SYMBOL_RE_SPARK,
+    SYMBOL_RE_SQL,
 )
 
-_STOP_TUPLE = ("the", "a", "and", "of", "to", "in", "is", "for", "on",
-               "with")
-_STOP_SQL = "(" + ",".join(f"'{s}'" for s in _STOP_TUPLE) + ")"
+# DuckDB list literal of the canonical stop set (textstats.STOP_WORDS)
+_STOP_LIST_SQL = "[" + ",".join(f"'{s}'" for s in STOP_WORDS) + "]"
 
 # Gopher Table A1 bounds (document-level rules)
 GOPHER_MIN_WORDS = 50
@@ -58,7 +65,7 @@ GOPHER_MIN_STOP_HITS = 2  # >= 2 distinct stopwords present
     WITH t AS (
       SELECT doc_id,
              {_REP_WS_DUCK} AS ws,
-             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+             CAST(len(regexp_extract_all(text, '{SYMBOL_RE_SQL}'))
                   AS BIGINT) AS n_symbols
       FROM documents
     ),
@@ -70,7 +77,7 @@ GOPHER_MIN_STOP_HITS = 2  # >= 2 distinct stopwords present
              CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
                   AS BIGINT) AS n_alpha_words,
              CAST(len(list_intersect(list_distinct(ws),
-                                     [{_STOP_SQL[1:-1]}])) AS BIGINT)
+                                     {_STOP_LIST_SQL})) AS BIGINT)
                AS n_stop_hits
       FROM t
     )
@@ -89,14 +96,10 @@ GOPHER_MIN_STOP_HITS = 2  # >= 2 distinct stopwords present
              AND 5 * n_alpha_words >= {GOPHER_MIN_ALPHA_X5} * n_words
              AS ok_alpha,
            n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS ok_stop,
-           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-             AND n_words > 0
-             AND {GOPHER_MIN_MEAN_LEN} * n_words <= word_chars
-             AND word_chars <= {GOPHER_MAX_MEAN_LEN} * n_words
-             AND n_symbols * 10 <= {GOPHER_MAX_SYMBOL_X10} * n_words
-             AND 5 * n_alpha_words >= {GOPHER_MIN_ALPHA_X5} * n_words
-             AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}
-             AS keep
+           -- lateral alias reuse: keep is defined FROM the flags, so a
+           -- threshold tweak can never make them disagree
+           ok_word_count AND ok_mean_len AND ok_symbol_ratio
+             AND ok_alpha AND ok_stop AS keep
     FROM m ORDER BY doc_id
     """,
 )
@@ -120,12 +123,12 @@ def quality_gopher_rules(spark, sf_dir):
 def gopher_rules(raw_docs):
     """Shared core for quality_gopher_rules: (doc_id, text) frame in,
     per-doc rule verdicts out (schema in the registry docstring)."""
-    stop_arr = F.array(*[F.lit(s) for s in _STOP_TUPLE])
+    stop_arr = F.array(*[F.lit(s) for s in STOP_WORDS])
     t = raw_docs.select(
         "doc_id",
         F.expr(_REP_WS_SPARK).alias("ws"),
         F.size(
-            F.expr("regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)")
+            F.expr(f"regexp_extract_all(text, '{SYMBOL_RE_SPARK}', 0)")
         ).cast("long").alias("n_symbols"),
     )
     m = t.select(
@@ -302,15 +305,27 @@ def boilerplate_metrics(raw_docs):
     ).orderBy("doc_id")
 
 
-# md5-hex prefix -> 48-bit int, identical in Spark (conv) and DuckDB
-# (0x cast); same trick as the MinHash family (queries/dedup.py:25).
-_H_SPARK = (
-    "cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) "
-    "as bigint) % 1000000"
+# md5-hex prefix -> 48-bit int (canonical templates in base.py, shared
+# with the MinHash family), reduced to [0, 1e6) ppm buckets.
+_H_SPARK = MD5_INT48_SPARK.format(x="cast(doc_id as string)") + " % 1000000"
+_H_DUCK = MD5_INT48_DUCK.format(x="CAST(doc_id AS VARCHAR)") + " % 1000000"
+
+# Exact floor(mt * 1e6 / total) in pure BIGINT via split multiplication:
+# mt*1e6 = ((mt*1000) div t)*1000*t + ((mt*1000) mod t)*1000, so the ppm
+# is q1*1000 + (r1*1000) div t — no single product exceeds max(mt,t)*1000,
+# overflow-safe to ~9.2e15 tokens (petatoken-scale) per language where
+# the naive (mt * 1000000) form wraps at ~9.2e12 (only ~37 TB of text).
+_PPM_SPARK = (
+    "CASE WHEN total_tokens > 0 AND mt IS NOT NULL THEN "
+    "((mt * 1000) DIV total_tokens) * 1000 "
+    "+ (((mt * 1000) % total_tokens) * 1000) DIV total_tokens "
+    "ELSE 0L END"
 )
-_H_DUCK = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) "
-    "AS BIGINT) % 1000000"
+_PPM_DUCK = (
+    "CASE WHEN total_tokens > 0 AND mt IS NOT NULL THEN "
+    "((mt * 1000) // total_tokens) * 1000 "
+    "+ (((mt * 1000) % total_tokens) * 1000) // total_tokens "
+    "ELSE 0 END"
 )
 
 
@@ -329,10 +344,11 @@ _H_DUCK = (
              CAST(SUM(nt) AS BIGINT) AS total_tokens
       FROM d GROUP BY lang
     ),
-    m AS (SELECT CAST(MIN(total_tokens) AS BIGINT) AS mt FROM tot),
+    m AS (SELECT CAST(MIN(total_tokens) AS BIGINT) AS mt FROM tot
+          WHERE total_tokens > 0),
     r AS (
       SELECT lang, n_docs, total_tokens,
-             (mt * 1000000) // total_tokens AS keep_rate_ppm
+             {_PPM_DUCK} AS keep_rate_ppm
       FROM tot, m
     ),
     k AS (
@@ -352,10 +368,16 @@ def token_budget_sample(spark, sf_dir):
     language is sampled down to the SMALLEST language's token total —
     the uniform-mixing primitive of training-data pipelines.  The
     keep decision is hash(doc_id) mod 1e6 < keep_rate_ppm with
-    keep_rate_ppm = (min_total * 1e6) DIV lang_total, all exact BIGINT
-    — reproducible across engines, runs, and cluster sizes, unlike
-    RNG-seeded sampleBy (whose per-partition streams change with
-    partitioning).
+    keep_rate_ppm = floor(min_total * 1e6 / lang_total) computed by the
+    overflow-safe split-multiplication (_PPM_SPARK/_PPM_DUCK — exact
+    BIGINT to ~9.2e15 tokens per language) — reproducible across
+    engines, runs, and cluster sizes, unlike RNG-seeded sampleBy
+    (whose per-partition streams change with partitioning).
+
+    Edge semantics: min_total is taken over languages with AT LEAST
+    ONE token, so a bucket of whitespace-only docs cannot collapse the
+    whole sample to zero; zero-token languages themselves get ppm 0
+    (they contribute nothing a token budget could count).
 
     Scale shape: two scans of (lang, doc_id, text).  Scan 1 feeds a
     COMBINABLE groupBy(lang) token total (lang cardinality is tiny, so
@@ -385,12 +407,14 @@ def budget_sample_summary(raw_docs):
     tot = d.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("nt").alias("total_tokens")
     )
-    m = tot.agg(F.min("total_tokens").alias("mt"))
+    m = tot.filter(F.col("total_tokens") > 0).agg(
+        F.min("total_tokens").alias("mt")
+    )
     r = tot.crossJoin(F.broadcast(m)).select(
         "lang",
         "n_docs",
         "total_tokens",
-        F.expr("(mt * 1000000) DIV total_tokens").alias("keep_rate_ppm"),
+        F.expr(_PPM_SPARK).alias("keep_rate_ppm"),
     )
     k = (
         d.join(F.broadcast(r.select("lang", "keep_rate_ppm")), "lang")

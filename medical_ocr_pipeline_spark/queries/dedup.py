@@ -15,14 +15,22 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
+from medical_ocr_pipeline_spark.queries.base import (
+    MD5_INT48_DUCK,
+    MD5_INT48_SPARK,
+    ROUND_DIGITS,
+    load,
+    register,
+)
 
 R = ROUND_DIGITS
 _WORD_SPLIT = "[^a-z0-9]+"
 JACCARD_THR = 0.35
 N_HASHES = 16
-# md5-hex prefix -> int: identical in Spark (conv) and DuckDB (0x cast)
-_SPARK_H = "cast(conv(substr(md5({x}), 1, 12), 16, 10) as bigint)"
+# md5-hex prefix -> int: identical in Spark (conv) and DuckDB (0x cast);
+# canonical templates live in base.py (shared with queries/curation.py)
+_SPARK_H = MD5_INT48_SPARK
+_DUCK_H = MD5_INT48_DUCK
 # h_k(s) = ((2k+1) * (H48 mod p) + k) mod p with p = 2^31-1: products stay
 # under 2^36 (no bigint overflow in either engine) while the mod still
 # permutes shingle order per k (a plain multiply would be monotonic and
@@ -171,7 +179,7 @@ def ngram_jaccard_pairs(docs):
     sig AS (
       SELECT doc_id,
              [ list_min(list_transform(shingles,
-                 s -> ((1 + 2 * k) * (CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT)
+                 s -> ((1 + 2 * k) * ({MD5_INT48_DUCK.format(x="s")}
                        % 2147483647) + k) % 2147483647 )
                ) FOR k IN range(0, {N_HASHES}) ] AS sig
       FROM sh
@@ -275,7 +283,7 @@ def minhash_lsh_pairs(spark, sf_dir, bands: int = 4):
 
 @register(
     "dedup_simhash",
-    sql="""
+    sql=f"""
     WITH w AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -284,7 +292,7 @@ def minhash_lsh_pairs(spark, sf_dir, bands: int = 4):
     ), h AS (
       SELECT doc_id,
              list_transform(words,
-               w -> CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT)) AS hs
+               w -> {MD5_INT48_DUCK.format(x="w")}) AS hs
       FROM w WHERE len(words) > 0
     )
     SELECT doc_id,
@@ -434,8 +442,8 @@ CDC_FREQ_CAP = 50
                       '{_WORD_SPLIT}'), x -> x <> ''), 1) AS pos) u
     ), g AS (
       SELECT doc_id, word, pos,
-             COALESCE(SUM(CASE WHEN CAST(('0x' || substr(md5(word), 1, 12))
-                                    AS BIGINT) % {CDC_DIVISOR} = 0
+             COALESCE(SUM(CASE WHEN {MD5_INT48_DUCK.format(x="word")}
+                                    % {CDC_DIVISOR} = 0
                                THEN 1 ELSE 0 END)
                OVER (PARTITION BY doc_id ORDER BY pos
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

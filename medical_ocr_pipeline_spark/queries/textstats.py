@@ -157,7 +157,13 @@ def f10_token_counts(spark, sf_dir):
     )
 
 
-_STOP = "('the','a','and','of','to','in','is','for','on','with')"
+# Canonical quality-signal constants, shared with queries/curation.py —
+# edit HERE so f14's ratios and the Gopher rule set can never drift apart.
+STOP_WORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on",
+              "with")
+_STOP = "(" + ",".join(f"'{w}'" for w in STOP_WORDS) + ")"
+SYMBOL_RE_SQL = "[^A-Za-z0-9\\s]"  # DuckDB literal form
+SYMBOL_RE_SPARK = SYMBOL_RE_SQL.replace("\\", "\\\\")  # Spark expr literal
 
 
 @register(
@@ -166,7 +172,7 @@ _STOP = "('the','a','and','of','to','in','is','for','on','with')"
     WITH t AS (
       SELECT lang,
              length(text) AS n,
-             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS special,
+             len(regexp_extract_all(text, '{SYMBOL_RE_SQL}')) AS special,
              list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),
                          w -> w <> '') AS words
       FROM documents
@@ -189,19 +195,16 @@ def f14_quality_scores(spark, sf_dir):
     training-data quality-scoring triple.  An empty document contributes
     a NULL special_ratio (try_divide / NULLIF(n,0), skipped by AVG in
     both engines) rather than aborting the job under ANSI mode."""
-    stop_arr = F.array(
-        *[F.lit(s) for s in
-          ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")]
-    )
+    stop_arr = F.array(*[F.lit(s) for s in STOP_WORDS])
     words = F.filter(
         F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
     )
     t = load(spark, sf_dir, "documents").select(
         "lang",
         F.length("text").alias("n"),
-        F.size(F.expr("regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)")).alias(
-            "special"
-        ),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{SYMBOL_RE_SPARK}', 0)")
+        ).alias("special"),
         words.alias("words"),
     )
     return (

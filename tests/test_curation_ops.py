@@ -255,13 +255,48 @@ def test_token_budget_sample_semantics(spark):
     assert aa["keep_rate_ppm"] == 1_000_000
     assert aa["kept_docs"] == 4 and aa["kept_tokens"] == 20
     assert bb["keep_rate_ppm"] == 50_000  # 20 * 1e6 // 400
-    assert bb["kept_docs"] <= bb["n_docs"]
-    assert bb["kept_tokens"] <= bb["total_tokens"]
+
+    # pin bb's EXACT kept set against an independent python md5 walk —
+    # a wrong modulus / substr length / inverted comparison in the
+    # engine hash would satisfy mere <= bounds but not this
+    import hashlib
+
+    expected_bb = sum(
+        1 for i in range(100, 140)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        % 1_000_000 < 50_000
+    )
+    assert bb["kept_docs"] == expected_bb
+    assert bb["kept_tokens"] == 10 * expected_bb
+    assert 0 < expected_bb < 40  # the fixture actually discriminates
 
     again = {r["lang"]: r for r in budget_sample_summary(docs).collect()}
     assert {k: v.asDict() for k, v in out.items()} == {
         k: v.asDict() for k, v in again.items()
     }
+
+
+def test_token_budget_sample_zero_token_lang(spark):
+    """A language bucket of whitespace-only docs must NOT collapse the
+    budget to zero for every other language: min_total is computed over
+    token-bearing languages only, and the empty language keeps 0."""
+    from medical_ocr_pipeline_spark.queries.curation import (
+        budget_sample_summary,
+    )
+
+    rows = [
+        ("aa", 0, "one two three"),
+        ("aa", 1, "four five six"),
+        ("zz", 2, "   "),
+    ]
+    docs = spark.createDataFrame(
+        rows, "lang string, doc_id int, text string"
+    )
+    out = {r["lang"]: r for r in budget_sample_summary(docs).collect()}
+    assert out["aa"]["keep_rate_ppm"] == 1_000_000
+    assert out["aa"]["kept_docs"] == 2 and out["aa"]["kept_tokens"] == 6
+    assert out["zz"]["keep_rate_ppm"] == 0
+    assert out["zz"]["kept_docs"] == 0 and out["zz"]["kept_tokens"] == 0
 
 
 def test_token_budget_sample_plan_broadcasts_rates(spark):

@@ -24,6 +24,9 @@ QUERIES = [
     "corpus_keep_drop",      # two-phase prefix dedup + join
     "funnel_conversion",     # collect_list fold
     "cohort_retention",      # join + distinct count
+    "span_boilerplate",      # span document-frequency index + join-back
+    "token_budget_sample",   # hash-threshold sampling MUST not move with
+                             # partitioning (unlike RNG sampleBy)
 ]
 
 
