@@ -6,13 +6,15 @@ services (S2/S3, notebooks/01_extract_blocks.ipynb cell 4:67-73).  Our
 engine keeps the same shape Spark-native: a `binary` column + a metadata
 struct, decoded/feature-extracted inside Arrow batches.
 
-Decode kernels (round 2): REAL pure-python/numpy decoders for formats
-that need no external codec — PPM P6 / BMP 24-bit images and PCM WAV
-audio (stdlib `wave`) — produce genuine pixel/sample-derived features
-through `media_features(real_decode=True)`.  Formats that require
-external codecs (JPEG/PNG/MP3/video) still raise NotImplementedError at
-the same documented extension point; `deterministic_fake_decode` remains
-for plumbing tests that want payload-seeded reproducible rows.
+Decode kernels: REAL pure-python/numpy decoders — PPM P6 / BMP 24-bit,
+8-bit RGB(A) PNG (round 3, stdlib zlib), baseline JPEG (round 3,
+jpeg.py — from-scratch Huffman + IDCT codec) and PCM WAV audio (stdlib
+`wave`) — produce genuine pixel/sample-derived features through
+`media_features(real_decode=True)`.  Formats that require external
+codecs (progressive JPEG/MP3/video containers) still raise
+NotImplementedError at the same documented extension point;
+`deterministic_fake_decode` remains for plumbing tests that want
+payload-seeded reproducible rows.
 """
 
 from __future__ import annotations
@@ -193,18 +195,25 @@ def _decode_png(payload: bytes):
 
 
 def decode_image(payload: bytes):
-    """Pure-python image decode: PPM P6, 24-bit BMP, and 8-bit RGB/RGBA
-    PNG.  Returns (width, height, HxWx3 uint8 array).  Other formats
-    raise NotImplementedError — plug PIL/opencv here for JPEG etc."""
+    """Pure-python image decode: PPM P6, 24-bit BMP, 8-bit RGB/RGBA
+    PNG, and baseline JPEG (jpeg.py — stream-embedded Huffman/quant
+    tables, 4:4:4 / 4:2:0 / grayscale, restart intervals).  Returns
+    (width, height, HxWx3 uint8 array).  Progressive JPEG and other
+    formats raise NotImplementedError — plug PIL/opencv here."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from medical_ocr_pipeline_spark.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM P6 / 24-bit BMP / 8-bit RGB(A) PNG decode natively; "
-        "JPEG needs PIL/opencv wired into decode_image()"
+        "only PPM P6 / 24-bit BMP / 8-bit RGB(A) PNG / baseline JPEG "
+        "decode natively; other formats need PIL/opencv wired into "
+        "decode_image()"
     )
 
 
@@ -492,11 +501,12 @@ THUMB_SCHEMA = T.StructType([
 def media_thumbnails(media: DataFrame, out_w: int = 32,
                      out_h: int = 32) -> DataFrame:
     """Decode -> resize -> re-encode thumbnail stage for image rows,
-    Arrow-batched.  Real end-to-end for PPM, BMP, and (since the
-    stdlib-zlib decoder landed) 8-bit RGB/RGBA PNG payloads; rows whose
-    format needs an external codec (JPEG/...) are dropped with a
-    per-batch count rather than failing the stage (the reference's
-    per-engine timeout / failure-tolerance discipline, S4)."""
+    Arrow-batched.  Real end-to-end for PPM, BMP, 8-bit RGB/RGBA PNG
+    (stdlib-zlib decoder) and baseline JPEG (jpeg.py) payloads; rows
+    whose format still needs an external codec (progressive JPEG /
+    video stills) or arrive malformed are dropped per-row rather than
+    failing the stage (the reference's per-engine timeout /
+    failure-tolerance discipline, S4)."""
     import pandas as pd
 
     def run(batches):

@@ -88,11 +88,13 @@ def media_features_real(spark, sf_dir):
 @register("media_thumbnails_smoke")
 def media_thumbnails_smoke(spark, sf_dir):
     """Decode -> resize -> re-encode thumbnail stage over a deterministic
-    in-session media table covering all three native image codecs (PPM
-    P6, 8-bit RGB PNG, plus an undecodable JPEG row that must be dropped
-    per-row, never fatally).  Rows-only — the exact thumbnail bytes are
-    golden-pinned in tests (PNG and PPM twins of the same pixels must
-    produce identical thumbnails)."""
+    in-session media table covering the native image codecs (PPM P6,
+    8-bit RGB PNG, baseline JPEG from the round-3 from-scratch codec,
+    plus a MALFORMED JPEG row that must be dropped per-row, never
+    fatally).  Rows-only — the exact thumbnail bytes are golden-pinned
+    in tests (PNG and PPM twins of the same pixels must produce
+    identical thumbnails)."""
+    from medical_ocr_pipeline_spark.jpeg import encode_jpeg
     from medical_ocr_pipeline_spark.multimodal import (
         MEDIA_SCHEMA,
         decode_image,
@@ -109,6 +111,11 @@ def media_thumbnails_smoke(spark, sf_dir):
                      {**meta, "mime": "image/x-portable-pixmap"}))
         rows.append((f"png{i:03d}", "image", encode_png(decode_image(ppm)[2]),
                      {**meta, "mime": "image/png"}))
+    jw, jh = 4, 3
+    rows.append(("jpg000", "image",
+                 encode_jpeg(decode_image(_ppm(0))[2], quality=92),
+                 {"mime": "image/jpeg", "width": jw, "height": jh,
+                  "duration_ms": 0}))
     rows.append(("jpg_bad", "image", b"\xff\xd8\xff\xe0 not decodable",
                  {"mime": "image/jpeg", "width": 0, "height": 0,
                   "duration_ms": 0}))

@@ -200,10 +200,10 @@ def test_unsupported_formats_raise_not_implemented():
         real_decode_features,
     )
 
-    with pytest.raises(NotImplementedError):
+    # PNG and JPEG now decode natively (round 3): a magic number with a
+    # garbage body is a MALFORMED stream, not an unsupported format
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg garbage")
-    # PNG now decodes natively (round 3): a PNG signature with a garbage
-    # body is a MALFORMED png, not an unsupported format
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n garbage")
     with pytest.raises(NotImplementedError):
