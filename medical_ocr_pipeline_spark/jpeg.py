@@ -264,15 +264,12 @@ def encode_jpeg(arr, quality: int = 85, subsampling: str = "444",
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
 
+    # Base tables are in natural raster order (Annex K layout); the
+    # quantizer uses them as-is and DQT emission converts to zigzag.
     qy = _scale_quant(_QUANT_LUMA, quality)
     qc = _scale_quant(_QUANT_CHROMA, quality)
-    qy_tab = np.empty(64)
-    qc_tab = np.empty(64)
-    for i, z in enumerate(ZIGZAG):
-        qy_tab[z] = qy[i]
-        qc_tab[z] = qc[i]
-    qy_tab = qy_tab.reshape(8, 8)
-    qc_tab = qc_tab.reshape(8, 8)
+    qy_tab = np.array(qy, dtype=np.float64).reshape(8, 8)
+    qc_tab = np.array(qc, dtype=np.float64).reshape(8, 8)
 
     dc_l = _canonical_codes(*_DC_LUMA)
     ac_l = _canonical_codes(*_AC_LUMA)
@@ -338,9 +335,9 @@ def encode_jpeg(arr, quality: int = 85, subsampling: str = "444",
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xDB, bytes([0x00]) + bytes(qy))
+    out += _seg(0xDB, bytes([0x00]) + bytes(qy[z] for z in ZIGZAG))
     if not gray:
-        out += _seg(0xDB, bytes([0x01]) + bytes(qc))
+        out += _seg(0xDB, bytes([0x01]) + bytes(qc[z] for z in ZIGZAG))
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, hi, vi, tq in comps:
         sof += bytes([cid, hi << 4 | vi, tq])
@@ -458,8 +455,14 @@ def _decode_jpeg(payload: bytes):
     while i < n:
         if payload[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
-        marker = payload[i + 1]
-        i += 2
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them all, then read the code byte.
+        while i < n and payload[i] == 0xFF:
+            i += 1
+        if i >= n:
+            raise ValueError("truncated JPEG segment")
+        marker = payload[i]
+        i += 1
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
@@ -516,6 +519,14 @@ def _decode_jpeg(payload: bytes):
             if comps is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(comps):
+                # T.81 allows baseline multi-scan (one SOS per
+                # component); this decoder handles only the single
+                # interleaved scan every mainstream encoder emits.
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG "
+                    "not supported"
+                )
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 for comp in comps:
@@ -527,22 +538,41 @@ def _decode_jpeg(payload: bytes):
         # APPn / COM / others: skipped
     if scan is None or comps is None:
         raise ValueError("JPEG missing SOS/SOF")
+    if h == 0 or w == 0:
+        raise ValueError("JPEG zero frame dimension")
     for comp in comps:
         if comp[1] not in (1, 2) or comp[2] not in (1, 2):
             raise NotImplementedError(
                 f"sampling factors {comp[1]}x{comp[2]} not supported"
             )
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is non-interleaved —
+        # one 8x8 data unit per MCU in raster order, sampling factors
+        # ignored.  Normalize to 1x1 so the MCU loop matches.
+        comps[0][1] = comps[0][2] = 1
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    n_mcus = mcux * mcuy
+    # Sanity-bound the frame against the payload BEFORE allocating
+    # full-frame planes: every data unit costs >= 2 entropy bits
+    # (1-bit DC code + 1-bit EOB minimum), so a valid stream has at
+    # most 4 blocks per scan byte.  An 8x margin keeps every real
+    # file while rejecting tiny payloads that declare huge SOF
+    # dimensions (which would otherwise force a multi-GB allocation
+    # the media kernels' per-row ValueError tolerance can't catch).
+    n_blocks = n_mcus * sum(c[1] * c[2] for c in comps)
+    if n_blocks > 8 * len(payload) + 64:
+        raise ValueError(
+            "JPEG frame dimensions inconsistent with payload size"
+        )
     planes = [
         np.zeros((mcuy * 8 * vi, mcux * 8 * hi))
         for _cid, hi, vi, _tq, _td, _ta in comps
     ]
 
-    n_mcus = mcux * mcuy
     preds = [0] * len(comps)
     bits = None
     seg_idx = -1

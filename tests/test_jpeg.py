@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import struct
 
 import numpy as np
 import pytest
@@ -102,16 +103,17 @@ def test_decoder_fixture_goldens():
     """Decoded pixels of the committed fixtures are pinned — any
     decoder drift (IDCT, upsampling, color transform) fails here."""
     for name, dims, digest in [
-        ("tiny.jpg", (16, 11), "9f06ad922478cb36"),
-        ("tiny_420.jpg", (20, 14), "7b0a6b3fe2992334"),
-        ("tiny_gray.jpg", (9, 7), "337d7fec62fa56be"),
+        ("tiny.jpg", (16, 11), "6fc0c448a22b23c7"),
+        ("tiny_420.jpg", (20, 14), "fbee3e617efbc4c6"),
+        ("tiny_gray.jpg", (9, 7), "53e3a79059a832c4"),
     ]:
         w, h, rgb = decode_jpeg(_fixture(name))
         assert (w, h) == dims
         assert hashlib.sha256(rgb.tobytes()).hexdigest()[:16] == digest
-    # fidelity floor for the 444 fixture
+    # fidelity floor for the 444 fixture (tightened from 8 to 4 by the
+    # natural-vs-zigzag quant-table ordering fix)
     _, _, rgb = decode_jpeg(_fixture("tiny.jpg"))
-    assert np.abs(rgb.astype(int) - _synth(11, 16, 1).astype(int)).max() <= 8
+    assert np.abs(rgb.astype(int) - _synth(11, 16, 1).astype(int)).max() <= 4
 
 
 def test_malformed_streams_raise_value_error():
@@ -122,6 +124,91 @@ def test_malformed_streams_raise_value_error():
     ]:
         with pytest.raises(ValueError):
             decode_jpeg(payload)
+
+
+def test_effective_quant_table_is_annex_k():
+    """Regression: the encoder's effective natural-order luma table at
+    quality 50 must be exactly Annex K — a zigzag/natural ordering mixup
+    scrambles low/high-frequency quantization while still roundtripping
+    (decoder reads the same scrambled DQT), so only this pins it."""
+    good = _fixture("tiny.jpg")
+    i = good.find(b"\xff\xdb")
+    assert i > 0
+    # fixture is quality 90: Annex-K base scaled by (200-2*90)/100
+    vals = good[i + 5:i + 5 + 64]  # DQT payload after len+id byte
+    from medical_ocr_pipeline_spark.jpeg import ZIGZAG, _QUANT_LUMA
+    natural = [0] * 64
+    for k, z in enumerate(ZIGZAG):
+        natural[z] = vals[k]
+    expect = [min(255, max(1, (t * 20 + 50) // 100)) for t in _QUANT_LUMA]
+    assert natural == expect
+
+
+def test_huge_sof_dims_raise_value_error_before_allocating():
+    """Regression: a tiny payload declaring a 60000x60000 frame must be
+    rejected as ValueError (payload-size sanity bound), not attempt a
+    multi-GB plane allocation that MemoryErrors the whole Spark task."""
+    good = bytearray(_fixture("tiny.jpg"))
+    i = good.find(b"\xff\xc0")
+    struct_at = i + 5  # skip marker(2) + len(2) + precision(1)
+    good[struct_at:struct_at + 4] = (60000).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good))
+
+
+def test_zero_sof_dims_raise_value_error():
+    """Regression: width=0 or height=0 must raise, not return an empty
+    array that IndexErrors downstream in resize_rgb/media_thumbnails."""
+    good = bytearray(_fixture("tiny.jpg"))
+    i = good.find(b"\xff\xc0")
+    good[i + 5:i + 9] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good))
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """Regression: T.81 B.1.1.2 allows any number of 0xFF fill bytes
+    before a marker; inserting one must not derail header parsing."""
+    good = _fixture("tiny.jpg")
+    i = good.find(b"\xff\xdb")
+    padded = good[:i] + b"\xff" + good[i:]
+    w, h, rgb = decode_jpeg(padded)
+    _, _, base = decode_jpeg(good)
+    assert (w, h) == (16, 11) and np.array_equal(rgb, base)
+
+
+def test_multi_scan_sos_raises_not_implemented():
+    """Regression: a scan covering fewer components than the frame
+    (legal non-interleaved baseline) must raise NotImplementedError,
+    not silently interleave-decode garbage pixels."""
+    good = bytearray(_fixture("tiny.jpg"))
+    i = good.find(b"\xff\xda")
+    assert i > 0
+    # rewrite SOS to cover only component 1: len=8, ns=1, (cid=1,tt=0),
+    # spectral 0..63, ah/al 0
+    new_sos = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    old_len = struct.unpack(">H", good[i + 2:i + 4])[0]
+    patched = bytes(good[:i]) + new_sos + bytes(good[i + 2 + old_len:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(patched)
+
+
+def test_grayscale_with_221_sampling_decodes_non_interleaved():
+    """Regression: T.81 A.2.2 — a single-component scan is
+    non-interleaved (one data unit per MCU, sampling factors ignored).
+    A grayscale stream whose SOF declares h=v=2 must decode to the
+    same pixels as the h=v=1 encoding of the same image."""
+    img = _smooth(24, 33)
+    enc = bytearray(encode_jpeg(img, quality=95, subsampling="gray"))
+    _, _, base = decode_jpeg(bytes(enc))
+    i = enc.find(b"\xff\xc0")
+    # SOF comp spec starts at marker+2(len)+1(prec)+4(dims)+1(nc):
+    # [cid, hv, tq] — patch hv from 0x11 to 0x22
+    hv_at = i + 2 + 2 + 1 + 4 + 1 + 1
+    assert enc[hv_at] == 0x11
+    enc[hv_at] = 0x22
+    _, _, out = decode_jpeg(bytes(enc))
+    assert np.array_equal(out, base)
 
 
 def test_progressive_raises_not_implemented():
