@@ -15,6 +15,7 @@ from medical_ocr_pipeline_spark.queries import (  # noqa: F401
     temporal,
     textstats,
     curation,
+    webcur,
     dedup,
     misc,
     qa,
@@ -45,6 +46,10 @@ _PROMOTE_TO_WINDOW = [
     "quality_gopher_rules",
     "span_boilerplate",
     "token_budget_sample",
+    "url_canonicalize",
+    "host_cap_sample",
+    "quality_classifier",
+    "ccnet_buckets",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

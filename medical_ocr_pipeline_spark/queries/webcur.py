@@ -1,0 +1,478 @@
+"""Web-corpus curation queries — the URL / model-score half of the
+published training-data-pipeline rules (the text-rule half lives in
+curation.py, the dedup half in dedup.py):
+
+* ``url_canonicalize`` — URL canonicalization + canonical-URL exact
+  dedup, the FIRST dedup pass of every web pipeline (CCNet §3.1, C4,
+  RefinedWeb §3.2 run URL dedup before any content hashing): lowercase
+  scheme/host, strip default ports and ``www.``, drop fragments and
+  tracking parameters (``utm_*``/``fbclid``/``gclid``), sort the
+  surviving query parameters, fold ``/index.html`` into its directory.
+* ``host_cap_sample`` — per-host document cap (RefinedWeb-style domain
+  balancing): keep the K hash-smallest documents of every host, exact,
+  with a salted two-level rank so no single megahost ever concentrates
+  on one reducer, and an under-cap bypass so the (overwhelmingly
+  common) hosts with <= K docs never touch a sort at all.
+* ``quality_classifier`` — hashed-feature linear model SERVING (the
+  fastText-style quality filter of CCNet §3.3 / DCLM): token ->
+  hashing-trick bucket -> broadcast weight-table join -> per-doc
+  combinable sum.  The weight table here is hash-derived (deterministic
+  stand-in for trained weights — this sandbox trains nothing), but the
+  plan is exactly the production serving shape for ARBITRARY weights.
+* ``ccnet_buckets`` — CCNet §3.3 head/middle/tail assignment: per-
+  language score tertile cutoffs (tiny frame, broadcast back), then a
+  shuffle-free per-row bucket tag.  Value-based (equal scores share a
+  bucket), NOT ntile — rank-splitting ties is nondeterministic under
+  re-partitioning and an ntile window partitioned by language is a
+  5-partition sort at 100 TB.
+
+The documents table has no URL column, so the URL queries derive a
+deterministic messy URL per document from (source, lang, doc_id) —
+identically in both engines — and canonicalize THAT; the
+canonicalization core itself (`canonicalize_url_cols`) takes any URL
+column and is unit-tested on adversarial real-world shapes.
+
+Hash-match discipline (base.py): every score/threshold is exact BIGINT
+(basis points, nonnegative before any integer division so Spark DIV ==
+DuckDB //); the only float ops are single IEEE divisions / percentile
+interpolations that are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from medical_ocr_pipeline_spark.queries.base import (
+    MD5_INT48_DUCK,
+    MD5_INT48_SPARK,
+    load,
+    register,
+)
+from medical_ocr_pipeline_spark.queries.textstats import (
+    _REP_WS_DUCK,
+    _REP_WS_SPARK,
+)
+
+# ---------------------------------------------------------------------------
+# deterministic messy-URL derivation (same string in both engines)
+
+_RAW_URL_SPARK = (
+    "concat('HTTPS://WWW.', source, '.Example.COM:443/', lang,"
+    " '/article/', cast(doc_id % 5 as string),"
+    " '/index.html?utm_source=feed&ref=', cast(doc_id % 3 as string),"
+    " '&utm_campaign=x#sec', cast(doc_id % 7 as string))"
+)
+_RAW_URL_DUCK = (
+    "'HTTPS://WWW.' || source || '.Example.COM:443/' || lang ||"
+    " '/article/' || CAST(doc_id % 5 AS VARCHAR) ||"
+    " '/index.html?utm_source=feed&ref=' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '&utm_campaign=x#sec' || CAST(doc_id % 7 AS VARCHAR)"
+)
+
+# tracking parameters dropped by canonicalization (name match, with or
+# without a value)
+_TRACK_RE = "^(utm_[^=]*|fbclid|gclid)(=|$)"
+
+# URL part extraction (identical regexes in both engines)
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = "\\?([^#]*)"
+
+
+def canonicalize_url_cols(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append ``host`` and ``url_canon`` columns computed from
+    ``url_col`` with pure Catalyst expressions (zero Python, zero
+    shuffle — embarrassingly parallel at any scale).
+
+    Canonicalization policy (the CCNet/C4 common denominator):
+    scheme+host lowercased, ``www.`` prefix and default ports
+    (https:443, http:80) stripped, fragment dropped, tracking params
+    (``utm_*``, ``fbclid``, ``gclid``) removed, remaining query params
+    sorted bytewise, trailing ``/index.html`` folded to ``/``, empty
+    path normalized to ``/``.  A string with no ``scheme://`` prefix is
+    passed through unchanged with ``host = ''`` (callers filter on it).
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.regexp_extract(u, _HOSTPORT_RE, 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_replace(hostport, ":[0-9]+$", "")),
+        "^www\\.",
+        "",
+    )
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    port_sfx = F.when(
+        (port == "")
+        | ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, "/index\\.html$", "/")
+    )
+    # Spark SQL string literals eat one backslash level, so the regex
+    # embedded in the expr text needs its backslashes doubled
+    _query_re_sql = _QUERY_RE.replace("\\", "\\\\")
+    kept = F.array_join(
+        F.array_sort(
+            F.expr(
+                f"filter(split(regexp_extract({url_col},"
+                f" '{_query_re_sql}', 1),"
+                f" '&'), p -> p != '' and p not rlike '{_TRACK_RE}')"
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port_sfx,
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+    no_scheme = scheme == ""
+    return df.withColumn(
+        "host", F.when(no_scheme, F.lit("")).otherwise(host)
+    ).withColumn("url_canon", F.when(no_scheme, u).otherwise(canon))
+
+
+# the same canonicalization as one DuckDB SQL fragment over column u
+def _canon_sql(u: str) -> str:
+    scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
+    hostport = f"regexp_extract({u}, '{_HOSTPORT_RE}', 1)"
+    host = (
+        f"regexp_replace(lower(regexp_replace({hostport},"
+        f" ':[0-9]+$', '')), '^www\\.', '')"
+    )
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    port_sfx = (
+        f"CASE WHEN {port} = '' OR ({scheme} = 'https' AND {port} = '443')"
+        f" OR ({scheme} = 'http' AND {port} = '80') THEN ''"
+        f" ELSE ':' || {port} END"
+    )
+    path = (
+        f"CASE WHEN regexp_extract({u}, '{_PATH_RE}', 1) = '' THEN '/'"
+        f" ELSE regexp_replace(regexp_extract({u}, '{_PATH_RE}', 1),"
+        f" '/index\\.html$', '/') END"
+    )
+    kept = (
+        f"array_to_string(list_sort(list_filter("
+        f"string_split(regexp_extract({u}, '{_QUERY_RE}', 1), '&'),"
+        f" p -> p != '' AND NOT regexp_matches(p, '{_TRACK_RE}'))), '&')"
+    )
+    return (
+        f"{scheme} || '://' || {host} || {port_sfx} || {path} ||"
+        f" CASE WHEN {kept} = '' THEN '' ELSE '?' || {kept} END"
+    )
+
+
+@register(
+    "url_canonicalize",
+    sql=f"""
+    WITH d AS (SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents),
+    c AS (
+      SELECT doc_id,
+             regexp_replace(lower(regexp_replace(
+               regexp_extract(url, '{_HOSTPORT_RE}', 1), ':[0-9]+$', '')),
+               '^www\\.', '') AS host,
+             {_canon_sql("url")} AS url_canon
+      FROM d
+    ),
+    g AS (
+      SELECT url_canon, CAST(COUNT(*) AS BIGINT) AS n_dups,
+             MIN(doc_id) AS keep_id
+      FROM c GROUP BY 1
+    )
+    SELECT c.doc_id, c.host, c.url_canon, g.n_dups,
+           c.doc_id = g.keep_id AS keep
+    FROM c JOIN g USING (url_canon) ORDER BY c.doc_id
+    """,
+)
+def url_canonicalize(spark, sf_dir):
+    """URL canonicalization + canonical-URL exact dedup — the first
+    dedup pass of every web pipeline (CCNet §3.1 / C4 / RefinedWeb
+    §3.2 dedup by URL before touching content).  Each document gets a
+    deterministic messy URL (uppercase host, default port, tracking
+    params, fragment, /index.html tail), the canonicalizer normalizes
+    it, and documents sharing a canonical URL form a dup group that
+    keeps its min-doc_id representative.
+
+    Scale shape: canonicalization is pure per-row Catalyst regex (zero
+    shuffle); the dup grouping is ONE combinable groupBy(url_canon)
+    (count + min — map-side partial) plus an equi-join back, no row
+    amplification.  A viral URL duplicated a million times is one
+    hot-ish reduce key handled by AQE, never a pair blowup."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_RAW_URL_SPARK).alias("url")
+    )
+    c = canonicalize_url_cols(d).select("doc_id", "host", "url_canon")
+    g = c.groupBy("url_canon").agg(
+        F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id")
+    )
+    return (
+        c.join(g, "url_canon")
+        .select(
+            "doc_id",
+            "host",
+            "url_canon",
+            "n_dups",
+            (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+HOST_CAP_K = 3  # keep at most K docs per host
+_HOST_SALTS = 16  # salt fanout for the two-level megahost-safe rank
+
+_DOC_H_SPARK = MD5_INT48_SPARK.format(x="cast(doc_id as string)")
+_DOC_H_DUCK = MD5_INT48_DUCK.format(x="CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "host_cap_sample",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(lower(regexp_replace(
+               regexp_extract({_RAW_URL_DUCK}, '{_HOSTPORT_RE}', 1),
+               ':[0-9]+$', '')), '^www\\.', '') AS host,
+             {_DOC_H_DUCK} AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, host, h,
+             CAST(COUNT(*) OVER (PARTITION BY host) AS BIGINT) AS n_host,
+             row_number() OVER (PARTITION BY host ORDER BY h, doc_id)
+               AS rk
+      FROM d
+    )
+    SELECT doc_id, host, n_host, rk <= {HOST_CAP_K} AS kept
+    FROM r ORDER BY doc_id
+    """,
+)
+def host_cap_sample(spark, sf_dir):
+    """Per-host document cap (RefinedWeb-style domain balancing): keep
+    the HOST_CAP_K hash-smallest documents of every host — exact,
+    deterministic (md5(doc_id) order, doc_id tiebreak), reproducible
+    across runs and cluster sizes.
+
+    Scale shape (the part the naive window gets wrong at 100 TB):
+
+    1. combinable groupBy(host) count, broadcast back;
+    2. hosts with n_host <= K are kept OUTRIGHT — no sort, no window.
+       At web scale that is almost every host, so almost every row
+       takes the shuffle-free path;
+    3. only over-cap rows rank, and in TWO levels: row_number within
+       (host, salt) keeps <= K per salt (bounds any single sort
+       partition to ~n_megahost/{_HOST_SALTS}), then a second
+       row_number within host over the <= K*{_HOST_SALTS} survivors
+       picks the true K smallest.  Selecting the K smallest per salt
+       then re-selecting globally is exact because the global K
+       smallest are each the smallest <= K of their own salt.  A
+       billion-page megahost never lands on one reducer."""
+    from pyspark.sql import Window
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_RAW_URL_SPARK).alias("url"))
+        .transform(canonicalize_url_cols)
+        .select("doc_id", "host", F.expr(_DOC_H_SPARK).alias("h"))
+    )
+    # no broadcast hint: one row per distinct host is still ~10^8 rows
+    # on the open web — AQE picks broadcast when it actually fits
+    counts = d.groupBy("host").agg(F.count("*").alias("n_host"))
+    d = d.join(counts, "host")
+    under = d.filter(F.col("n_host") <= HOST_CAP_K).select(
+        "doc_id", "host", "n_host", F.lit(True).alias("kept")
+    )
+    over = d.filter(F.col("n_host") > HOST_CAP_K).withColumn(
+        "salt", F.col("h") % _HOST_SALTS
+    )
+    w1 = Window.partitionBy("host", "salt").orderBy("h", "doc_id")
+    w2 = Window.partitionBy("host").orderBy("h", "doc_id")
+    survivors = (
+        over.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= HOST_CAP_K)
+        .withColumn("rk", F.row_number().over(w2))
+    )
+    capped = over.select("doc_id", "host", "n_host").join(
+        survivors.filter(F.col("rk") <= HOST_CAP_K).select(
+            "doc_id", F.lit(True).alias("kept")
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "host",
+        "n_host",
+        F.coalesce(F.col("kept"), F.lit(False)).alias("kept"),
+    )
+    return under.unionByName(capped).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality classifier + CCNet buckets
+
+N_BUCKETS = 4096  # hashing-trick feature space
+# nonnegative weights in [0, 2000] basis points so every integer
+# division below has a nonnegative numerator (Spark DIV truncates
+# toward zero, DuckDB // floors — they agree only for nonnegatives)
+_W_SPARK = (
+    MD5_INT48_SPARK.format(x="concat('w', cast(id as string))") + " % 2001"
+)
+_W_DUCK = MD5_INT48_DUCK.format(x="'w' || CAST(i AS VARCHAR)") + " % 2001"
+_TOK_BUCKET_SPARK = MD5_INT48_SPARK.format(x="tok") + f" % {N_BUCKETS}"
+_TOK_BUCKET_DUCK = MD5_INT48_DUCK.format(x="tok") + f" % {N_BUCKETS}"
+KEEP_MEAN_BP = 1000  # keep when mean token weight >= 1000 bp (midpoint)
+
+_CLF_SQL = f"""
+    WITH w AS (
+      SELECT i AS bucket, {_W_DUCK} AS w_bp FROM range({N_BUCKETS}) t(i)
+    ),
+    d AS (SELECT doc_id, lang, {_REP_WS_DUCK} AS ws FROM documents),
+    tok AS (
+      SELECT doc_id, {_TOK_BUCKET_DUCK} AS bucket
+      FROM (SELECT doc_id, unnest(ws) AS tok FROM d)
+    ),
+    s AS (
+      SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w.w_bp) AS BIGINT) AS sum_w_bp
+      FROM tok JOIN w USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.sum_w_bp, 0) AS sum_w_bp,
+           CASE WHEN COALESCE(s.n_tokens, 0) > 0
+                THEN (s.sum_w_bp * 10) // s.n_tokens ELSE 0 END
+             AS score_mbp,
+           COALESCE(s.n_tokens, 0) > 0
+             AND s.sum_w_bp >= {KEEP_MEAN_BP} * s.n_tokens AS keep
+    FROM d LEFT JOIN s USING (doc_id)
+"""
+
+
+def classifier_weights(spark):
+    """The deterministic {N_BUCKETS}-bucket weight table (stand-in for
+    trained weights; the serving plan below works for any table of this
+    shape)."""
+    return spark.range(N_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket"),
+        F.expr(_W_SPARK).alias("w_bp"),
+    )
+
+
+def classifier_scores(raw_docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """Hashed linear model serving: (doc_id, lang, text) + (bucket,
+    w_bp) in, per-doc (n_tokens, sum_w_bp, score_mbp, keep) out.
+
+    Plan: tokenize per-row -> explode -> hash to bucket -> BROADCAST
+    join the weight table ({N_BUCKETS} rows — a real fastText-quality
+    head is this small) -> combinable groupBy(doc_id) sum.  The
+    exploded rows of one doc are colocated with their source row, so
+    the partial agg collapses map-side and the shuffle carries ~one row
+    per document, not one per token.  score_mbp is exact BIGINT
+    milli-basis-points (numerator nonnegative by weight construction);
+    keep compares integers cross-multiplied — no float anywhere."""
+    d = raw_docs.select(
+        "doc_id", "lang", F.expr(_REP_WS_SPARK).alias("ws")
+    )
+    tok = d.select(
+        "doc_id", F.explode("ws").alias("tok")
+    ).select("doc_id", F.expr(_TOK_BUCKET_SPARK).alias("bucket"))
+    s = (
+        tok.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w_bp").alias("sum_w_bp"),
+        )
+    )
+    return d.select("doc_id", "lang").join(s, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+            "n_tokens"
+        ),
+        F.coalesce(F.col("sum_w_bp"), F.lit(0)).cast("long").alias(
+            "sum_w_bp"
+        ),
+        F.expr(
+            "CASE WHEN COALESCE(n_tokens, 0L) > 0 THEN"
+            " (sum_w_bp * 10) DIV n_tokens ELSE 0L END"
+        ).alias("score_mbp"),
+        (
+            (F.coalesce(F.col("n_tokens"), F.lit(0)) > 0)
+            & (
+                F.col("sum_w_bp")
+                >= F.lit(KEEP_MEAN_BP) * F.col("n_tokens")
+            )
+        ).alias("keep"),
+    )
+
+
+@register("quality_classifier", sql=_CLF_SQL + " ORDER BY doc_id")
+def quality_classifier(spark, sf_dir):
+    """Model-based quality filter serving (CCNet §3.3 / DCLM fastText
+    filter shape): hashing-trick features, broadcast weight table,
+    per-doc combinable score, integer keep threshold.  See
+    classifier_scores for the plan analysis."""
+    return classifier_scores(
+        load(spark, sf_dir, "documents"), classifier_weights(spark)
+    ).orderBy("doc_id")
+
+
+@register(
+    "ccnet_buckets",
+    sql=f"""
+    WITH scored AS ({_CLF_SQL}),
+    cuts AS (
+      SELECT lang,
+             quantile_cont(score_mbp, 1.0/3) AS p33,
+             quantile_cont(score_mbp, 2.0/3) AS p66
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.score_mbp,
+           CASE WHEN s.score_mbp <= c.p33 THEN 'tail'
+                WHEN s.score_mbp <= c.p66 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM scored s JOIN cuts c USING (lang) ORDER BY s.doc_id
+    """,
+)
+def ccnet_buckets(spark, sf_dir):
+    """CCNet §3.3 head/middle/tail split: per-language score tertile
+    cutoffs, then a per-row bucket tag.  Value-based on the exact
+    integer score — equal scores always share a bucket, unlike ntile,
+    whose tie-splitting depends on sort nondeterminism AND whose
+    per-language window is a 5-partition global sort at 100 TB.
+
+    Scale shape: the cutoff frame is one row per language (exact
+    `percentile` here for oracle equality; at 100 TB the documented
+    dial is `percentile_approx` or a fixed-rate sample — CCNet itself
+    computes cutoffs on a sample), broadcast back for a shuffle-free
+    per-row CASE.  Interpolated cutoffs are bit-identical across
+    engines (same IEEE ops over the same sorted integers — the
+    discipline q_value_percentiles pins)."""
+    scored = classifier_scores(
+        load(spark, sf_dir, "documents"), classifier_weights(spark)
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.expr("percentile(score_mbp, 1D/3)").alias("p33"),
+        F.expr("percentile(score_mbp, 2D/3)").alias("p66"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "score_mbp",
+            F.when(F.col("score_mbp") <= F.col("p33"), F.lit("tail"))
+            .when(F.col("score_mbp") <= F.col("p66"), F.lit("middle"))
+            .otherwise(F.lit("head"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

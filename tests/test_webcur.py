@@ -1,0 +1,242 @@
+"""Web-corpus curation family (queries/webcur.py): URL
+canonicalization on adversarial shapes, the exactness of the salted
+two-level per-host cap, classifier keep semantics, and bucket
+assignment invariants."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from medical_ocr_pipeline_spark.queries.webcur import (
+    HOST_CAP_K,
+    KEEP_MEAN_BP,
+    canonicalize_url_cols,
+    ccnet_buckets,
+    classifier_scores,
+    classifier_weights,
+    host_cap_sample,
+    url_canonicalize,
+)
+from tests.conftest import SF_DIR
+
+
+# -------------------------------------------------------------- canonicalize
+
+CASES = [
+    # tracking params dropped, survivors sorted, fragment dropped,
+    # www + default port stripped, host lowercased, path case KEPT
+    (
+        "HTTPS://WWW.Ex.COM:443/A/b?z=1&utm_source=x&a=2#frag",
+        "ex.com",
+        "https://ex.com/A/b?a=2&z=1",
+    ),
+    # http default port stripped; non-default port kept
+    ("http://ex.com:80/p", "ex.com", "http://ex.com/p"),
+    ("http://ex.com:8080/p", "ex.com", "http://ex.com:8080/p"),
+    # index.html folds into its directory; bare host gets /
+    ("https://ex.com/dir/index.html", "ex.com", "https://ex.com/dir/"),
+    ("https://ex.com", "ex.com", "https://ex.com/"),
+    # valueless tracking param and fbclid/gclid dropped; empty query
+    # leaves no '?'
+    (
+        "https://ex.com/p?utm_campaign&fbclid=abc&gclid=1",
+        "ex.com",
+        "https://ex.com/p",
+    ),
+    # utm-ish but not utm_*: kept (utmx is not utm_<x>)
+    ("https://ex.com/p?utmx=1", "ex.com", "https://ex.com/p?utmx=1"),
+    # index.html only folds as a FILENAME, not mid-path
+    (
+        "https://ex.com/index.html/sub",
+        "ex.com",
+        "https://ex.com/index.html/sub",
+    ),
+    # no scheme: passed through unchanged, host empty
+    ("not a url at all", "", "not a url at all"),
+    ("", "", ""),
+]
+
+
+def test_canonicalize_adversarial(spark):
+    df = spark.createDataFrame(
+        [Row(i=i, url=u) for i, (u, _, _) in enumerate(CASES)]
+    )
+    got = {
+        r["i"]: (r["host"], r["url_canon"])
+        for r in canonicalize_url_cols(df).collect()
+    }
+    for i, (u, host, canon) in enumerate(CASES):
+        assert got[i] == (host, canon), f"case {i}: {u!r} -> {got[i]}"
+
+
+def test_canonicalize_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [Row(url=u) for u, _, _ in CASES]
+    )
+    once = canonicalize_url_cols(df).select(
+        F.col("url_canon").alias("url")
+    )
+    twice = canonicalize_url_cols(once)
+    bad = twice.filter(F.col("url_canon") != F.col("url")).collect()
+    assert bad == [], bad
+
+
+def test_url_canonicalize_keeps_one_per_group(spark):
+    out = url_canonicalize(spark, SF_DIR).collect()
+    by_canon = {}
+    for r in out:
+        by_canon.setdefault(r["url_canon"], []).append(r)
+    assert any(len(v) > 1 for v in by_canon.values()), (
+        "derivation should produce at least one dup group"
+    )
+    for rows in by_canon.values():
+        keepers = [r for r in rows if r["keep"]]
+        assert len(keepers) == 1
+        assert keepers[0]["doc_id"] == min(r["doc_id"] for r in rows)
+        assert all(r["n_dups"] == len(rows) for r in rows)
+
+
+# ---------------------------------------------------------------- host cap
+
+
+def test_host_cap_exactness_vs_single_level(spark):
+    """The salted two-level rank must select exactly the K
+    hash-smallest docs per host — compare against a plain reference
+    rank computed driver-side."""
+    from medical_ocr_pipeline_spark.queries.base import MD5_INT48_SPARK
+
+    out = host_cap_sample(spark, SF_DIR).collect()
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            F.expr(
+                MD5_INT48_SPARK.format(x="cast(doc_id as string)")
+            ).alias("h"),
+        )
+        .collect()
+    )
+    h_of = {r["doc_id"]: r["h"] for r in docs}
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert any(len(v) > HOST_CAP_K for v in by_host.values()), (
+        "testdata should have at least one over-cap host"
+    )
+    for host, rows in by_host.items():
+        expect_kept = {
+            r["doc_id"]
+            for r in sorted(
+                rows, key=lambda r: (h_of[r["doc_id"]], r["doc_id"])
+            )[:HOST_CAP_K]
+        }
+        got_kept = {r["doc_id"] for r in rows if r["kept"]}
+        assert got_kept == expect_kept, host
+        assert all(r["n_host"] == len(rows) for r in rows)
+
+
+# --------------------------------------------------------------- classifier
+
+
+def test_classifier_scores_handcrafted(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="aa bb aa"),
+            Row(doc_id=2, lang="en", text="   "),  # zero tokens
+            Row(doc_id=3, lang="en", text="cc"),
+        ]
+    )
+    # weight table where every bucket weighs 2000 except token cc's
+    w = classifier_weights(spark).withColumn("w_bp", F.lit(2000))
+    from medical_ocr_pipeline_spark.queries.webcur import (
+        _TOK_BUCKET_SPARK,
+    )
+    cc_bucket = (
+        spark.createDataFrame([Row(tok="cc")])
+        .select(F.expr(_TOK_BUCKET_SPARK).alias("b"))
+        .collect()[0]["b"]
+    )
+    w = w.withColumn(
+        "w_bp",
+        F.when(F.col("bucket") == cc_bucket, F.lit(0)).otherwise(
+            F.col("w_bp")
+        ),
+    )
+    got = {
+        r["doc_id"]: r
+        for r in classifier_scores(docs, w).collect()
+    }
+    assert got[1]["n_tokens"] == 3 and got[1]["sum_w_bp"] == 6000
+    assert got[1]["keep"] is True  # mean 2000 >= KEEP_MEAN_BP
+    assert got[2]["n_tokens"] == 0 and got[2]["sum_w_bp"] == 0
+    assert got[2]["keep"] is False  # zero-token doc never kept
+    assert got[2]["score_mbp"] == 0
+    # doc 3 is one cc token at weight 0 < KEEP_MEAN_BP
+    assert got[3]["keep"] is False and got[3]["score_mbp"] == 0
+
+
+def test_classifier_keep_matches_threshold(spark):
+    out = classifier_scores(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        classifier_weights(spark),
+    ).collect()
+    assert any(r["keep"] for r in out) and any(
+        not r["keep"] for r in out
+    ), "threshold should split the corpus"
+    for r in out:
+        want = (
+            r["n_tokens"] > 0
+            and r["sum_w_bp"] >= KEEP_MEAN_BP * r["n_tokens"]
+        )
+        assert r["keep"] == want
+
+
+# ------------------------------------------------------------------ buckets
+
+
+def test_ccnet_buckets_invariants(spark):
+    out = ccnet_buckets(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        buckets = {r["bucket"] for r in rows}
+        assert buckets <= {"head", "middle", "tail"}
+        if len(rows) >= 10:
+            assert buckets == {"head", "middle", "tail"}, lang
+        # value-based: equal scores share a bucket
+        score_to_bucket = {}
+        for r in rows:
+            prev = score_to_bucket.setdefault(r["score_mbp"], r["bucket"])
+            assert prev == r["bucket"]
+        # monotone: head scores > middle scores > tail scores
+        lo = {b: min(r["score_mbp"] for r in rows if r["bucket"] == b)
+              for b in buckets}
+        hi = {b: max(r["score_mbp"] for r in rows if r["bucket"] == b)
+              for b in buckets}
+        if "tail" in buckets and "middle" in buckets:
+            assert hi["tail"] <= lo["middle"]
+        if "middle" in buckets and "head" in buckets:
+            assert hi["middle"] <= lo["head"]
+
+
+def test_host_cap_underflow_bypass_all_kept(spark):
+    """A corpus where every host is under cap keeps everything (the
+    bypass path) — and the plan for that frame contains no Window."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i}", lang="en") for i in range(6)]
+    )
+    from medical_ocr_pipeline_spark.queries.webcur import (
+        _DOC_H_SPARK,
+        _RAW_URL_SPARK,
+    )
+    d = (
+        docs.select("doc_id", F.expr(_RAW_URL_SPARK).alias("url"))
+        .transform(canonicalize_url_cols)
+        .select("doc_id", "host", F.expr(_DOC_H_SPARK).alias("h"))
+    )
+    counts = d.groupBy("host").agg(F.count("*").alias("n_host"))
+    under = d.join(counts, "host").filter(
+        F.col("n_host") <= HOST_CAP_K
+    )
+    assert under.count() == 6
+    assert "Window" not in under._jdf.queryExecution().executedPlan().toString()
