@@ -194,10 +194,144 @@ def _decode_png(payload: bytes):
     return w, h, px[:, :, :3]
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF LZW decompression (GIF89a spec appendix F): variable-width
+    codes packed LSB-first, dictionary rebuilt on CLEAR, width grows at
+    2^width up to 12 bits.  Returns exactly n_pixels color indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # deferred-clear: table freezes full
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel data shorter than image descriptor")
+    return bytes(out[:n_pixels])
+
+
+def _decode_gif(payload: bytes):
+    """Pure-stdlib GIF87a/89a decode (LZW + palette): first image
+    frame, global or local color table, interlaced or not.  Animated
+    GIFs yield their FIRST frame; transparency indices map through the
+    palette like any other pixel (the feature kernels have no alpha).
+    Malformed streams raise ValueError."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            w, h = struct.unpack_from("<HH", payload, pos + 5)
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = payload[pos : pos + 3 * n]
+                if len(ct) < 3 * n:
+                    raise ValueError("truncated GIF local color table")
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            if w == 0 or h == 0:
+                raise ValueError("empty GIF frame")
+            min_code = payload[pos]
+            if not 2 <= min_code <= 11:
+                raise ValueError("invalid GIF LZW minimum code size")
+            pos += 1
+            chunks = []
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                if len(chunks[-1]) < ln:
+                    raise ValueError("truncated GIF data sub-block")
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _gif_lzw_decode(b"".join(chunks), min_code, w * h),
+                dtype=np.uint8,
+            )
+            if int(idx.max()) * 3 + 3 > len(ct):
+                raise ValueError("GIF pixel index beyond color table")
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            px = pal[idx].reshape(h, w, 3)
+            if ipacked & 0x40:  # Adam-style 4-pass GIF interlace
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                de = np.empty_like(px)
+                de[order] = px
+                px = de
+            return w, h, px
+        elif b == 0x3B:  # trailer before any frame
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
 def decode_image(payload: bytes):
     """Pure-python image decode: PPM P6, 24-bit BMP, 8-bit RGB/RGBA
-    PNG, and baseline JPEG (jpeg.py — stream-embedded Huffman/quant
-    tables, 4:4:4 / 4:2:0 / grayscale, restart intervals).  Returns
+    PNG, GIF87a/89a (LZW + palette, first frame), and baseline JPEG
+    (jpeg.py — stream-embedded Huffman/quant tables, 4:4:4 / 4:2:0 /
+    grayscale, restart intervals).  Returns
     (width, height, HxWx3 uint8 array).  Progressive JPEG and other
     formats raise NotImplementedError — plug PIL/opencv here."""
     if payload[:2] == b"P6":
@@ -206,14 +340,16 @@ def decode_image(payload: bytes):
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         from medical_ocr_pipeline_spark.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM P6 / 24-bit BMP / 8-bit RGB(A) PNG / baseline JPEG "
-        "decode natively; other formats need PIL/opencv wired into "
-        "decode_image()"
+        "only PPM P6 / 24-bit BMP / 8-bit RGB(A) PNG / GIF / baseline "
+        "JPEG decode natively; other formats need PIL/opencv wired "
+        "into decode_image()"
     )
 
 
@@ -487,6 +623,93 @@ def encode_png(arr) -> bytes:
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(raw, 9))
         + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_gif(arr) -> bytes:
+    """HxWx3 uint8 -> single-frame GIF89a bytes with a REAL growing-
+    dictionary LZW encoder (the inverse of _decode_gif).  Exact-palette
+    only: the image must use <= 256 distinct colors (true for the
+    committed fixtures and synthetic media); richer images raise
+    ValueError — quantization belongs to a real imaging library."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    # palette size: power of two >= max(2, len(pal))
+    bits = max(2, (len(pal) - 1).bit_length() if len(pal) > 1 else 1)
+    n_pal = 1 << bits
+    pal_bytes = pal.astype(np.uint8).tobytes() + b"\x00" * (
+        3 * (n_pal - len(pal))
+    )
+    min_code = bits
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    # LZW encode with LSB-first variable-width bit packing
+    out_bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    table: dict[bytes, int] = {
+        bytes([i]): i for i in range(1 << min_code)
+    }
+    next_code = eoi + 1
+    emit(clear, width)
+    seq = b""
+    for px in idx.astype(np.uint8).tobytes():
+        cand = seq + bytes([px])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        # sync rule: the decoder mirrors this append one code LATER
+        # (its size is always next_code - 1), so it widens after the
+        # NEXT emit — the encoder widens when next_code FIRST EXCEEDS
+        # 2^width, and clears when the 12-bit space is exhausted
+        if next_code == (1 << 12):
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            width = min_code + 1
+        elif next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        seq = bytes([px])
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        out_bits.append(acc & 0xFF)
+
+    body = bytearray()
+    for off in range(0, len(out_bits), 255):
+        chunk = out_bits[off : off + 255]
+        body.append(len(chunk))
+        body += chunk
+    body.append(0)
+
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        + pal_bytes
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + bytes(body)
+        + b"\x3b"
     )
 
 

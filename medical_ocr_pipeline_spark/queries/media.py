@@ -89,15 +89,16 @@ def media_features_real(spark, sf_dir):
 def media_thumbnails_smoke(spark, sf_dir):
     """Decode -> resize -> re-encode thumbnail stage over a deterministic
     in-session media table covering the native image codecs (PPM P6,
-    8-bit RGB PNG, baseline JPEG from the round-3 from-scratch codec,
-    plus a MALFORMED JPEG row that must be dropped per-row, never
-    fatally).  Rows-only — the exact thumbnail bytes are golden-pinned
-    in tests (PNG and PPM twins of the same pixels must produce
-    identical thumbnails)."""
+    8-bit RGB PNG, GIF89a via the from-scratch LZW codec, baseline JPEG
+    from the round-3 from-scratch codec, plus a MALFORMED JPEG row that
+    must be dropped per-row, never fatally).  Rows-only — the exact
+    thumbnail bytes are golden-pinned in tests (PNG / PPM / GIF twins
+    of the same pixels must produce identical thumbnails)."""
     from medical_ocr_pipeline_spark.jpeg import encode_jpeg
     from medical_ocr_pipeline_spark.multimodal import (
         MEDIA_SCHEMA,
         decode_image,
+        encode_gif,
         encode_png,
         media_thumbnails,
     )
@@ -115,6 +116,9 @@ def media_thumbnails_smoke(spark, sf_dir):
     rows.append(("jpg000", "image",
                  encode_jpeg(decode_image(_ppm(0))[2], quality=92),
                  {"mime": "image/jpeg", "width": jw, "height": jh,
+                  "duration_ms": 0}))
+    rows.append(("gif000", "image", encode_gif(decode_image(_ppm(0))[2]),
+                 {"mime": "image/gif", "width": jw, "height": jh,
                   "duration_ms": 0}))
     rows.append(("jpg_bad", "image", b"\xff\xd8\xff\xe0 not decodable",
                  {"mime": "image/jpeg", "width": 0, "height": 0,
