@@ -292,6 +292,8 @@ def _decode_gif(payload: bytes):
                 raise ValueError("GIF frame has no color table")
             if w == 0 or h == 0:
                 raise ValueError("empty GIF frame")
+            if pos >= len(payload):
+                raise ValueError("GIF truncated before LZW code size")
             min_code = payload[pos]
             if not 2 <= min_code <= 11:
                 raise ValueError("invalid GIF LZW minimum code size")

@@ -158,10 +158,14 @@ def _canon_sql(u: str) -> str:
         f" ELSE regexp_replace(regexp_extract({u}, '{_PATH_RE}', 1),"
         f" '/index\\.html$', '/') END"
     )
+    # COALESCE: DuckDB's array_to_string over an empty survivor list
+    # yields NULL (not ''), which would NULL the whole || chain for any
+    # URL with no query string or only tracking params
     kept = (
-        f"array_to_string(list_sort(list_filter("
+        f"COALESCE(array_to_string(list_sort(list_filter("
         f"string_split(regexp_extract({u}, '{_QUERY_RE}', 1), '&'),"
-        f" p -> p != '' AND NOT regexp_matches(p, '{_TRACK_RE}'))), '&')"
+        f" p -> p != '' AND NOT regexp_matches(p, '{_TRACK_RE}'))), '&'),"
+        f" '')"
     )
     return (
         f"{scheme} || '://' || {host} || {port_sfx} || {path} ||"
@@ -456,9 +460,13 @@ def ccnet_buckets(spark, sf_dir):
     per-row CASE.  Interpolated cutoffs are bit-identical across
     engines (same IEEE ops over the same sorted integers — the
     discipline q_value_percentiles pins)."""
+    # persist: scored feeds BOTH the cutoff aggregation and the join
+    # probe side — without it the tokenize/explode/join/agg pipeline
+    # (the expensive part) executes twice from the scan (same
+    # no-unpersist session-cache policy as the dedup shingle index)
     scored = classifier_scores(
         load(spark, sf_dir, "documents"), classifier_weights(spark)
-    )
+    ).persist()
     cuts = scored.groupBy("lang").agg(
         F.expr("percentile(score_mbp, 1D/3)").alias("p33"),
         F.expr("percentile(score_mbp, 2D/3)").alias("p66"),

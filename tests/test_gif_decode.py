@@ -225,3 +225,23 @@ def test_gif_thumbnail_matches_ppm_twin(spark):
             media_thumbnails(media, 3, 3).collect()}
     assert set(rows) == {"a_gif", "b_ppm"}  # bad row dropped per-row
     assert rows["a_gif"]["thumbnail"] == rows["b_ppm"]["thumbnail"]
+
+
+def test_every_truncation_raises_valueerror():
+    """Every prefix of a valid GIF must raise ValueError (never
+    IndexError etc.), so the per-row tolerance in the media kernels
+    always catches truncated payloads instead of failing the task."""
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, size=(6, 3), dtype=np.uint8)
+    good = encode_gif(pal[rng.integers(0, 6, size=(5, 8))])
+    for cut in range(len(good)):
+        try:
+            _decode_gif(good[:cut])
+            # a prefix that still contains the full pixel data decodes
+            # fine (only terminator/trailer missing) — that's valid
+        except ValueError:
+            continue
+        except Exception as e:  # noqa: BLE001 — the point of the test
+            raise AssertionError(
+                f"prefix of length {cut} raised {type(e).__name__}"
+            ) from e

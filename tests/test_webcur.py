@@ -240,3 +240,30 @@ def test_host_cap_underflow_bypass_all_kept(spark):
     )
     assert under.count() == 6
     assert "Window" not in under._jdf.queryExecution().executedPlan().toString()
+
+
+def test_canon_sql_matches_spark_on_adversarial_urls(spark):
+    """_canon_sql (the DuckDB mirror used by the oracles) must agree
+    with canonicalize_url_cols on every scheme-ful CASE — including
+    URLs whose query string empties out (the NULL-vs-'' hazard)."""
+    import duckdb
+
+    from medical_ocr_pipeline_spark.queries.webcur import _canon_sql
+
+    urls = [u for u, host, _ in CASES if host]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {_canon_sql('u')} FROM (VALUES (?)) t(u)", [u]
+        ).fetchone()[0]
+        for u in urls
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, url=u) for i, u in enumerate(urls)]
+    )
+    got_spark = [
+        r["url_canon"]
+        for r in canonicalize_url_cols(df).orderBy("i").collect()
+    ]
+    assert got_duck == got_spark
+    assert all(v is not None for v in got_duck)
