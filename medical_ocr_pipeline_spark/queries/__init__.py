@@ -16,6 +16,7 @@ from medical_ocr_pipeline_spark.queries import (  # noqa: F401
     textstats,
     curation,
     webcur,
+    training,
     dedup,
     misc,
     qa,
@@ -50,6 +51,8 @@ _PROMOTE_TO_WINDOW = [
     "host_cap_sample",
     "quality_classifier",
     "ccnet_buckets",
+    "train_test_split",
+    "pack_sequences",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

@@ -1,0 +1,104 @@
+"""Training-set assembly ops (queries/training.py): two-phase global
+cumsum exactness and partition-count invariance, packing bin math, and
+split determinism/stratification."""
+
+from pyspark.sql import Row, functions as F
+
+from medical_ocr_pipeline_spark.queries.training import (
+    SEQ_LEN,
+    global_running_offset,
+    pack_sequences,
+    train_test_split,
+)
+from tests.conftest import SF_DIR
+
+
+def _ref_offsets(rows):
+    """Driver-side reference: offsets in (h, doc_id) order."""
+    acc, out = 0, {}
+    for r in sorted(rows, key=lambda r: (r["h"], r["doc_id"])):
+        out[r["doc_id"]] = acc
+        acc += r["nt"]
+    return out, acc
+
+
+def test_global_running_offset_exact_and_partition_invariant(spark):
+    rng_rows = [
+        Row(doc_id=i, h=(i * 2654435761) % 1000, nt=(i * 7) % 13)
+        for i in range(500)
+    ]
+    d = spark.createDataFrame(rng_rows)
+    ref, total = _ref_offsets(rng_rows)
+    for n_parts in (1, 4, 32, 97):
+        got = {
+            r["doc_id"]: r["offset"]
+            for r in global_running_offset(d, n_parts=n_parts).collect()
+        }
+        assert got == ref, f"n_parts={n_parts}"
+    assert max(ref[k] for k in ref) < total
+
+
+def test_global_running_offset_plan_shape(spark):
+    """The full frame goes through rangepartitioning + a
+    _pid-partitioned window; the ONLY unpartitioned window runs over
+    the one-row-per-partition totals (post-aggregate), never the input
+    frame."""
+    d = spark.createDataFrame(
+        [Row(doc_id=i, h=i % 7, nt=i % 5) for i in range(100)]
+    )
+    plan = (
+        global_running_offset(d, n_parts=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan
+    # every Window line either partitions by _pid (big frame) or sits
+    # above the per-partition Aggregate (tiny totals frame); there is
+    # no unpartitioned Window whose child is the raw input
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, "expected window nodes in the plan"
+    unpartitioned = [ln for ln in win_lines if "_pid#" not in ln]
+    # the prefix window orders by _pid but has no partition spec —
+    # it must reference _part_total (the aggregated frame), proving it
+    # runs over one row per partition, not the corpus
+    for ln in unpartitioned:
+        assert "_part_total" in ln, ln
+
+
+def test_pack_sequences_bin_math(spark):
+    out = pack_sequences(spark, SF_DIR).collect()
+    total = sum(r["nt"] for r in out)
+    offs = sorted(out, key=lambda r: r["offset"])
+    # offsets tile the token stream exactly: contiguous, no overlap
+    acc = 0
+    for r in offs:
+        assert r["offset"] == acc
+        acc += r["nt"]
+    assert acc == total
+    for r in out:
+        assert r["first_bin"] == r["offset"] // SEQ_LEN
+        end = r["offset"] + max(r["nt"] - 1, 0)
+        assert r["last_bin"] == end // SEQ_LEN
+        assert r["first_bin"] <= r["last_bin"]
+    # multi-bin docs exist (docs longer than SEQ_LEN or straddling)
+    assert any(r["last_bin"] > r["first_bin"] for r in out)
+
+
+def test_train_test_split_ratios_and_determinism(spark):
+    a = train_test_split(spark, SF_DIR).collect()
+    b = train_test_split(spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    by_split = {}
+    for r in a:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    n = sum(by_split.values())
+    assert n == 500
+    # 96/2/2 with 500 docs: train dominates, val/test small but present
+    assert by_split["train"] / n > 0.9
+    assert 0 < by_split.get("val", 0) < 0.1 * n
+    assert 0 < by_split.get("test", 0) < 0.1 * n
+    # stratified: every language contributes a train row
+    langs_with_train = {r["lang"] for r in a if r["split"] == "train"}
+    all_langs = {r["lang"] for r in a}
+    assert langs_with_train == all_langs
