@@ -53,6 +53,7 @@ _PROMOTE_TO_WINDOW = [
     "ccnet_buckets",
     "train_test_split",
     "pack_sequences",
+    "dedup_incremental",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

@@ -228,13 +228,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(spark, sf_dir)
 
 
-def minhash_lsh_pairs(spark, sf_dir, bands: int = 4):
-    """LSH candidate pairs: band the k=16 signature into `bands` rows-per-
-    band groups, bucket-join on (band, band-hash).  This is the 100 TB
-    path: one shuffle on the band key instead of a shingle self-join.
-    Spark-only (composition checked against dedup_ngram_jaccard in tests).
-    """
-    sh = _shingles_spark(load(spark, sf_dir, "documents"))
+def _banded(docs, bands: int = 4):
+    """(doc_id, band, bucket) LSH band frame: k=16 MinHash signature
+    split into `bands` groups, each hashed to one bucket string.  The
+    shared banding core of minhash_lsh_pairs (within-corpus pairs) and
+    dedup_incremental (new-batch-vs-corpus semi-join)."""
+    sh = _shingles_spark(docs)
     h = _SPARK_H.format(x="s")
     rows_per_band = N_HASHES // bands
     sigs = sh.select(
@@ -250,7 +249,7 @@ def minhash_lsh_pairs(spark, sf_dir, bands: int = 4):
             """
         ).alias("sig"),
     )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -264,6 +263,15 @@ def minhash_lsh_pairs(spark, sf_dir, bands: int = 4):
             )
         ).alias("band", "bucket"),
     )
+
+
+def minhash_lsh_pairs(spark, sf_dir, bands: int = 4):
+    """LSH candidate pairs: band the k=16 signature into `bands` rows-per-
+    band groups, bucket-join on (band, band-hash).  This is the 100 TB
+    path: one shuffle on the band key instead of a shingle self-join.
+    Spark-only (composition checked against dedup_ngram_jaccard in tests).
+    """
+    banded = _banded(load(spark, sf_dir, "documents"), bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -737,3 +745,111 @@ def contamination_probe(docs):
 def contamination_check(spark, sf_dir):
     """Registry wrapper over the shared contamination core."""
     return contamination_probe(load(spark, sf_dir, "documents"))
+
+
+# incremental ingest: new batch deduped AGAINST the existing corpus —
+# exact (content hash semi-join) + near (LSH band-bucket semi-join).
+# The driver query splits the documents table by doc_id parity so both
+# engines see the same deterministic old/new partition.
+_INC_BANDS = 4
+_INC_RPB = N_HASHES // _INC_BANDS
+
+
+@register(
+    "dedup_incremental",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    sig AS (
+      SELECT doc_id,
+             [ list_min(list_transform(shingles,
+                 s -> ((1 + 2 * k) * ({MD5_INT48_DUCK.format(x="s")}
+                       % {_MINHASH_P}) + k) % {_MINHASH_P} )
+               ) FOR k IN range(0, {N_HASHES}) ] AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b AS band,
+             md5(array_to_string(
+               sig[b * {_INC_RPB} + 1 : (b + 1) * {_INC_RPB}], ','))
+               AS bucket
+      FROM sig, range({_INC_BANDS}) t(b)
+    ),
+    ex AS (
+      SELECT DISTINCT doc_id FROM documents
+      WHERE doc_id % 2 = 1 AND md5(text) IN
+            (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+    ),
+    nr AS (
+      SELECT DISTINCT nb.doc_id
+      FROM banded nb JOIN banded ob
+        ON nb.band = ob.band AND nb.bucket = ob.bucket
+      WHERE nb.doc_id % 2 = 1 AND ob.doc_id % 2 = 0
+    )
+    SELECT d.doc_id,
+           d.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+           d.doc_id IN (SELECT doc_id FROM nr) AS near_dup,
+           NOT (d.doc_id IN (SELECT doc_id FROM ex)
+                OR d.doc_id IN (SELECT doc_id FROM nr)) AS keep
+    FROM documents d WHERE d.doc_id % 2 = 1
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup — the production shape for adding a new
+    crawl to an already-deduped corpus WITHOUT re-deduping everything:
+    each incoming document is checked against the existing corpus by
+    (a) exact content hash and (b) MinHash-LSH band collision, both as
+    LEFT SEMI joins (the corpus side streams through the shuffle; no
+    pair materialization, no corpus-side re-ranking).  Within-batch
+    duplicates are the ordinary dedup_* family's job and are
+    deliberately NOT flagged here.
+
+    The driver query uses doc_id parity as the deterministic old/new
+    split; incremental_verdicts takes any two frames.
+
+    Scale shape: the exact tier shuffles on the 128-bit content hash
+    (uniform keys); the near tier shuffles on (band, bucket) — at a
+    petabyte-corpus the existing side's band frame is a precomputed
+    index table you persist between ingests, so each new crawl pays
+    only its own banding plus two semi-join shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return incremental_verdicts(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def incremental_verdicts(existing, incoming):
+    """Shared core: (doc_id, text) frames for the existing corpus and
+    the incoming batch in; per-incoming-doc (exact_dup, near_dup, keep)
+    verdicts out."""
+    old_h = existing.select(F.md5("text").alias("th")).distinct()
+    new_h = incoming.select("doc_id", F.md5("text").alias("th"))
+    ex = (
+        new_h.join(old_h, "th", "leftsemi")
+        .select("doc_id")
+        .withColumn("exact_dup", F.lit(True))
+    )
+    old_b = _banded(existing, _INC_BANDS).select("band", "bucket").distinct()
+    new_b = _banded(incoming, _INC_BANDS)
+    nr = (
+        new_b.join(old_b, ["band", "bucket"], "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(nr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("exact_dup"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("near_dup"), F.lit(False)).alias("near_dup"),
+            (
+                ~F.coalesce(F.col("exact_dup"), F.lit(False))
+                & ~F.coalesce(F.col("near_dup"), F.lit(False))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

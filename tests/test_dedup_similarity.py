@@ -205,3 +205,39 @@ def test_zero_vector_yields_null_cosine_not_crash(spark, tmp_path):
     topk = cosine_topk(spark, str(tmp_path)).collect()
     assert topk  # ran to completion
     assert all(r.neighbor_id != 7 or r.cosine is None for r in topk)
+
+
+def test_incremental_verdicts_handcrafted(spark):
+    """Incremental ingest: exact dup flagged via content hash, near dup
+    via LSH band collision, within-batch dups deliberately NOT flagged,
+    fresh docs kept."""
+    from pyspark.sql import Row
+
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        incremental_verdicts,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ")
+    existing = spark.createDataFrame([
+        Row(doc_id=0, text=base * 3),
+        Row(doc_id=2, text="one two three four five six seven " * 4),
+    ])
+    incoming = spark.createDataFrame([
+        Row(doc_id=1, text=base * 3),                      # exact dup of 0
+        Row(doc_id=3, text=base * 3 + "extra trailing words here"),
+        # ^ near dup of 0 (same shingle mass, tiny suffix)
+        Row(doc_id=5, text="totally different content about spark "
+                           "dataframes shuffles and partitions " * 3),
+        Row(doc_id=7, text="totally different content about spark "
+                           "dataframes shuffles and partitions " * 3),
+        # ^ 5 and 7 duplicate EACH OTHER (within batch): not flagged
+    ])
+    got = {r["doc_id"]: r for r in
+           incremental_verdicts(existing, incoming).collect()}
+    assert got[1]["exact_dup"] and not got[1]["keep"]
+    assert got[3]["near_dup"] and not got[3]["exact_dup"]
+    assert not got[3]["keep"]
+    for i in (5, 7):
+        assert got[i]["keep"] and not got[i]["exact_dup"]
+        assert not got[i]["near_dup"]
