@@ -54,6 +54,7 @@ _PROMOTE_TO_WINDOW = [
     "train_test_split",
     "pack_sequences",
     "dedup_incremental",
+    "dedup_substring_spans",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

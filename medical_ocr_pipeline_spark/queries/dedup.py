@@ -853,3 +853,111 @@ def incremental_verdicts(existing, incoming):
         )
         .orderBy("doc_id")
     )
+
+
+# --- exact duplicate-SPAN detection (substring dedup) ------------------------
+#
+# Document-level dedup misses the boilerplate CASE: two mostly-distinct
+# pages sharing a 60-word licence footer.  The suffix-array approach
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better") finds every repeated substring exactly but needs a global
+# suffix sort; the shuffle-friendly Spark form is fixed-width sliding
+# windows: hash every W-word window, count occurrences corpus-wide, and
+# flag windows whose hash repeats (within OR across documents).  W is
+# the span granularity — a repeated run of L >= W words produces
+# L - W + 1 flagged windows, so span boundaries are recovered to within
+# W - 1 words.
+SPAN_W = 8
+
+
+@register(
+    "dedup_substring_spans",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id,
+             unnest([ md5(array_to_string(words[i : i + {SPAN_W} - 1], ' '))
+                      FOR i IN range(1, len(words) - {SPAN_W} + 2) ]) AS h
+      FROM w
+    ),
+    dup AS (
+      SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_dup_windows
+      FROM win WHERE h IN (SELECT h FROM dup)
+      GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(greatest(len(words) - {SPAN_W} + 1, 0) AS BIGINT)
+             AS n_windows,
+           CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(CASE WHEN len(words) < {SPAN_W} THEN 0
+                ELSE (1000000 * COALESCE(n_dup_windows, 0))
+                     // (len(words) - {SPAN_W} + 1) END AS BIGINT)
+             AS dup_ppm
+    FROM w LEFT JOIN per_doc ON w.doc_id = per_doc.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Per-document duplicated-span load: fraction of W-word sliding
+    windows whose hash repeats anywhere in the corpus (ppm, exact
+    integer arithmetic).  The downstream cut step would drop or trim
+    docs above a dup_ppm threshold.
+
+    Scale shape: the window frame is one row per corpus token (linear),
+    the repeat count is a combinable hash groupBy, and the flag-back is
+    an equi-join on the window hash — three linear shuffles, no global
+    sort, which is precisely the trade vs the exact suffix-array method
+    (fixed W granularity instead of arbitrary-length repeats).  At
+    100 TB the dup-hash side can also be frequency-capped like the CDC
+    chunk index to bound hot-boilerplate keys."""
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit(""))
+    docs = (
+        load(spark, sf_dir, "documents")
+        .repartition(64, "doc_id")
+        .select("doc_id", words.alias("words"))
+    )
+    win = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("words") >= SPAN_W,
+                F.expr(
+                    f"""transform(sequence(1, size(words) - {SPAN_W} + 1),
+                         i -> md5(concat_ws(' ',
+                                  slice(words, i, {SPAN_W}))))"""
+                ),
+            ).otherwise(F.array())
+        ).alias("h"),
+    )
+    dup = win.groupBy("h").count().where(F.col("count") > 1).select("h")
+    per_doc = (
+        win.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    n_win = F.greatest(F.size("words") - (SPAN_W - 1), F.lit(0))
+    return (
+        docs.select("doc_id", n_win.cast("long").alias("n_windows"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(F.col("n_windows") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("(1000000 * coalesce(n_dup_windows, 0))"
+                       " div n_windows")
+            )
+            .alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -241,3 +241,38 @@ def test_incremental_verdicts_handcrafted(spark):
     for i in (5, 7):
         assert got[i]["keep"] and not got[i]["exact_dup"]
         assert not got[i]["near_dup"]
+
+
+def test_substring_spans_handcrafted(spark, tmp_path):
+    """A doc sharing an 8+-word run with another doc gets flagged
+    windows; a unique doc gets zero; short docs get n_windows=0."""
+    from pyspark.sql import Row
+
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        SPAN_W,
+        dedup_substring_spans,
+    )
+
+    footer = ("all rights reserved by the example corporation "
+              "under licence terms")  # 10 words
+    docs = [
+        Row(doc_id=0, text="unique opening words here " + footer,
+            lang="en", source="a", n_chars=0),
+        Row(doc_id=1, text=footer + " plus a different unique tail",
+            lang="en", source="a", n_chars=0),
+        Row(doc_id=2, text="completely fresh sentence with eleven "
+                           "distinct words never repeated anywhere else "
+                           "in this corpus today",
+            lang="en", source="a", n_chars=0),
+        Row(doc_id=3, text="too short", lang="en", source="a", n_chars=0),
+    ]
+    spark.createDataFrame(docs).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r for r in
+           dedup_substring_spans(spark, str(tmp_path)).collect()}
+    # the shared 10-word footer yields 10 - SPAN_W + 1 = 3 repeated
+    # windows in each doc that carries it
+    assert got[0]["n_dup_windows"] == 10 - SPAN_W + 1
+    assert got[1]["n_dup_windows"] == 10 - SPAN_W + 1
+    assert got[2]["n_dup_windows"] == 0 and got[2]["n_windows"] > 0
+    assert got[3]["n_windows"] == 0 and got[3]["dup_ppm"] == 0
+    assert got[0]["dup_ppm"] == 1000000 * 3 // got[0]["n_windows"]
