@@ -55,6 +55,7 @@ _PROMOTE_TO_WINDOW = [
     "pack_sequences",
     "dedup_incremental",
     "dedup_substring_spans",
+    "ngram_lm_score",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

@@ -999,3 +999,113 @@ def repetition_metrics(raw_docs):
             | (F.col("dup_bp") >= F.lit(REP_DUP5_MAX_BP))
         ).alias("repetitive"),
     ).orderBy("doc_id")
+
+
+# --- corpus-trained bigram LM scoring ----------------------------------------
+#
+# CCNet buckets documents by the perplexity of a KenLM 5-gram model; the
+# Spark-native analogue trains the LM ON the corpus ITSELF in one pass
+# (bigram + context counts are combinable groupBys) and scores each
+# document by its mean bigram conditional probability.  The score is the
+# integer-exact ppm form of avg P(w_i | w_{i-1}) — monotone in the
+# geometric/arithmetic LM quality signal without transcendental log(),
+# whose last-ulp differences between JVM and C libm would break the
+# cross-engine hash (base.py discipline).
+
+
+@register(
+    "ngram_lm_score",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    bo AS (
+      SELECT doc_id,
+             unnest([ words[i] FOR i IN range(1, len(words)) ]) AS w1,
+             unnest([ words[i] || ' ' || words[i+1]
+                      FOR i IN range(1, len(words)) ]) AS bg
+      FROM w
+    ),
+    bc AS ( SELECT bg, COUNT(*) AS cb FROM bo GROUP BY bg ),
+    cc AS ( SELECT w1, COUNT(*) AS cw FROM bo GROUP BY w1 ),
+    sc AS (
+      SELECT bo.doc_id, (1000000 * cb) // cw AS p_ppm
+      FROM bo JOIN bc USING (bg) JOIN cc USING (w1)
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(p_ppm) AS BIGINT) AS s
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0
+                ELSE s // n_bigrams END AS BIGINT) AS lm_score_ppm
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def ngram_lm_score(spark, sf_dir):
+    """Per-document mean bigram conditional probability (ppm) under the
+    corpus's own bigram LM: score = avg_i 1e6 * c(w_{i-1} w_i) /
+    c_ctx(w_{i-1}), exact integer arithmetic end to end.  High score =
+    predictable in-distribution text; the low tail is the gibberish /
+    boilerplate-noise cut, the CCNet tail bucket.
+
+    Scale shape: bigram and context counts are combinable groupBys over
+    the one-row-per-token bigram frame (linear); scoring joins that
+    frame back on the bigram key and the context key — equi-join
+    shuffles on real keys.  At 100 TB the LM tables are themselves
+    distributed tables (never collected); a production variant would
+    frequency-floor the bigram table to bound its size, exactly like
+    KenLM pruning."""
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit(""))
+    docs = load(spark, sf_dir, "documents")
+    bo = (
+        docs.repartition(64, "doc_id")
+        .select("doc_id", words.alias("words"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("words") >= 2,
+                    F.expr(
+                        """transform(sequence(0, size(words) - 2),
+                             i -> struct(words[i] AS w1,
+                                         concat(words[i], ' ', words[i+1])
+                                           AS bg))"""
+                    ),
+                ).otherwise(
+                    F.expr(
+                        "cast(array() as array<struct<w1:string,bg:string>>)")
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.bg")
+    )
+    bc = bo.groupBy("bg").agg(F.count("*").alias("cb"))
+    ctx = bo.groupBy("w1").agg(F.count("*").alias("cw"))
+    agg = (
+        bo.join(bc, "bg")
+        .join(ctx, "w1")
+        .select("doc_id", F.expr("(1000000 * cb) div cw").alias("p_ppm"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("p_ppm").alias("s"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0,
+                   F.lit(0).cast("long"))
+            .otherwise(F.expr("s div n_bigrams"))
+            .alias("lm_score_ppm"),
+        )
+        .orderBy("doc_id")
+    )
