@@ -56,6 +56,8 @@ _PROMOTE_TO_WINDOW = [
     "dedup_incremental",
     "dedup_substring_spans",
     "ngram_lm_score",
+    "bpe_pair_counts",
+    "mixture_sample",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

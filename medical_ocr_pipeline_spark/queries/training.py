@@ -205,3 +205,188 @@ def pack_sequences(spark, sf_dir):
             f"ELSE offset DIV {SEQ_LEN} END"
         ).alias("last_bin"),
     ).orderBy("doc_id")
+
+
+# --- BPE merge-candidate counting --------------------------------------------
+#
+# One iteration of byte-pair-encoding TRAINING at corpus scale: real BPE
+# trainers count adjacent-symbol pairs over the DISTINCT-word frequency
+# table (not raw running text), pick the argmax pair, merge, repeat.
+# The count step is the distributed-scale part — this query produces the
+# exact weighted pair table a driver-side merge loop would consume.
+
+BPE_TOP = 25
+
+
+@register(
+    "bpe_pair_counts",
+    sql=f"""
+    WITH wo AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '{{ws}}'), x -> x <> ''))
+               AS word
+      FROM documents
+    ),
+    wc AS ( SELECT word, COUNT(*) AS cnt FROM wo GROUP BY word ),
+    pairs AS (
+      SELECT unnest([ substr(word, i, 2) FOR i IN range(1, len(word)) ])
+               AS pair,
+             cnt
+      FROM wc
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC LIMIT {BPE_TOP}
+    """.format(ws="[^a-z0-9]+"),
+)
+def bpe_pair_counts(spark, sf_dir):
+    """Top BPE merge candidates: adjacent character-pair counts weighted
+    by word frequency, over the distinct-word table.  Deterministic
+    top-{BPE_TOP} with a full tie-break.
+
+    Scale shape: the word-frequency groupBy is combinable (map-side
+    partials collapse repeated words before the shuffle); the pair
+    explode runs over DISTINCT words only — at web scale the distinct
+    vocabulary is orders of magnitude smaller than the token stream, so
+    each BPE iteration costs one small shuffle, which is why trainers
+    count over the frequency table in the first place."""
+    words = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != F.lit(""))
+    wc = (
+        load(spark, sf_dir, "documents")
+        .repartition(64, "doc_id")
+        .select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.expr("transform(sequence(1, length(word) - 1),"
+                       "  i -> substring(word, i, 2))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )
+
+
+# --- data-mixture sampling ---------------------------------------------------
+#
+# DoReMi/Pile-style static mixing: given a per-source target share of a
+# total token budget, compute each source's deterministic sampling rate
+# and draw the sample with the same salted-md5-ppm coin as
+# train_test_split — reproducible across engines, runs and cluster
+# sizes, no RNG state.
+
+MIX_BUDGET_PPM = 500_000  # sample budget: 50% of corpus tokens
+_MIX_H_SPARK = MD5_INT48_SPARK.format(
+    x="concat('mix', cast(doc_id as string))")
+_MIX_H_DUCK = MD5_INT48_DUCK.format(x="'mix' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "mixture_sample",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, source, {_NT_DUCK} AS nt,
+             {_MIX_H_DUCK} % 1000000 AS coin
+      FROM documents
+    ),
+    src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM d GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM src
+    ),
+    rates AS (
+      SELECT source, n_docs, n_tokens,
+             CASE WHEN n_tokens = 0 THEN 0
+                  ELSE LEAST(1000000,
+                       (1000000 * ((total_tokens * {MIX_BUDGET_PPM}
+                                    // 1000000) // n_sources))
+                       // n_tokens) END AS rate_ppm
+      FROM src, tot
+    )
+    SELECT r.source, r.n_docs, r.n_tokens, r.rate_ppm,
+           CAST(COALESCE(SUM(CASE WHEN d.coin < r.rate_ppm THEN 1 END), 0)
+                AS BIGINT) AS n_docs_sampled,
+           CAST(COALESCE(SUM(CASE WHEN d.coin < r.rate_ppm THEN d.nt END), 0)
+                AS BIGINT) AS tokens_sampled
+    FROM rates r JOIN d ON d.source = r.source
+    GROUP BY r.source, r.n_docs, r.n_tokens, r.rate_ppm
+    ORDER BY r.source
+    """,
+)
+def mixture_sample(spark, sf_dir):
+    """Static data mixing: each source gets an equal share of a token
+    budget ({MIX_BUDGET_PPM} ppm of the corpus); its sampling rate is
+    the exact-integer ppm ratio of that share to its own token mass,
+    capped at 1.  Documents are drawn with a salted md5 coin.  Output
+    is the per-source audit frame (rates, realized sample sizes).
+    Uniform shares stand in for a weights table; a real mixture config
+    would broadcast-join (source -> weight_ppm) instead of the constant.
+
+    Scale shape: per-source stats are one combinable groupBy; the
+    totals frame is one row; rates flow back to documents via a
+    broadcast join on source (source cardinality is pipeline-bounded);
+    the draw itself is a per-row hash compare — no global state, no
+    RNG, no sort."""
+    nt = F.expr(_NT_SPARK).cast("long")
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(64, "doc_id")
+        .select(
+            "doc_id", "source", nt.alias("nt"),
+            (F.expr(_MIX_H_SPARK) % 1_000_000).alias("coin"),
+        )
+    )
+    src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    tot = src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    rates = (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.least(
+                    F.lit(1_000_000).cast("long"),
+                    F.expr(
+                        f"""(1000000 * ((total_tokens * {MIX_BUDGET_PPM}
+                              div 1000000) div n_sources)) div n_tokens"""
+                    ),
+                )
+            )
+            .alias("rate_ppm"),
+        )
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "n_tokens", "rate_ppm")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("coin") < F.col("rate_ppm"), 1)),
+                F.lit(0),
+            ).cast("long").alias("n_docs_sampled"),
+            F.coalesce(
+                F.sum(F.when(F.col("coin") < F.col("rate_ppm"),
+                             F.col("nt"))),
+                F.lit(0),
+            ).cast("long").alias("tokens_sampled"),
+        )
+        .orderBy("source")
+    )

@@ -39,3 +39,49 @@ def test_lm_score_split_context_and_degenerate_docs(spark, tmp_path):
     assert got[0].lm_score_ppm == 500_000
     assert got[1].lm_score_ppm == 500_000
     assert got[2].n_bigrams == 0 and got[2].lm_score_ppm == 0
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark, tmp_path):
+    """'ab' occurs 3x, 'cd' once -> pair 'ab' counts 3 (weighted over
+    the DISTINCT-word table), 'cd' counts 1; 1-char words contribute
+    nothing."""
+    from medical_ocr_pipeline_spark.queries.training import bpe_pair_counts
+
+    sf = _write_docs(spark, tmp_path, ["ab ab cd x", "ab x"])
+    got = {r.pair: r.pair_count for r in bpe_pair_counts(spark, sf).collect()}
+    assert got == {"ab": 3, "cd": 1}
+
+
+def _mix_coin(doc_id: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"mix{doc_id}".encode()).hexdigest()[:12]
+    return int(h, 16) % 1_000_000
+
+
+def test_mixture_sample_rates_and_draw(spark, tmp_path):
+    """Two sources, 30 vs 10 tokens, 50% budget split evenly -> 10
+    tokens target each: heavy source rate 333_333 ppm, light source
+    capped at 1_000_000 (fully kept); the draw matches the salted md5
+    coin recomputed in python."""
+    from pyspark.sql import Row
+
+    from medical_ocr_pipeline_spark.queries.training import mixture_sample
+
+    ten_words = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        Row(doc_id=i, text=ten_words, lang="en", source="heavy", n_chars=0)
+        for i in range(3)
+    ] + [Row(doc_id=3, text=ten_words, lang="en", source="light", n_chars=0)]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r.source: r for r in mixture_sample(spark, str(tmp_path)).collect()}
+    assert got["heavy"].n_tokens == 30 and got["light"].n_tokens == 10
+    assert got["heavy"].rate_ppm == 1_000_000 * 10 // 30
+    assert got["light"].rate_ppm == 1_000_000
+    assert got["light"].n_docs_sampled == 1
+    assert got["light"].tokens_sampled == 10
+    expect_heavy = sum(
+        1 for i in range(3) if _mix_coin(i) < got["heavy"].rate_ppm
+    )
+    assert got["heavy"].n_docs_sampled == expect_heavy
+    assert got["heavy"].tokens_sampled == expect_heavy * 10
