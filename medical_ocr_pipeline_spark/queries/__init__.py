@@ -58,6 +58,7 @@ _PROMOTE_TO_WINDOW = [
     "ngram_lm_score",
     "bpe_pair_counts",
     "mixture_sample",
+    "semdedup",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

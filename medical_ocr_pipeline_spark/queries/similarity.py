@@ -303,7 +303,7 @@ def _assignments(emb, centroids, nprobe: int = IVF_NPROBE):
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= nprobe)
-        .select("vec_id", "centroid_id", "rnk")
+        .select("vec_id", "centroid_id", "rnk", "sim")
     )
 
 
@@ -371,3 +371,96 @@ def ann_ivf_topk(spark, sf_dir):
     """Registered IVF ANN entry at the stated operating point
     (IVF_NPROBE); use ivf_topk(..., nprobe=...) to turn the dial."""
     return ivf_topk(spark, sf_dir, nprobe=IVF_NPROBE)
+
+
+# --- SemDeDup: semantic dedup via clustered embedding pruning -----------------
+#
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+# embeddings with a coarse quantizer, compute exact pairwise cosine
+# ONLY within clusters, and for every over-threshold pair keep the
+# example FARTHER from its cluster centroid (more informative /
+# less redundant) — the quadratic step is bounded by cluster size, so
+# the corpus-wide cost is linear in n for fixed cluster granularity.
+
+SEMDEDUP_THR = 0.30  # aligned with dedup.EMB_DUP_THR for recall tests
+
+
+def semdedup_verdicts(emb, thr: float = SEMDEDUP_THR):
+    """Per-vector SemDeDup verdict frame: (vec_id, cluster_id,
+    centroid_sim, keep).  A vector is dropped iff some same-cluster
+    vector exceeds `thr` cosine with it AND that partner is more
+    keepable (strictly lower centroid similarity, ties to the lower
+    vec_id) — for a duplicate clique this keeps exactly the one
+    farthest from the centroid, SemDeDup's selection rule.
+
+    Scale shape: assignment is a broadcast of the centroid table (one
+    row per cluster) + per-row argmax; the pair join is an equi-join on
+    cluster_id whose quadratic blowup is bounded by cluster size — at
+    production scale n_lists grows with the corpus (stride seeding
+    keeps cluster cardinality ~IVF_SEED_STRIDE), exactly the IVF
+    inverted-list geometry.  No corpus-wide pair space is ever built."""
+    centroids = emb.where(F.col("vec_id") % IVF_SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+    )
+    assign = (
+        _assignments(emb, centroids, nprobe=1)
+        .where(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("cluster_id"),
+            F.col("sim").alias("centroid_sim"),
+        )
+    )
+    vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id", "cluster_id", "centroid_sim", "embedding"
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    pair_cos = _cosine(
+        _dot(F.col("a.embedding"), F.col("b.embedding")),
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding")),
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(pair_cos >= thr)
+        .select(
+            # the LOSER (dropped side) is the endpoint CLOSER to the
+            # centroid; ties break to dropping the higher vec_id
+            F.when(
+                (F.col("a.centroid_sim") > F.col("b.centroid_sim"))
+                | (
+                    (F.col("a.centroid_sim") == F.col("b.centroid_sim"))
+                    & (F.col("a.vec_id") > F.col("b.vec_id"))
+                ),
+                F.col("a.vec_id"),
+            )
+            .otherwise(F.col("b.vec_id"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assign.join(edges, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.round("centroid_sim", R).alias("centroid_sim"),
+            (~F.coalesce(F.col("dropped"), F.lit(False))).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register("semdedup")
+def semdedup(spark, sf_dir):
+    """Registry wrapper: SemDeDup verdicts over the embeddings table.
+    Rows-only driver check (the clustered selection rule is not
+    SQL-expressible compactly); semantics are pinned by handcrafted
+    tests plus a recall/containment cross-check against the exact
+    all-pairs tier (dedup_embedding_cosine)."""
+    return semdedup_verdicts(load(spark, sf_dir, "embeddings"))

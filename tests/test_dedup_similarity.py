@@ -276,3 +276,73 @@ def test_substring_spans_handcrafted(spark, tmp_path):
     assert got[2]["n_dup_windows"] == 0 and got[2]["n_windows"] > 0
     assert got[3]["n_windows"] == 0 and got[3]["dup_ppm"] == 0
     assert got[0]["dup_ppm"] == 1000000 * 3 // got[0]["n_windows"]
+
+
+def test_semdedup_handcrafted_keep_rule(spark, tmp_path):
+    """SemDeDup keeps the pair endpoint FARTHER from the centroid: with
+    vec 0 seeding the only centroid, the near-duplicate pair (0, 1)
+    drops 0 (centroid itself, sim 1.0) and keeps 1; the identical pair
+    (2, 3) ties on centroid sim and drops the higher id."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from medical_ocr_pipeline_spark.queries.similarity import semdedup
+
+    def vec(i, eps=0.0):
+        v = [0.0] * 64
+        v[i] = 1.0
+        v[(i + 1) % 64] = eps
+        return [float(x) for x in v]
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    rows = [
+        Row(vec_id=0, embedding=vec(0), label=0),        # centroid seed
+        Row(vec_id=1, embedding=vec(0, 0.01), label=0),  # near-dup of 0
+        Row(vec_id=2, embedding=vec(7), label=1),        # orthogonal to 0
+        Row(vec_id=3, embedding=vec(7), label=1),        # exact dup of 2
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(
+        f"{tmp_path}/embeddings.parquet")
+    got = {r.vec_id: r for r in semdedup(spark, str(tmp_path)).collect()}
+    assert len(got) == 4
+    assert {i for i, r in got.items() if not r.keep} == {0, 3}
+    assert all(r.cluster_id == 0 for r in got.values())
+
+
+def test_semdedup_invariants_vs_exact_tier(spark):
+    """Cross-check against the exact all-pairs tier at sf0.01 (500
+    vectors, 17 stride-seeded clusters): (1) the pair loser — closer to
+    centroid, ties to higher id — is ALWAYS dropped, so no same-cluster
+    over-threshold pair survives intact; (2) every dropped vector
+    appears in a real exact pair (precision 1.0); (3) corpus-wide pair
+    recall >= 0.45 at this cluster granularity (measured 0.517 — misses
+    are cross-cluster pairs, the documented SemDeDup trade)."""
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        dedup_embedding_cosine,
+    )
+    from medical_ocr_pipeline_spark.queries.similarity import semdedup
+
+    sf = "/root/testdata/sf0.01"
+    v = {r.vec_id: r for r in semdedup(spark, sf).collect()}
+    pairs = [(r.vec_a, r.vec_b)
+             for r in dedup_embedding_cosine(spark, sf).collect()]
+    dropped = {i for i, r in v.items() if not r.keep}
+    same_cluster = [
+        (a, b) for a, b in pairs if v[a].cluster_id == v[b].cluster_id
+    ]
+    assert same_cluster, "testdata must produce within-cluster pairs"
+    for a, b in same_cluster:
+        ca, cb = v[a].centroid_sim, v[b].centroid_sim
+        loser = a if (ca, a) > (cb, b) else b
+        assert loser in dropped
+        assert not (v[a].keep and v[b].keep)
+    covered = {x for p in pairs for x in p}
+    assert dropped <= covered
+    broken = sum(1 for a, b in pairs if not (v[a].keep and v[b].keep))
+    assert broken / len(pairs) >= 0.45
