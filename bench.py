@@ -38,6 +38,11 @@ HEADLINE = [
     # NOTE for cross-round total comparisons: this entry adds ~1-2 s to
     # headline_queries_total vs BENCH_r02; compare per-query
     "quality_repetition",
+    # round 3: duplicate-span detection + corpus-trained bigram LM —
+    # both corpus-wide token-frame shuffles, the heaviest new family;
+    # adds ~2-4 s to headline_queries_total vs earlier rounds
+    "dedup_substring_spans",
+    "ngram_lm_score",
 ]
 
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
