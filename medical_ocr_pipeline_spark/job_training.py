@@ -1,0 +1,157 @@
+"""spark-submit entry point for training-set assembly over a documents
+table — the last mile after job_corpus.py's curation: gate, mix, split,
+pack, shard.
+
+    spark-submit --py-files dist/medical_ocr_pipeline_spark.zip \
+        medical_ocr_pipeline_spark/job_training.py \
+        --input /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/train_run [--master local[32]] [--resume]
+
+Stages (each written with write_stage + _SUCCESS marker; --resume skips
+any stage whose marker exists):
+  <out>/docs_mixed/    per-doc mixing verdict (nt, coin, rate_ppm,
+                       sampled) over the GATE-PASSING docs — the per-doc
+                       form of the oracle-checked mixture_sample query
+                       (shared core: queries/training.mixture_doc_frame).
+  <out>/docs_packed/   sampled docs with split (train/val/test — the
+                       oracle-checked split_expr), global token offset
+                       WITHIN the split (two-phase range-partitioned
+                       cumsum, never an unpartitioned window), bin span
+                       and shard id; partitioned by split on disk.
+  <out>/metrics/       one row per (split, source): docs, tokens,
+                       shards touched.
+
+Prints one RESULT line:
+  RESULT docs=N kept=N sampled=N train=N val=N test=N shards=N secs=S
+
+Every decision is a deterministic salted-md5 hash compare — rerunning
+the job, resuming it, or changing cluster size cannot change a single
+assignment (the north-rule reproducibility contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from medical_ocr_pipeline_spark.queries.textstats import document_verdicts
+from medical_ocr_pipeline_spark.queries.training import (
+    _PACK_H_SPARK,
+    SEQ_LEN,
+    global_running_offset,
+    mixture_doc_frame,
+    split_expr,
+)
+
+SEQS_PER_SHARD = 64  # SEQ_LEN * SEQS_PER_SHARD tokens per output shard
+
+
+def assemble_training_set(docs) -> tuple[DataFrame, DataFrame]:
+    """(mixed, packed): the job's two data frames, built from shared
+    oracle-checked cores so the production job cannot drift from the
+    driver-verified semantics.
+
+    mixed  — per-doc mixing verdict over gate-passing docs.
+    packed — sampled docs with split / offset / bins / shard_id; the
+             offset is computed per split (each split is its own
+             contiguous token stream, like separate train and eval
+             binaries on disk)."""
+    gate = document_verdicts(docs, extra_cols=("source",)).select(
+        "doc_id", "keep"
+    )
+    kept = docs.join(gate.where("keep").select("doc_id"), "doc_id")
+    mixed = mixture_doc_frame(kept)
+    sampled = (
+        mixed.where("sampled")
+        .select("doc_id", "source", "nt")
+        .withColumn("split", split_expr())
+    )
+    parts = []
+    for split in ("train", "val", "test"):
+        d = sampled.where(F.col("split") == split).withColumn(
+            "h", F.expr(_PACK_H_SPARK)
+        )
+        parts.append(global_running_offset(d))
+    packed = parts[0]
+    for p in parts[1:]:
+        packed = packed.unionByName(p)
+    shard_tokens = SEQ_LEN * SEQS_PER_SHARD
+    packed = packed.select(
+        "doc_id", "source", "split", "nt", "offset",
+        F.expr(f"offset DIV {SEQ_LEN}").alias("first_bin"),
+        F.expr(
+            f"CASE WHEN nt > 0 THEN (offset + nt - 1) DIV {SEQ_LEN} "
+            f"ELSE offset DIV {SEQ_LEN} END"
+        ).alias("last_bin"),
+        F.expr(f"offset DIV {shard_tokens}").alias("shard_id"),
+    )
+    return mixed, packed
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="documents parquet (doc_id, text, lang, source)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--master", default="local[32]")
+    ap.add_argument("--run-id", default="train_run")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip stages whose _SUCCESS marker exists")
+    args = ap.parse_args()
+
+    from medical_ocr_pipeline_spark.pipeline import (
+        stage_is_complete,
+        write_stage,
+    )
+    from medical_ocr_pipeline_spark.session import get_spark
+
+    spark = get_spark(app=f"training:{args.run_id}", master=args.master)
+    t0 = time.time()
+
+    docs = spark.read.parquet(args.input)
+    mixed_path = f"{args.out}/docs_mixed"
+    packed_path = f"{args.out}/docs_packed"
+
+    if not (args.resume and stage_is_complete(spark, mixed_path)
+            and stage_is_complete(spark, packed_path)):
+        mixed, packed = assemble_training_set(docs)
+        write_stage(mixed, mixed_path)
+        packed.write.mode("overwrite").partitionBy("split").parquet(
+            packed_path)
+    mixed = spark.read.parquet(mixed_path)
+    packed = spark.read.parquet(packed_path)
+
+    metrics = (
+        packed.groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.countDistinct("shard_id").alias("n_shards"),
+        )
+        .withColumn("run_id", F.lit(args.run_id))
+        .withColumn("ts", F.current_timestamp())
+    )
+    write_stage(metrics, f"{args.out}/metrics", mode="append")
+
+    n = docs.count()
+    kept = mixed.count()
+    sampled = mixed.where("sampled").count()
+    by_split = {
+        r["split"]: r["n"]
+        for r in packed.groupBy("split").agg(
+            F.count("*").alias("n")).collect()
+    }
+    shards = packed.select("split", "shard_id").distinct().count()
+    dt = time.time() - t0
+    print(
+        f"RESULT docs={n} kept={kept} sampled={sampled} "
+        f"train={by_split.get('train', 0)} val={by_split.get('val', 0)} "
+        f"test={by_split.get('test', 0)} shards={shards} secs={dt:.1f}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,16 @@ _H_DUCK = MD5_INT48_DUCK.format(x="'split' || CAST(doc_id AS VARCHAR)")
 TRAIN_PPM = 960_000  # 96 / 2 / 2 split
 VAL_PPM = 980_000
 
+
+def split_expr():
+    """Deterministic split-assignment column (train/val/test) — the one
+    definition both the registry query and job_training use."""
+    return (
+        F.when(F.expr(_H_SPARK) % 1_000_000 < TRAIN_PPM, F.lit("train"))
+        .when(F.expr(_H_SPARK) % 1_000_000 < VAL_PPM, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
 _NT_SPARK = (
     "size(regexp_extract_all(text, '"
     + _TOKEN_RE.replace("\\", "\\\\")
@@ -76,12 +86,7 @@ def train_test_split(spark, sf_dir):
     shuffles; a downstream writer just filters on the split column."""
     d = load(spark, sf_dir, "documents").select(
         "lang",
-        F.when(
-            F.expr(_H_SPARK) % 1_000_000 < TRAIN_PPM, F.lit("train")
-        )
-        .when(F.expr(_H_SPARK) % 1_000_000 < VAL_PPM, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        split_expr().alias("split"),
         F.expr(_NT_SPARK).cast("long").alias("nt"),
     )
     return (
@@ -342,9 +347,18 @@ def mixture_sample(spark, sf_dir):
     broadcast join on source (source cardinality is pipeline-bounded);
     the draw itself is a per-row hash compare — no global state, no
     RNG, no sort."""
+    return mixture_aggregate(
+        mixture_doc_frame(load(spark, sf_dir, "documents")))
+
+
+def mixture_doc_frame(docs) -> DataFrame:
+    """Shared per-document mixing core (job_training consumes this
+    directly; the registry query aggregates it): appends (nt, coin,
+    n_docs, n_tokens, rate_ppm, sampled) to every document's id and
+    source."""
     nt = F.expr(_NT_SPARK).cast("long")
     d = (
-        load(spark, sf_dir, "documents")
+        docs
         .repartition(64, "doc_id")
         .select(
             "doc_id", "source", nt.alias("nt"),
@@ -374,8 +388,15 @@ def mixture_sample(spark, sf_dir):
             .alias("rate_ppm"),
         )
     )
+    return d.join(F.broadcast(rates), "source").withColumn(
+        "sampled", F.col("coin") < F.col("rate_ppm")
+    )
+
+
+def mixture_aggregate(frame) -> DataFrame:
+    """Per-source audit aggregate over mixture_doc_frame output."""
     return (
-        d.join(F.broadcast(rates), "source")
+        frame
         .groupBy("source", "n_docs", "n_tokens", "rate_ppm")
         .agg(
             F.coalesce(

@@ -1,0 +1,100 @@
+"""job_training's frames must be exactly the oracle-checked cores:
+mixture verdicts aggregate to the mixture_sample query, splits match
+the salted md5 recomputed in python, per-split offsets are an exact
+prefix sum in (h, doc_id) order, and shard ids are pure functions of
+the offset."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_mixture_frame_matches_registry_query(spark):
+    from medical_ocr_pipeline_spark.queries.training import (
+        mixture_aggregate,
+        mixture_doc_frame,
+        mixture_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = [tuple(r) for r in
+           mixture_aggregate(mixture_doc_frame(docs)).collect()]
+    want = [tuple(r) for r in mixture_sample(spark, SF_DIR).collect()]
+    assert got == want
+
+
+def _split_of(doc_id: int) -> str:
+    from medical_ocr_pipeline_spark.queries.training import (
+        TRAIN_PPM,
+        VAL_PPM,
+    )
+
+    h = int(hashlib.md5(f"split{doc_id}".encode()).hexdigest()[:12], 16)
+    ppm = h % 1_000_000
+    return "train" if ppm < TRAIN_PPM else ("val" if ppm < VAL_PPM else "test")
+
+
+def test_assemble_training_set_invariants(spark):
+    from medical_ocr_pipeline_spark.job_training import (
+        SEQS_PER_SHARD,
+        assemble_training_set,
+    )
+    from medical_ocr_pipeline_spark.queries.training import SEQ_LEN
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mixed, packed = assemble_training_set(docs)
+    mixed_rows = mixed.collect()
+    packed_rows = packed.collect()
+
+    input_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    kept_ids = {r.doc_id for r in mixed_rows}
+    sampled_ids = {r.doc_id for r in mixed_rows if r.sampled}
+    assert kept_ids <= input_ids and sampled_ids <= kept_ids
+    assert {r.doc_id for r in packed_rows} == sampled_ids
+
+    # split assignment is the salted md5, bit-for-bit
+    for r in packed_rows:
+        assert r.split == _split_of(r.doc_id)
+
+    # per split: offsets are the exact prefix sum in (h, doc_id) order
+    def pack_h(doc_id: int) -> int:
+        return int(
+            hashlib.md5(f"pack{doc_id}".encode()).hexdigest()[:12], 16)
+
+    shard_tokens = SEQ_LEN * SEQS_PER_SHARD
+    for split in ("train", "val", "test"):
+        rows = sorted(
+            (r for r in packed_rows if r.split == split),
+            key=lambda r: (pack_h(r.doc_id), r.doc_id),
+        )
+        run = 0
+        for r in rows:
+            assert r.offset == run
+            assert r.first_bin == r.offset // SEQ_LEN
+            want_last = (
+                (r.offset + r.nt - 1) // SEQ_LEN if r.nt > 0
+                else r.offset // SEQ_LEN
+            )
+            assert r.last_bin == want_last
+            assert r.shard_id == r.offset // shard_tokens
+            run += r.nt
+
+
+def test_assemble_training_set_partition_invariance(spark):
+    """The packed frame is a pure function of the input CONTENT: a
+    differently-partitioned identical input yields identical rows."""
+    from medical_ocr_pipeline_spark.job_training import (
+        assemble_training_set,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    _, p1 = assemble_training_set(docs)
+    _, p2 = assemble_training_set(docs.repartition(97))
+    cols = ["doc_id", "split", "offset", "shard_id"]
+    a = sorted(tuple(r) for r in p1.select(*cols).collect())
+    b = sorted(tuple(r) for r in p2.select(*cols).collect())
+    assert a == b
