@@ -75,18 +75,27 @@ def _shingles_spark(df):
         F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
     )
     df = df.repartition(64, "doc_id").select("doc_id", words.alias("w"))
-    sh = F.array_distinct(
+    return df.where(F.size("w") >= 3).select(
+        "doc_id", _shingle_expr("w").alias("shingles")
+    )
+
+
+def _shingle_expr(words_col):
+    """Distinct word-3-gram column from a words-array column.  Only
+    valid where size(words) >= 3 (sequence() throws below that) — both
+    call sites guard: _shingles_spark filters first, with_band_buckets
+    wraps in a lazily-evaluated CASE WHEN."""
+    return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size("w") - 3),
+            F.sequence(F.lit(0), F.size(words_col) - 3),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at("w", i + 1),
-                F.element_at("w", i + 2),
-                F.element_at("w", i + 3),
+                F.element_at(words_col, i + 1),
+                F.element_at(words_col, i + 2),
+                F.element_at(words_col, i + 3),
             ),
         )
     )
-    return df.where(F.size("w") >= 3).select("doc_id", sh.alias("shingles"))
 
 
 _SHINGLES_DUCK = """
@@ -234,34 +243,70 @@ def _banded(docs, bands: int = 4):
     shared banding core of minhash_lsh_pairs (within-corpus pairs) and
     dedup_incremental (new-batch-vs-corpus semi-join)."""
     sh = _shingles_spark(docs)
-    h = _SPARK_H.format(x="s")
-    rows_per_band = N_HASHES // bands
-    sigs = sh.select(
-        "doc_id",
-        F.expr(f"transform(shingles, s -> {h} % {_MINHASH_P})").alias("hs"),
-    ).select(
-        "doc_id",
-        F.expr(
-            f"""
-            transform(sequence(0, {N_HASHES - 1}),
-              k -> array_min(transform(hs,
-                h -> ((1 + 2 * k) * h + k) % {_MINHASH_P})))
-            """
-        ).alias("sig"),
-    )
+    sigs = sh.select("doc_id", _sig_expr("shingles").alias("sig"))
     return sigs.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                    )
-                ),
+        F.posexplode(_buckets_expr("sig", bands)).alias("band", "bucket"),
+    )
+
+
+def _sig_expr(shingles_col: str):
+    """k=16 MinHash signature column from a shingles-array column."""
+    h = _SPARK_H.format(x="s")
+    return F.expr(
+        f"""
+        transform(sequence(0, {N_HASHES - 1}),
+          k -> array_min(transform(
+            transform({shingles_col}, s -> {h} % {_MINHASH_P}),
+            h -> ((1 + 2 * k) * h + k) % {_MINHASH_P})))
+        """
+    )
+
+
+def _buckets_expr(sig_col: str, bands: int):
+    """Array of `bands` LSH bucket strings from a signature column."""
+    rows_per_band = N_HASHES // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",",
+                F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
             )
-        ).alias("band", "bucket"),
+        ),
+    )
+
+
+def with_band_buckets(docs, bands: int = 4):
+    """Append a `buckets` column (array of `bands` LSH bucket strings;
+    NULL for docs with fewer than 3 words) to every input row — the
+    per-row, non-exploding, join-free form of _banded, usable on a
+    STREAMING frame (no shuffle, no state).  Both forms derive from
+    the same _sig_expr/_buckets_expr, so they cannot drift (pinned by
+    test_with_band_buckets_matches_banded)."""
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit(""))
+    # CASE WHEN evaluates lazily per row: sequence() inside the shingle
+    # expression would throw on size(words) < 3, and md5(concat_ws) of
+    # an all-NULL signature would produce md5('') — a single hot bucket
+    # every short doc collides into — so short docs get NULL buckets.
+    return (
+        docs.withColumn("_w", words)
+        .withColumn(
+            "_shingles",
+            F.when(F.size("_w") >= 3, _shingle_expr("_w")),
+        )
+        .withColumn(
+            "_sig",
+            F.when(F.col("_shingles").isNotNull(), _sig_expr("_shingles")),
+        )
+        .withColumn(
+            "buckets",
+            F.when(
+                F.col("_sig").isNotNull(), _buckets_expr("_sig", bands)
+            ),
+        )
+        .drop("_w", "_shingles", "_sig")
     )
 
 
