@@ -59,6 +59,8 @@ _PROMOTE_TO_WINDOW = [
     "bpe_pair_counts",
     "mixture_sample",
     "semdedup",
+    "bpe_train_merges",
+    "bpe_encode_stats",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

@@ -411,3 +411,50 @@ def mixture_aggregate(frame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- full BPE training + encoding (operators/bpe.py cores) -------------------
+
+BPE_N_MERGES = 10
+
+
+@register("bpe_train_merges")
+def bpe_train_merges(spark, sf_dir):
+    """Rank-ordered BPE merge list learned from the corpus
+    (operators/bpe.bpe_train: distributed pair counts, driver-bounded
+    merge loop).  Rows-only driver check — the training loop is
+    iterative; semantics are pinned by the classic-example tests in
+    test_bpe.py (including determinism across partitionings)."""
+    from medical_ocr_pipeline_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(load(spark, sf_dir, "documents"), BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).orderBy("rank")
+
+
+@register("bpe_encode_stats")
+def bpe_encode_stats(spark, sf_dir):
+    """Per-source token statistics of the corpus encoded under its own
+    learned BPE merges (train + Arrow-batched encode end to end):
+    compression = chars per BPE token.  Rows-only driver check;
+    exactness of the encoder is pinned by test_bpe.py."""
+    from medical_ocr_pipeline_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, BPE_N_MERGES)
+    enc = bpe_encode(docs, merges)
+    return (
+        enc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
