@@ -61,6 +61,7 @@ _PROMOTE_TO_WINDOW = [
     "semdedup",
     "bpe_train_merges",
     "bpe_encode_stats",
+    "lm_perplexity_buckets",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

@@ -1013,9 +1013,7 @@ def repetition_metrics(raw_docs):
 # cross-engine hash (base.py discipline).
 
 
-@register(
-    "ngram_lm_score",
-    sql=f"""
+_LM_SQL = f"""
     WITH w AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),
@@ -1045,9 +1043,10 @@ def repetition_metrics(raw_docs):
            CAST(CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0
                 ELSE s // n_bigrams END AS BIGINT) AS lm_score_ppm
     FROM documents d LEFT JOIN agg USING (doc_id)
-    ORDER BY d.doc_id
-    """,
-)
+"""
+
+
+@register("ngram_lm_score", sql=_LM_SQL + " ORDER BY doc_id")
 def ngram_lm_score(spark, sf_dir):
     """Per-document mean bigram conditional probability (ppm) under the
     corpus's own bigram LM: score = avg_i 1e6 * c(w_{i-1} w_i) /
@@ -1062,9 +1061,16 @@ def ngram_lm_score(spark, sf_dir):
     distributed tables (never collected); a production variant would
     frequency-floor the bigram table to bound its size, exactly like
     KenLM pruning."""
+    return lm_doc_scores(
+        load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def lm_doc_scores(docs):
+    """Shared core: (doc_id, n_bigrams, lm_score_ppm) frame for any
+    (doc_id, text) input — consumed by ngram_lm_score and
+    lm_perplexity_buckets."""
     words = F.filter(
         F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit(""))
-    docs = load(spark, sf_dir, "documents")
     bo = (
         docs.repartition(64, "doc_id")
         .select("doc_id", words.alias("words"))
@@ -1106,6 +1112,65 @@ def ngram_lm_score(spark, sf_dir):
                    F.lit(0).cast("long"))
             .otherwise(F.expr("s div n_bigrams"))
             .alias("lm_score_ppm"),
+        )
+    )
+
+
+@register(
+    "lm_perplexity_buckets",
+    sql=f"""
+    WITH lm AS ({_LM_SQL}),
+    j AS (
+      SELECT lm.doc_id, d.lang, lm.lm_score_ppm
+      FROM lm JOIN documents d USING (doc_id)
+    ),
+    cuts AS (
+      SELECT lang,
+             quantile_cont(lm_score_ppm, 1.0/3) AS p33,
+             quantile_cont(lm_score_ppm, 2.0/3) AS p66
+      FROM j GROUP BY lang
+    )
+    SELECT j.doc_id, j.lang, j.lm_score_ppm,
+           CASE WHEN j.lm_score_ppm <= c.p33 THEN 'tail'
+                WHEN j.lm_score_ppm <= c.p66 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM j JOIN cuts c USING (lang)
+    ORDER BY j.doc_id
+    """,
+)
+def lm_perplexity_buckets(spark, sf_dir):
+    """The FULL CCNet §3.3 pipeline with its actual signal: per-language
+    head/middle/tail buckets cut on LANGUAGE-MODEL score tertiles
+    (ccnet_buckets uses the classifier score; this uses the corpus-
+    trained bigram LM from lm_doc_scores — high mean conditional
+    probability = low perplexity = head).  Value-based cutoffs, exact
+    integer scores, same interpolated-percentile discipline as
+    ccnet_buckets (bit-identical IEEE ops over the same sorted ints).
+
+    Scale shape: LM scoring is the documented ngram_lm_score plan; the
+    cutoff frame is one row per language broadcast back; the bucket tag
+    is a shuffle-free per-row CASE."""
+    docs = load(spark, sf_dir, "documents")
+    j = (
+        lm_doc_scores(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "lm_score_ppm")
+        .persist()
+    )
+    cuts = j.groupBy("lang").agg(
+        F.expr("percentile(lm_score_ppm, 1D/3)").alias("p33"),
+        F.expr("percentile(lm_score_ppm, 2D/3)").alias("p66"),
+    )
+    return (
+        j.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "lm_score_ppm",
+            F.when(F.col("lm_score_ppm") <= F.col("p33"), F.lit("tail"))
+            .when(F.col("lm_score_ppm") <= F.col("p66"), F.lit("middle"))
+            .otherwise(F.lit("head"))
+            .alias("bucket"),
         )
         .orderBy("doc_id")
     )

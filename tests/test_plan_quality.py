@@ -247,3 +247,50 @@ def test_repetition_plan_is_single_scan_no_shuffle(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Exchange") <= 2  # AQE may split the final sort
+
+
+def test_substring_spans_plan_no_blowup(spark):
+    """Duplicate-span detection: no cartesian/BNLJ, no Window; the
+    repeat count is a partial (combinable) aggregation."""
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        dedup_substring_spans,
+    )
+
+    plan = final_plan(dedup_substring_spans(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
+
+
+def test_lm_score_plan_no_blowup(spark):
+    """Bigram-LM scoring: LM tables come from combinable groupBys; the
+    score-back joins are equi-joins, never nested loops; no Window."""
+    from medical_ocr_pipeline_spark.queries.textstats import ngram_lm_score
+
+    plan = final_plan(ngram_lm_score(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
+
+
+def test_mixture_sample_plan_broadcasts_rates(spark):
+    """Mixture sampling: rates flow back via broadcast (the rate table
+    is one row per source), and the only unpartitioned frames are the
+    one-row totals."""
+    from medical_ocr_pipeline_spark.queries.training import mixture_sample
+
+    plan = final_plan(mixture_sample(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_pair_join_is_cluster_scoped(spark):
+    """SemDeDup's quadratic step must be keyed by cluster_id — a
+    same-cluster equi-join, never an unconditioned cross join."""
+    from medical_ocr_pipeline_spark.queries.similarity import semdedup
+
+    plan = final_plan(semdedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
