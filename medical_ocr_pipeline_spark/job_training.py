@@ -7,8 +7,10 @@ pack, shard.
         --input /root/testdata/sf0.01/documents.parquet \
         --out /tmp/train_run [--master local[32]] [--resume]
 
-Stages (each written with write_stage + _SUCCESS marker; --resume skips
-any stage whose marker exists):
+Stages (each written with a _SUCCESS marker; --resume skips each stage
+INDEPENDENTLY when its marker exists, and the packed stage always reads
+the WRITTEN mixed stage — the expensive gate+token-count lineage runs
+exactly once per stage build, never twice per run):
   <out>/docs_mixed/    per-doc mixing verdict (nt, coin, rate_ppm,
                        sampled) over the GATE-PASSING docs — the per-doc
                        form of the oracle-checked mixture_sample query
@@ -17,12 +19,16 @@ any stage whose marker exists):
                        oracle-checked split_expr), global token offset
                        WITHIN the split (two-phase range-partitioned
                        cumsum, never an unpartitioned window), bin span
-                       and shard id; partitioned by split on disk.
+                       and shard span [shard_id, last_shard] (a doc can
+                       cross shard boundaries); partitioned by split.
   <out>/metrics/       one row per (split, source): docs, tokens,
-                       shards touched.
+                       shards TOUCHED (span-exploded, so a
+                       boundary-crossing doc counts in every shard it
+                       reaches).
 
 Prints one RESULT line:
   RESULT docs=N kept=N sampled=N train=N val=N test=N shards=N secs=S
+(shards = distinct (split, shard) pairs touched.)
 
 Every decision is a deterministic salted-md5 hash compare — rerunning
 the job, resuming it, or changing cluster size cannot change a single
@@ -48,21 +54,23 @@ from medical_ocr_pipeline_spark.queries.training import (
 SEQS_PER_SHARD = 64  # SEQ_LEN * SEQS_PER_SHARD tokens per output shard
 
 
-def assemble_training_set(docs) -> tuple[DataFrame, DataFrame]:
-    """(mixed, packed): the job's two data frames, built from shared
-    oracle-checked cores so the production job cannot drift from the
-    driver-verified semantics.
-
-    mixed  — per-doc mixing verdict over gate-passing docs.
-    packed — sampled docs with split / offset / bins / shard_id; the
-             offset is computed per split (each split is its own
-             contiguous token stream, like separate train and eval
-             binaries on disk)."""
-    gate = document_verdicts(docs, extra_cols=("source",)).select(
-        "doc_id", "keep"
-    )
+def mixture_verdict_frame(docs) -> DataFrame:
+    """Per-doc mixing verdict over the gate-passing documents — the
+    docs_mixed stage, built from the oracle-checked shared cores."""
+    gate = document_verdicts(docs).select("doc_id", "keep")
     kept = docs.join(gate.where("keep").select("doc_id"), "doc_id")
-    mixed = mixture_doc_frame(kept)
+    return mixture_doc_frame(kept)
+
+
+def pack_sampled(mixed) -> DataFrame:
+    """Sampled docs -> split / offset / bins / shard span.  Takes the
+    docs_mixed frame (in-memory or read back from its stage), so the
+    gate+mixture lineage is never re-executed to build this stage.
+
+    The offset is computed per split (each split is its own contiguous
+    token stream, like separate train and eval binaries on disk); a
+    document with nt tokens at offset o spans shards
+    [o // shard_tokens, (o + nt - 1) // shard_tokens]."""
     sampled = (
         mixed.where("sampled")
         .select("doc_id", "source", "nt")
@@ -78,7 +86,7 @@ def assemble_training_set(docs) -> tuple[DataFrame, DataFrame]:
     for p in parts[1:]:
         packed = packed.unionByName(p)
     shard_tokens = SEQ_LEN * SEQS_PER_SHARD
-    packed = packed.select(
+    return packed.select(
         "doc_id", "source", "split", "nt", "offset",
         F.expr(f"offset DIV {SEQ_LEN}").alias("first_bin"),
         F.expr(
@@ -86,8 +94,39 @@ def assemble_training_set(docs) -> tuple[DataFrame, DataFrame]:
             f"ELSE offset DIV {SEQ_LEN} END"
         ).alias("last_bin"),
         F.expr(f"offset DIV {shard_tokens}").alias("shard_id"),
+        F.expr(
+            f"CASE WHEN nt > 0 THEN (offset + nt - 1) DIV {shard_tokens} "
+            f"ELSE offset DIV {shard_tokens} END"
+        ).alias("last_shard"),
     )
-    return mixed, packed
+
+
+def assemble_training_set(docs) -> tuple[DataFrame, DataFrame]:
+    """(mixed, packed) without intermediate IO — the test/in-memory
+    form; main() chains packed from the WRITTEN mixed stage instead."""
+    mixed = mixture_verdict_frame(docs)
+    return mixed, pack_sampled(mixed)
+
+
+def shards_touched(packed) -> DataFrame:
+    """(split, source, n_docs, n_tokens, n_shards) with shard counts
+    over the full [shard_id, last_shard] span of every document."""
+    return (
+        packed.withColumn(
+            "shard", F.explode(F.sequence("shard_id", "last_shard"))
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            # nt repeats once per touched shard — count it only on the
+            # doc's first shard row
+            F.sum(
+                F.when(F.col("shard") == F.col("shard_id"), F.col("nt"))
+                .otherwise(F.lit(0))
+            ).alias("n_tokens"),
+            F.countDistinct("shard").alias("n_shards"),
+        )
+    )
 
 
 def main() -> None:
@@ -114,22 +153,17 @@ def main() -> None:
     mixed_path = f"{args.out}/docs_mixed"
     packed_path = f"{args.out}/docs_packed"
 
-    if not (args.resume and stage_is_complete(spark, mixed_path)
-            and stage_is_complete(spark, packed_path)):
-        mixed, packed = assemble_training_set(docs)
-        write_stage(mixed, mixed_path)
-        packed.write.mode("overwrite").partitionBy("split").parquet(
-            packed_path)
+    if not (args.resume and stage_is_complete(spark, mixed_path)):
+        write_stage(mixture_verdict_frame(docs), mixed_path)
     mixed = spark.read.parquet(mixed_path)
+
+    if not (args.resume and stage_is_complete(spark, packed_path)):
+        pack_sampled(mixed).write.mode("overwrite").partitionBy(
+            "split").parquet(packed_path)
     packed = spark.read.parquet(packed_path)
 
     metrics = (
-        packed.groupBy("split", "source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("nt").alias("n_tokens"),
-            F.countDistinct("shard_id").alias("n_shards"),
-        )
+        shards_touched(packed)
         .withColumn("run_id", F.lit(args.run_id))
         .withColumn("ts", F.current_timestamp())
     )
@@ -143,7 +177,13 @@ def main() -> None:
         for r in packed.groupBy("split").agg(
             F.count("*").alias("n")).collect()
     }
-    shards = packed.select("split", "shard_id").distinct().count()
+    shards = (
+        packed.select(
+            "split", F.explode(F.sequence("shard_id", "last_shard"))
+        )
+        .distinct()
+        .count()
+    )
     dt = time.time() - t0
     print(
         f"RESULT docs={n} kept={kept} sampled={sampled} "

@@ -403,13 +403,19 @@ def semdedup_verdicts(emb, thr: float = SEMDEDUP_THR):
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("ce"),
     )
+    # centroid_sim is ROUNDED once here (6 digits — finer than the R=4
+    # oracle rounding, coarse enough to absorb summation-order noise)
+    # and used for BOTH the keep rule and the output frame: a decision
+    # on unrounded sims could not be reproduced (or audited) from the
+    # frame the operator returns — sub-6-digit sim differences fall
+    # through to the vec_id tie-break
     assign = (
         _assignments(emb, centroids, nprobe=1)
         .where(F.col("rnk") == 1)
         .select(
             "vec_id",
             F.col("centroid_id").alias("cluster_id"),
-            F.col("sim").alias("centroid_sim"),
+            F.round("sim", 6).alias("centroid_sim"),
         )
     )
     vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
@@ -449,7 +455,7 @@ def semdedup_verdicts(emb, thr: float = SEMDEDUP_THR):
         .select(
             "vec_id",
             "cluster_id",
-            F.round("centroid_sim", R).alias("centroid_sim"),
+            "centroid_sim",
             (~F.coalesce(F.col("dropped"), F.lit(False))).alias("keep"),
         )
         .orderBy("vec_id")

@@ -81,6 +81,11 @@ def test_assemble_training_set_invariants(spark):
             )
             assert r.last_bin == want_last
             assert r.shard_id == r.offset // shard_tokens
+            want_last_shard = (
+                (r.offset + r.nt - 1) // shard_tokens if r.nt > 0
+                else r.shard_id
+            )
+            assert r.last_shard == want_last_shard
             run += r.nt
 
 
