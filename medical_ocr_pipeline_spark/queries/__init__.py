@@ -62,6 +62,7 @@ _PROMOTE_TO_WINDOW = [
     "bpe_train_merges",
     "bpe_encode_stats",
     "lm_perplexity_buckets",
+    "split_leakage_check",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

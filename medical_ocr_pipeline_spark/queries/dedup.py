@@ -1006,3 +1006,106 @@ def dedup_substring_spans(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- train/eval split leakage check ------------------------------------------
+#
+# Decontaminating val/test against train is the split-boundary form of
+# benchmark decontamination: an eval doc that is an exact or near dup of
+# a train doc inflates eval scores.  Reuses incremental_verdicts with
+# existing = train, incoming = val + test; split membership is the
+# oracle-checked salted-md5 assignment from queries/training.
+
+from medical_ocr_pipeline_spark.queries.training import (  # noqa: E402
+    TRAIN_PPM as _SPLIT_TRAIN_PPM,
+    VAL_PPM as _SPLIT_VAL_PPM,
+)
+
+_SPLIT_H_DUCK = MD5_INT48_DUCK.format(x="'split' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "split_leakage_check",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE WHEN {_SPLIT_H_DUCK} % 1000000 < {_SPLIT_TRAIN_PPM}
+                    THEN 'train'
+                  WHEN {_SPLIT_H_DUCK} % 1000000 < {_SPLIT_VAL_PPM}
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+               FOR i IN range(1, len(words) - 1)
+             ]) AS shingles
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> '') AS words
+        FROM d
+      ) WHERE len(words) >= 3
+    ),
+    sig AS (
+      SELECT doc_id,
+             [ list_min(list_transform(shingles,
+                 s -> ((1 + 2 * k) * ({MD5_INT48_DUCK.format(x="s")}
+                       % {_MINHASH_P}) + k) % {_MINHASH_P} )
+               ) FOR k IN range(0, {N_HASHES}) ] AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b AS band,
+             md5(array_to_string(
+               sig[b * {_INC_RPB} + 1 : (b + 1) * {_INC_RPB}], ','))
+               AS bucket
+      FROM sig, range({_INC_BANDS}) t(b)
+    ),
+    ex AS (
+      SELECT DISTINCT e.doc_id
+      FROM d e JOIN d t ON md5(e.text) = md5(t.text)
+      WHERE e.split <> 'train' AND t.split = 'train'
+    ),
+    nr AS (
+      SELECT DISTINCT eb.doc_id
+      FROM banded eb
+      JOIN d e ON eb.doc_id = e.doc_id AND e.split <> 'train'
+      JOIN banded tb ON eb.band = tb.band AND eb.bucket = tb.bucket
+      JOIN d t ON tb.doc_id = t.doc_id AND t.split = 'train'
+    )
+    SELECT e.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN e.doc_id IN (SELECT doc_id FROM ex)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_leaks,
+           CAST(SUM(CASE WHEN e.doc_id IN (SELECT doc_id FROM nr)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_near_leaks
+    FROM d e WHERE e.split <> 'train'
+    GROUP BY e.split ORDER BY e.split
+    """,
+)
+def split_leakage_check(spark, sf_dir):
+    """Per-eval-split leakage audit: how many val/test docs are exact
+    or LSH-near duplicates of a TRAIN doc.  Runs the deterministic
+    split assignment (queries/training.split_expr), then
+    incremental_verdicts with existing = train, incoming = val+test —
+    the same persisted-index semi-join shape as dedup_incremental, so
+    the check costs two linear shuffles however large the corpus."""
+    from medical_ocr_pipeline_spark.queries.training import split_expr
+
+    d = load(spark, sf_dir, "documents").withColumn("split", split_expr())
+    train = d.where(F.col("split") == "train")
+    evals = d.where(F.col("split") != "train")
+    v = incremental_verdicts(train, evals)
+    return (
+        v.join(evals.select("doc_id", "split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("exact_dup").cast("long")).alias("n_exact_leaks"),
+            F.sum(F.col("near_dup").cast("long")).alias("n_near_leaks"),
+        )
+        .orderBy("split")
+    )

@@ -346,3 +346,40 @@ def test_semdedup_invariants_vs_exact_tier(spark):
     assert dropped <= covered
     broken = sum(1 for a, b in pairs if not (v[a].keep and v[b].keep))
     assert broken / len(pairs) >= 0.45
+
+
+def test_split_leakage_handcrafted(spark, tmp_path):
+    """doc 12 maps to val, 250 to test, 0-2 to train under the split
+    hash: an exact train copy in val is an exact+near leak, a
+    shingle-identical variant in test is a near leak, a fresh val doc
+    leaks nothing."""
+    from pyspark.sql import Row
+
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        split_leakage_check,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi " * 3)
+    rows = [
+        Row(doc_id=0, text=base, lang="en", source="s", n_chars=0),
+        Row(doc_id=1, text="one two three four five six seven eight " * 4,
+            lang="en", source="s", n_chars=0),
+        Row(doc_id=12, text=base, lang="en", source="s", n_chars=0),
+        # same shingle set as doc 0 (shingles are DISTINCT 3-grams of a
+        # repeated phrase), different exact bytes
+        Row(doc_id=250, text=base + "alpha beta gamma",
+            lang="en", source="s", n_chars=0),
+        Row(doc_id=184, text="totally unrelated fresh content about "
+                             "spark physical plans and shuffles " * 3,
+            lang="en", source="s", n_chars=0),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r.split: r for r in
+           split_leakage_check(spark, str(tmp_path)).collect()}
+    assert got["val"].n_docs == 2
+    assert got["val"].n_exact_leaks == 1  # doc 12 == doc 0
+    assert got["val"].n_near_leaks == 1   # the exact copy also bands equal
+    assert got["test"].n_docs == 1
+    assert got["test"].n_exact_leaks == 0
+    assert got["test"].n_near_leaks == 1  # doc 250 shares doc 0's shingles
