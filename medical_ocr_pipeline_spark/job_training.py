@@ -25,6 +25,13 @@ exactly once per stage build, never twice per run):
                        shards TOUCHED (span-exploded, so a
                        boundary-crossing doc counts in every shard it
                        reaches).
+  <out>/leakage/       per-eval-split decontamination audit: how many
+                       packed val/test docs are exact or LSH-near
+                       duplicates of a packed TRAIN doc (the
+                       incremental_verdicts semi-join cores — the same
+                       check the oracle-backed split_leakage_check
+                       registry query runs corpus-wide).  Disable with
+                       --no-leakage-audit.
 
 Prints one RESULT line:
   RESULT docs=N kept=N sampled=N train=N val=N test=N shards=N secs=S
@@ -129,6 +136,32 @@ def shards_touched(packed) -> DataFrame:
     )
 
 
+def leakage_audit(docs, packed) -> DataFrame:
+    """(split, n_docs, n_exact_leaks, n_near_leaks) over the PACKED
+    docs: eval splits checked against the packed train split with the
+    exact-hash + LSH-band semi-joins of queries/dedup."""
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        incremental_verdicts,
+    )
+
+    with_text = packed.select("doc_id", "split").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    train = with_text.where(F.col("split") == "train")
+    evals = with_text.where(F.col("split") != "train")
+    return (
+        incremental_verdicts(train, evals)
+        .join(evals.select("doc_id", "split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("exact_dup").cast("long")).alias("n_exact_leaks"),
+            F.sum(F.col("near_dup").cast("long")).alias("n_near_leaks"),
+        )
+        .orderBy("split")
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
@@ -138,6 +171,8 @@ def main() -> None:
     ap.add_argument("--run-id", default="train_run")
     ap.add_argument("--resume", action="store_true",
                     help="skip stages whose _SUCCESS marker exists")
+    ap.add_argument("--no-leakage-audit", action="store_true",
+                    help="skip the train->eval decontamination audit")
     args = ap.parse_args()
 
     from medical_ocr_pipeline_spark.pipeline import (
@@ -168,6 +203,13 @@ def main() -> None:
         .withColumn("ts", F.current_timestamp())
     )
     write_stage(metrics, f"{args.out}/metrics", mode="append")
+
+    if not args.no_leakage_audit:
+        write_stage(
+            leakage_audit(docs, packed)
+            .withColumn("run_id", F.lit(args.run_id)),
+            f"{args.out}/leakage",
+        )
 
     n = docs.count()
     kept = mixed.count()

@@ -103,3 +103,32 @@ def test_assemble_training_set_partition_invariance(spark):
     a = sorted(tuple(r) for r in p1.select(*cols).collect())
     b = sorted(tuple(r) for r in p2.select(*cols).collect())
     assert a == b
+
+
+def test_leakage_audit_on_packed_frame(spark):
+    """The audit runs the same verdict cores as split_leakage_check but
+    scoped to the packed docs: every eval row appears exactly once,
+    leak counts are bounded by doc counts."""
+    from medical_ocr_pipeline_spark.job_training import (
+        assemble_training_set,
+        leakage_audit,
+    )
+
+    # sf0.1: the smaller tables' handful of eval-hash docs all fall to
+    # the gate or the mixture coin (sf0.01 packs train=156/val=0/test=0)
+    # -> the audit would be vacuous below this scale
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    _, packed = assemble_training_set(docs)
+    packed = packed.cache()
+    rows = leakage_audit(docs, packed).collect()
+    assert rows, "sf0.1 must produce at least one eval split"
+    eval_counts = {
+        r["split"]: r["n"]
+        for r in packed.where("split <> 'train'")
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r.split for r in rows} == set(eval_counts)
+    for r in rows:
+        assert r.n_docs == eval_counts[r.split]
+        assert 0 <= r.n_exact_leaks <= r.n_docs
+        assert 0 <= r.n_near_leaks <= r.n_docs
