@@ -1,0 +1,81 @@
+"""Distributed PageRank power iteration over an edge frame — the
+link-graph ranking component a web-corpus pipeline uses for host/URL
+quality (Common Crawl publishes harmonic-centrality and PageRank host
+rankings; CCNet/RefinedWeb-class pipelines consume them as priors).
+
+Shape per iteration: one equi-join (rank flows along edges, shuffled on
+src) + one combinable groupBy (sum of inbound contributions) + one tiny
+dangling-mass aggregate broadcast back — no windows, no cartesian, and
+the per-round lineage truncation follows the connected_components
+pattern (localCheckpoint in single-JVM mode; a checkpoint_dir makes it
+cluster-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, n_iters: int = 10,
+             damping: float = 0.85) -> DataFrame:
+    """edges: (src, dst) — directed.  Returns (vertex, rank) for every
+    vertex appearing as src or dst; ranks sum to 1.
+
+    Dangling vertices (no out-edges) redistribute their mass uniformly
+    over ALL vertices each iteration, the standard PageRank completion:
+    rank' = (1-d)/N + d * (inflow + dangling_mass/N).
+
+    Determinism note: ranks are IEEE doubles accumulated in partition
+    order, so the last few ulps can differ across partitionings —
+    callers that need stable output round (the registry smoke rounds to
+    10 decimals and tie-breaks sorts by vertex id).  The structure
+    (which vertex ranks where) is stable far above that noise."""
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # (src, dst, deg) — static across iterations; persist once
+    flow = edges.join(out_deg, "src").persist()
+    flow.count()
+    ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    try:
+        for _ in range(n_iters):
+            with_deg = ranks.join(
+                out_deg, ranks["vertex"] == out_deg["src"], "left"
+            )
+            dangling = (
+                with_deg.where(F.col("deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+                .collect()[0]["m"]
+            )
+            inflow = (
+                flow.join(ranks, flow["src"] == ranks["vertex"])
+                .select(
+                    F.col("dst").alias("vertex"),
+                    (F.col("rank") / F.col("deg")).alias("contrib"),
+                )
+                .groupBy("vertex")
+                .agg(F.sum("contrib").alias("inflow"))
+            )
+            base = (1.0 - damping) / n + damping * dangling / n
+            nxt = (
+                verts.join(inflow, "vertex", "left")
+                .select(
+                    "vertex",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+            ranks = nxt
+    finally:
+        flow.unpersist()
+    return ranks

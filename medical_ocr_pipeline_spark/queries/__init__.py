@@ -63,6 +63,7 @@ _PROMOTE_TO_WINDOW = [
     "bpe_encode_stats",
     "lm_perplexity_buckets",
     "split_leakage_check",
+    "host_pagerank",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

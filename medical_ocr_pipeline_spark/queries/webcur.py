@@ -484,3 +484,40 @@ def ccnet_buckets(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- host-graph PageRank ------------------------------------------------------
+
+
+@register("host_pagerank")
+def host_pagerank(spark, sf_dir):
+    """PageRank over a derived host citation graph (Common Crawl ships
+    exactly this artifact as its host ranking; pipelines consume it as
+    a quality prior).  The documents table has no link column, so the
+    graph is derived deterministically: doc i cites doc (7i + 1) mod n,
+    giving a host->host multigraph over the 20 sources.  Rows-only
+    driver check (iterative float fixpoint); the operator's math is
+    pinned by closed-form and sequential-reference tests in
+    tests/test_pagerank.py.  Ranks rounded to 10 decimals with a
+    vertex-id tie-break for stable output."""
+    from medical_ocr_pipeline_spark.operators.pagerank import pagerank
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    n = docs.count()
+    a = docs.alias("a")
+    b = docs.alias("b")
+    edges = (
+        a.join(b, F.col("b.doc_id") == (F.col("a.doc_id") * 7 + 1) % n)
+        .where(F.col("a.source") != F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src"), F.col("b.source").alias("dst")
+        )
+    )
+    return (
+        pagerank(edges, n_iters=10)
+        .select(
+            F.col("vertex").alias("host"),
+            F.round("rank", 10).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), F.asc("host"))
+    )
