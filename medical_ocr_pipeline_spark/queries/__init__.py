@@ -64,6 +64,7 @@ _PROMOTE_TO_WINDOW = [
     "lm_perplexity_buckets",
     "split_leakage_check",
     "host_pagerank",
+    "dedup_minhash_lsh",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

@@ -230,10 +230,42 @@ def dedup_minhash(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_lsh")
+_LSH_BANDS = 4
+_LSH_RPB = N_HASHES // _LSH_BANDS
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    sig AS (
+      SELECT doc_id,
+             [ list_min(list_transform(shingles,
+                 s -> ((1 + 2 * k) * ({MD5_INT48_DUCK.format(x="s")}
+                       % {_MINHASH_P}) + k) % {_MINHASH_P} )
+               ) FOR k IN range(0, {N_HASHES}) ] AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b AS band,
+             md5(array_to_string(
+               sig[b * {_LSH_RPB} + 1 : (b + 1) * {_LSH_RPB}], ','))
+               AS bucket
+      FROM sig, range({_LSH_BANDS}) t(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
 def dedup_minhash_lsh(spark, sf_dir):
-    """Registry wrapper: LSH candidate pairs (rows-only; recall vs exact
-    Jaccard asserted in tests/test_dedup_similarity.py)."""
+    """Registry wrapper: LSH candidate pairs.  Upgraded from rows-only
+    to a FULL DuckDB oracle (the banding chain — md5-derived minhash
+    signatures, band slicing, bucket hashing, bucket self-join — is
+    mirrored exactly in SQL, the same mirror split_leakage_check and
+    dedup_incremental use), plus recall vs exact Jaccard asserted in
+    tests/test_dedup_similarity.py."""
     return minhash_lsh_pairs(spark, sf_dir)
 
 

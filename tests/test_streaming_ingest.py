@@ -65,3 +65,32 @@ def test_stream_ingest_dedup_end_to_end(spark, tmp_path):
     # rerun: the checkpoint has seen every feed file -> no new rows
     stream_ingest_dedup(spark, corpus, feed, out, ckpt)
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_with_band_buckets_matches_banded(spark):
+    """The per-row (streaming) banding and the exploded (batch) banding
+    must be the same function: exploding the buckets array of the
+    long-doc rows reproduces _banded exactly, and short docs get NULL
+    buckets (never a shared md5('') bucket)."""
+    from pyspark.sql import Row
+
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        _banded,
+        with_band_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(tuple(r) for r in _banded(docs).collect())
+    b = sorted(
+        tuple(r)
+        for r in with_band_buckets(docs)
+        .where(F.col("buckets").isNotNull())
+        .select("doc_id", F.posexplode("buckets").alias("band", "bucket"))
+        .collect()
+    )
+    assert a == b and len(a) > 0
+
+    short = spark.createDataFrame(
+        [Row(doc_id=1, text="two words"), Row(doc_id=2, text=None)])
+    got = with_band_buckets(short).select("doc_id", "buckets").collect()
+    assert all(r.buckets is None for r in got)
