@@ -65,6 +65,7 @@ _PROMOTE_TO_WINDOW = [
     "split_leakage_check",
     "host_pagerank",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

@@ -637,7 +637,41 @@ DEDUP_LSH_TABLES = 12
 DEDUP_LSH_PLANES = 3
 
 
-@register("dedup_embedding_lsh")
+@register(
+    "dedup_embedding_lsh",
+    sql=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_aggregate(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, label, e, nrm, t AS tbl,
+             list_aggregate(
+               [ CASE WHEN list_aggregate(
+                     [ e[i + 1] *
+                       ((CAST(('0x' || substr(md5(t || ':' || p || ':' || i),
+                               1, 12)) AS BIGINT) % 2001 - 1000) / 1000.0)
+                       FOR i IN range(0, 64) ], 'sum') > 0
+                 THEN (1 << p) ELSE 0 END
+                 FOR p IN range(0, {DEDUP_LSH_PLANES}) ], 'sum') AS bucket
+      FROM e, range({DEDUP_LSH_TABLES}) r(t)
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_aggregate(list_transform(range(1, 65),
+                   i -> a.e[i] * b.e[i]), 'sum') / (a.nrm * b.nrm),
+                 {R}) AS cosine,
+           CAST(a.label = b.label AS BOOLEAN) AS same_label
+    FROM banded a JOIN banded b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(range(1, 65),
+            i -> a.e[i] * b.e[i]), 'sum') / (a.nrm * b.nrm)
+          >= {EMB_DUP_THR}
+    ORDER BY vec_a, vec_b
+    """,
+)
 def dedup_embedding_lsh(spark, sf_dir):
     """THE 100 TB path for embedding near-dup (pairs, not top-k): the
     same multi-table random-hyperplane signatures as ann_lsh_topk bucket
