@@ -66,6 +66,9 @@ _PROMOTE_TO_WINDOW = [
     "host_pagerank",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_components",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

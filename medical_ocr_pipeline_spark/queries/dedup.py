@@ -734,13 +734,46 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
 
 
-@register("dedup_components")
+@register(
+    "dedup_components",
+    sql=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_DUCK}),
+    ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS common,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE CAST(common AS DOUBLE) / (na + nb - common) >= {JACCARD_THR}
+    ),
+    und AS (
+      SELECT doc_a AS s, doc_b AS d FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    walk(v, lbl) AS (
+      SELECT s, s FROM und
+      UNION
+      SELECT u.d, w.lbl FROM walk w JOIN und u ON w.v = u.s
+    )
+    SELECT v AS vertex, MIN(lbl) AS component
+    FROM walk GROUP BY v ORDER BY v
+    """,
+)
 def dedup_components(spark, sf_dir):
     """Near-dup clusters: connected components over the exact-Jaccard
     pair edges (iterative min-label propagation — one shuffle per
-    round, diameter-bounded; see operators/components.py).  Rows-only:
-    iterative, not SQL-expressible; pinned against a pure-python
-    union-find in tests/test_components.py.  Output: one row per
+    round, diameter-bounded; see operators/components.py).  Full DuckDB
+    oracle: a recursive CTE computes min-reachable-label reachability
+    closure over the same edge set (integer-exact, so the hash compare
+    is deterministic); a pure-python union-find additionally pins the
+    operator in tests/test_components.py.  Output: one row per
     clustered doc with its component id (= min doc_id of the cluster,
     the keep-representative rule)."""
     from medical_ocr_pipeline_spark.operators.components import (

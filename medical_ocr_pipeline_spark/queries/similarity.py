@@ -218,14 +218,56 @@ def hyperplane_signatures(n_tables: int, n_planes: int):
     )
 
 
-@register("ann_lsh_topk")
+@register(
+    "ann_lsh_topk",
+    sql=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_aggregate(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, label, e, nrm, t AS tbl,
+             list_aggregate(
+               [ CASE WHEN list_aggregate(
+                     [ e[i + 1] *
+                       ((CAST(('0x' || substr(md5(t || ':' || p || ':' || i),
+                               1, 12)) AS BIGINT) % 2001 - 1000) / 1000.0)
+                       FOR i IN range(0, 64) ], 'sum') > 0
+                 THEN (1 << p) ELSE 0 END
+                 FOR p IN range(0, {N_PLANES}) ], 'sum') AS bucket
+      FROM e, range({N_TABLES}) r(t)
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             ROUND(list_aggregate(list_transform(range(1, 65),
+                     i -> q.e[i] * c.e[i]), 'sum') / (q.nrm * c.nrm),
+                   {R}) AS cosine
+      FROM banded q JOIN banded c
+        ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, label, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rn FROM cand
+    ) WHERE rn <= {TOP_K}
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+)
 def lsh_bucket_topk(spark, sf_dir):
     """Scale path: multi-table random-hyperplane LSH — deterministic
     pseudo-planes from md5(table, plane, dim), sign-bit signature per
     table (AND over planes), candidates = union over tables (OR
     amplification), then exact cosine only within buckets.  One equi-join
-    shuffle on (table, bucket) instead of a cross join.  Spark-only
-    (recall vs cosine_topk is asserted in tests, not hash-matched)."""
+    shuffle on (table, bucket) instead of a cross join.  Full DuckDB
+    oracle: the pseudo-planes are pure md5 arithmetic, so both engines
+    band identically and the candidate set (not just the ranking) is
+    hash-compared; recall vs cosine_topk is additionally asserted in
+    tests."""
     emb = load(spark, sf_dir, "embeddings")
     # table t, plane p weight for dim i:
     #   ((md5-int(t:p:i) mod 2001) - 1000) / 1000  in [-1, 1]
@@ -366,10 +408,66 @@ def ivf_topk(spark, sf_dir, nprobe: int = IVF_NPROBE):
     )
 
 
-@register("ann_ivf_topk")
+@register(
+    "ann_ivf_topk",
+    sql=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_aggregate(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm FROM e
+      WHERE vec_id % {IVF_SEED_STRIDE} = 0
+    ),
+    ranked AS (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, centroid_id
+             ) AS rnk
+      FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               list_aggregate(list_transform(range(1, 65),
+                 i -> e.e[i] * cent.ce[i]), 'sum') / (e.nrm * cent.cnrm) AS sim
+        FROM e, cent
+      )
+    ),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, centroid_id FROM ranked
+      WHERE vec_id >= {N_QUERIES} AND rnk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM ranked
+      WHERE vec_id < {N_QUERIES} AND rnk <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.neighbor_id, nb.label,
+             ROUND(list_aggregate(list_transform(range(1, 65),
+                     i -> qe.e[i] * nb.e[i]), 'sum') / (qe.nrm * nb.nrm),
+                   {R}) AS cosine
+      FROM probes p
+      JOIN corpus c ON p.centroid_id = c.centroid_id
+      JOIN e qe ON qe.vec_id = p.query_id
+      JOIN e nb ON nb.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, label, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rn FROM cand
+    ) WHERE rn <= {TOP_K}
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+)
 def ann_ivf_topk(spark, sf_dir):
     """Registered IVF ANN entry at the stated operating point
-    (IVF_NPROBE); use ivf_topk(..., nprobe=...) to turn the dial."""
+    (IVF_NPROBE); use ivf_topk(..., nprobe=...) to turn the dial.
+    Full DuckDB oracle: stride seeding, nearest-list assignment, and
+    nprobe probing are all deterministic (unrounded double dot products
+    are order-deterministic in both engines), so the probed candidate
+    set and the final top-k are hash-compared exactly."""
     return ivf_topk(spark, sf_dir, nprobe=IVF_NPROBE)
 
 
@@ -462,11 +560,63 @@ def semdedup_verdicts(emb, thr: float = SEMDEDUP_THR):
     )
 
 
-@register("semdedup")
+@register(
+    "semdedup",
+    sql=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_aggregate(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm FROM e
+      WHERE vec_id % {IVF_SEED_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cluster_id, ROUND(sim, 6) AS centroid_sim
+      FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               list_aggregate(list_transform(range(1, 65),
+                 i -> e.e[i] * cent.ce[i]), 'sum') / (e.nrm * cent.cnrm) AS sim,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id ORDER BY
+                   list_aggregate(list_transform(range(1, 65),
+                     i -> e.e[i] * cent.ce[i]), 'sum') / (e.nrm * cent.cnrm)
+                   DESC, cent.centroid_id
+               ) AS rnk
+        FROM e, cent
+      ) WHERE rnk = 1
+    ),
+    vecs AS (
+      SELECT a.vec_id, a.cluster_id, a.centroid_sim, e.e, e.nrm
+      FROM assign a JOIN e ON a.vec_id = e.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT
+             CASE WHEN a.centroid_sim > b.centroid_sim
+                    OR (a.centroid_sim = b.centroid_sim
+                        AND a.vec_id > b.vec_id)
+                  THEN a.vec_id ELSE b.vec_id END AS vec_id
+      FROM vecs a JOIN vecs b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_aggregate(list_transform(range(1, 65),
+              i -> a.e[i] * b.e[i]), 'sum') / (a.nrm * b.nrm)
+            >= {SEMDEDUP_THR}
+    )
+    SELECT a.vec_id, a.cluster_id, a.centroid_sim,
+           (d.vec_id IS NULL) AS keep
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id
+    """,
+)
 def semdedup(spark, sf_dir):
     """Registry wrapper: SemDeDup verdicts over the embeddings table.
-    Rows-only driver check (the clustered selection rule is not
-    SQL-expressible compactly); semantics are pinned by handcrafted
-    tests plus a recall/containment cross-check against the exact
-    all-pairs tier (dedup_embedding_cosine)."""
+    Full DuckDB oracle: stride centroids, nearest-cluster assignment,
+    the in-cluster pair threshold, and the keep-farthest selection rule
+    are all deterministic SQL (the keep rule compares 6-digit-rounded
+    centroid sims, so the decision is bit-reproducible cross-engine);
+    a recall/containment cross-check against the exact all-pairs tier
+    (dedup_embedding_cosine) additionally pins semantics in tests."""
     return semdedup_verdicts(load(spark, sf_dir, "embeddings"))

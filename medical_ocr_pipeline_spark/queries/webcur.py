@@ -489,17 +489,75 @@ def ccnet_buckets(spark, sf_dir):
 # --- host-graph PageRank ------------------------------------------------------
 
 
-@register("host_pagerank")
+def _pagerank_oracle_sql(n_iters: int = 10) -> str:
+    """Unrolled fixed-iteration PageRank as chained DuckDB CTEs — one
+    (dangling, inflow, ranks) CTE triple per power iteration, the same
+    dataflow the Spark operator runs.  Fully deterministic STRUCTURE;
+    the only cross-engine freedom is double summation order inside the
+    per-host inflow SUM, whose error (~1e-14 after 10 iterations) sits
+    five orders of magnitude below the 8-decimal output rounding, so
+    the hash compare is stable (see base.py's rounding-boundary note)."""
+    # AS MATERIALIZED: without it DuckDB inlines each CTE at every one
+    # of its ~3 x n_iters reference sites, re-opening the parquet file
+    # per inlined scan (EMFILE at 10 iterations) and re-deriving the
+    # edge graph dozens of times.
+    parts = [
+        """
+    WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+    nct AS (SELECT COUNT(*) AS n FROM docs),
+    edges AS MATERIALIZED (
+      SELECT a.source AS src, b.source AS dst
+      FROM docs a, nct, docs b
+      WHERE b.doc_id = (a.doc_id * 7 + 1) % nct.n AND a.source <> b.source
+    ),
+    verts AS MATERIALIZED (
+      SELECT src AS vertex FROM edges UNION SELECT dst FROM edges
+    ),
+    nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+    outdeg AS MATERIALIZED (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT vertex, 1.0 / nv.n AS rank FROM verts, nv)"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+    d{i} AS (
+      SELECT COALESCE(SUM(r.rank), 0.0) AS m
+      FROM r{i - 1} r LEFT JOIN outdeg o ON r.vertex = o.src
+      WHERE o.deg IS NULL
+    ),
+    inf{i} AS (
+      SELECT e.dst AS vertex, SUM(r.rank / o.deg) AS inflow
+      FROM edges e
+      JOIN outdeg o ON e.src = o.src
+      JOIN r{i - 1} r ON r.vertex = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT v.vertex,
+             ((1.0 - 0.85) / nv.n + 0.85 * d{i}.m / nv.n)
+               + 0.85 * COALESCE(inf{i}.inflow, 0.0) AS rank
+      FROM verts v LEFT JOIN inf{i} ON v.vertex = inf{i}.vertex, nv, d{i}
+    )""")
+    parts.append(f"""
+    SELECT vertex AS host, ROUND(rank, 8) AS rank
+    FROM r{n_iters} ORDER BY rank DESC, host""")
+    return "".join(parts)
+
+
+@register("host_pagerank", sql=_pagerank_oracle_sql())
 def host_pagerank(spark, sf_dir):
     """PageRank over a derived host citation graph (Common Crawl ships
     exactly this artifact as its host ranking; pipelines consume it as
     a quality prior).  The documents table has no link column, so the
     graph is derived deterministically: doc i cites doc (7i + 1) mod n,
-    giving a host->host multigraph over the 20 sources.  Rows-only
-    driver check (iterative float fixpoint); the operator's math is
-    pinned by closed-form and sequential-reference tests in
-    tests/test_pagerank.py.  Ranks rounded to 10 decimals with a
-    vertex-id tie-break for stable output."""
+    giving a host->host multigraph over the 20 sources.  Full DuckDB
+    oracle: the 10 power iterations unroll into chained CTEs replicating
+    the operator's exact dataflow (see _pagerank_oracle_sql); the
+    operator's math is additionally pinned by closed-form and
+    sequential-reference tests in tests/test_pagerank.py.  Ranks rounded
+    to 8 decimals (noise margin ~1e5 over cross-engine float summation
+    order) with a vertex-id tie-break for stable output."""
     from medical_ocr_pipeline_spark.operators.pagerank import pagerank
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
@@ -517,7 +575,7 @@ def host_pagerank(spark, sf_dir):
         pagerank(edges, n_iters=10)
         .select(
             F.col("vertex").alias("host"),
-            F.round("rank", 10).alias("rank"),
+            F.round("rank", 8).alias("rank"),
         )
         .orderBy(F.desc("rank"), F.asc("host"))
     )
