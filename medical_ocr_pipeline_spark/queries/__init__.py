@@ -69,6 +69,7 @@ _PROMOTE_TO_WINDOW = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_components",
+    "pack_bin_manifest",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

@@ -212,6 +212,89 @@ def pack_sequences(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "pack_bin_manifest",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, {_PACK_H_DUCK} AS h, {_NT_DUCK} AS nt
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, nt,
+             CAST(COALESCE(SUM(nt) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS off
+      FROM d
+    ),
+    spans AS (
+      SELECT doc_id, nt, off,
+             unnest(range(off // {SEQ_LEN}, (off + nt - 1) // {SEQ_LEN} + 1))
+               AS bin_id
+      FROM o WHERE nt > 0
+    )
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(
+             LEAST(off + nt, (bin_id + 1) * {SEQ_LEN})
+             - GREATEST(off, bin_id * {SEQ_LEN})
+           ) AS BIGINT) AS tokens_filled,
+           arg_min(doc_id, off) AS lead_doc,
+           CAST(SUM(
+             LEAST(off + nt, (bin_id + 1) * {SEQ_LEN})
+             - GREATEST(off, bin_id * {SEQ_LEN})
+           ) = {SEQ_LEN} AS BOOLEAN) AS full
+    FROM spans GROUP BY bin_id ORDER BY bin_id
+    """,
+)
+def pack_bin_manifest(spark, sf_dir):
+    """The shard writer's view of concat-and-chunk packing: one row per
+    SEQ_LEN-token bin with how many documents compose it, how many
+    tokens it holds (== SEQ_LEN for every bin but possibly the last),
+    and which document's tokens open it.  pack_sequences answers
+    "where does MY doc land"; this answers "what does bin k contain" —
+    exactly the frame a sharded example writer iterates to emit
+    training sequences with document-boundary (attention-reset) masks.
+
+    Scale shape: the same two-phase range-partition cumsum as
+    pack_sequences (no unpartitioned window), then one explode of each
+    doc's [first_bin, last_bin] span (a doc adds ~nt/SEQ_LEN rows — the
+    explode output is ~corpus_tokens/SEQ_LEN rows total, the size of
+    the training set itself) and one COMBINABLE groupBy(bin_id).
+    min_by gives the opening doc without a per-bin sort; offsets of
+    nt>0 docs are strictly increasing, so it is tie-free."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_PACK_H_SPARK).alias("h"),
+        F.expr(_NT_SPARK).cast("long").alias("nt"),
+    )
+    o = global_running_offset(d).where(F.col("nt") > 0)
+    spans = o.select(
+        "doc_id",
+        "nt",
+        F.col("offset").alias("off"),
+        F.explode(
+            F.sequence(
+                F.expr(f"offset DIV {SEQ_LEN}"),
+                F.expr(f"(offset + nt - 1) DIV {SEQ_LEN}"),
+            )
+        ).alias("bin_id"),
+    )
+    contrib = F.least(
+        F.col("off") + F.col("nt"), (F.col("bin_id") + 1) * SEQ_LEN
+    ) - F.greatest(F.col("off"), F.col("bin_id") * SEQ_LEN)
+    return (
+        spans.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(contrib).alias("tokens_filled"),
+            F.min_by("doc_id", "off").alias("lead_doc"),
+        )
+        .withColumn("full", F.col("tokens_filled") == SEQ_LEN)
+        .orderBy("bin_id")
+    )
+
+
 # --- BPE merge-candidate counting --------------------------------------------
 #
 # One iteration of byte-pair-encoding TRAINING at corpus scale: real BPE

@@ -102,3 +102,35 @@ def test_train_test_split_ratios_and_determinism(spark):
     langs_with_train = {r["lang"] for r in a if r["split"] == "train"}
     all_langs = {r["lang"] for r in a}
     assert langs_with_train == all_langs
+
+
+def test_pack_bin_manifest_tiles_the_token_stream(spark):
+    from medical_ocr_pipeline_spark.queries.training import pack_bin_manifest
+
+    docs = pack_sequences(spark, SF_DIR).collect()
+    bins = pack_bin_manifest(spark, SF_DIR).collect()
+    total = sum(r["nt"] for r in docs)
+    # bins are contiguous from 0 and jointly hold every token exactly once
+    assert [r["bin_id"] for r in bins] == list(range(len(bins)))
+    assert sum(r["tokens_filled"] for r in bins) == total
+    # every bin is exactly SEQ_LEN except possibly the last (tail)
+    for r in bins[:-1]:
+        assert r["tokens_filled"] == SEQ_LEN and r["full"]
+    assert bins[-1]["tokens_filled"] <= SEQ_LEN
+    # lead_doc is the doc whose span opens the bin (min offset intersecting)
+    by_doc = {r["doc_id"]: r for r in docs if r["nt"] > 0}
+    for r in bins:
+        d = by_doc[r["lead_doc"]]
+        assert d["first_bin"] <= r["bin_id"] <= d["last_bin"]
+        # no intersecting doc starts earlier
+        opener_off = d["offset"]
+        for o in by_doc.values():
+            if o["first_bin"] <= r["bin_id"] <= o["last_bin"]:
+                assert o["offset"] >= opener_off
+    # n_docs matches the interval-cover count
+    for r in bins:
+        n = sum(
+            1 for o in by_doc.values()
+            if o["first_bin"] <= r["bin_id"] <= o["last_bin"]
+        )
+        assert r["n_docs"] == n
