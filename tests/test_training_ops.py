@@ -134,3 +134,28 @@ def test_pack_bin_manifest_tiles_the_token_stream(spark):
             if o["first_bin"] <= r["bin_id"] <= o["last_bin"]
         )
         assert r["n_docs"] == n
+
+
+def test_pack_bin_manifest_plan_shape(spark):
+    """The bin rollup must be a combinable aggregation over the interval
+    explode (partial_min_by/partial aggregate before the exchange), with
+    no unpartitioned window over the exploded frame — the explode output
+    is corpus_tokens/SEQ_LEN rows, the one frame that must never funnel
+    through a single task."""
+    from medical_ocr_pipeline_spark.queries.training import pack_bin_manifest
+
+    plan = (
+        pack_bin_manifest(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lowered = plan.lower()
+    assert "generate explode" in lowered
+    # partial (map-side) aggregation feeds the bin_id exchange
+    assert "partial_min_by" in lowered or "partial_count" in lowered
+    # no unpartitioned Window except global_running_offset's tiny
+    # per-partition totals frame (references _part_total)
+    for ln in plan.splitlines():
+        if "Window [" in ln and "_pid#" not in ln:
+            assert "_part_total" in ln, ln
