@@ -18,8 +18,11 @@ Scale notes:
     minimum doc id — the canonical "keep the smallest id" dedup
     representative rule.
 
-Non-SQL-expressible (iterative); correctness is pinned by a pure-python
-union-find cross-check in tests/test_components.py.
+Correctness is pinned two ways: a pure-python union-find cross-check in
+tests/test_components.py, and a full DuckDB oracle on the registry query
+(queries/dedup.py::dedup_components) — a recursive CTE computing the
+min-reachable-label closure over the same edge set reproduces the
+iterative fixpoint exactly, since labels are integers.
 """
 
 from __future__ import annotations

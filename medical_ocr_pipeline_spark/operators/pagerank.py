@@ -27,10 +27,13 @@ def pagerank(edges: DataFrame, n_iters: int = 10,
     rank' = (1-d)/N + d * (inflow + dangling_mass/N).
 
     Determinism note: ranks are IEEE doubles accumulated in partition
-    order, so the last few ulps can differ across partitionings —
-    callers that need stable output round (the registry smoke rounds to
-    10 decimals and tie-breaks sorts by vertex id).  The structure
-    (which vertex ranks where) is stable far above that noise."""
+    order, so the last few ulps (~1e-14 after 10 iterations) can differ
+    across partitionings AND engines — callers that need stable or
+    oracle-comparable output must round with a wide margin over that
+    noise (the registry query rounds to 8 decimals, ~5e5 margin, and
+    tie-breaks sorts by vertex id; 10 decimals was too tight for a
+    cross-engine hash).  The structure (which vertex ranks where) is
+    stable far above that noise."""
     verts = (
         edges.select(F.col("src").alias("vertex"))
         .union(edges.select(F.col("dst").alias("vertex")))

@@ -33,6 +33,41 @@ ROUND_DIGITS = 4
 MD5_INT48_SPARK = "cast(conv(substr(md5({x}), 1, 12), 16, 10) as bigint)"
 MD5_INT48_DUCK = "CAST(('0x' || substr(md5({x}), 1, 12)) AS BIGINT)"
 
+# Canonical DuckDB CTE body over the embeddings table: float32 -> double
+# up-cast plus the L2 norm, shared by every embedding-family oracle
+# (ANN LSH/IVF, SemDeDup, embedding near-dup pairs) so a cast or norm
+# fix propagates everywhere.
+EMB_E_DUCK = """
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_aggregate(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+"""
+
+
+def emb_banded_duck(tables: int, planes: int) -> str:
+    """Canonical DuckDB CTE body for the random-hyperplane signature:
+    per table t, a `planes`-bit sign bucket of the embedding against the
+    deterministic md5 pseudo-planes.  Expects an `e` CTE of EMB_E_DUCK
+    shape in scope.  The per-term association is (v * k) / 1000.0 —
+    EXACTLY the Spark side's `cast(e.v as double) * k / 1000.0`
+    (left-assoc), not v * (k / 1000.0): the bucket is the SIGN of a
+    64-term sum, so both engines must accumulate bit-identical terms or
+    a near-zero projection can band differently."""
+    return f"""
+      SELECT vec_id, label, e, nrm, t AS tbl,
+             list_aggregate(
+               [ CASE WHEN list_aggregate(
+                     [ (e[i + 1] *
+                        (CAST(('0x' || substr(md5(t || ':' || p || ':' || i),
+                                1, 12)) AS BIGINT) % 2001 - 1000)) / 1000.0
+                       FOR i IN range(0, 64) ], 'sum') > 0
+                 THEN (1 << p) ELSE 0 END
+                 FOR p IN range(0, {planes}) ], 'sum') AS bucket
+      FROM e, range({tables}) r(t)
+"""
+
 
 @dataclass
 class QuerySpec:

@@ -16,9 +16,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from medical_ocr_pipeline_spark.queries.base import (
+    EMB_E_DUCK,
     MD5_INT48_DUCK,
     MD5_INT48_SPARK,
     ROUND_DIGITS,
+    emb_banded_duck,
     load,
     register,
 )
@@ -113,10 +115,10 @@ _SHINGLES_DUCK = """
 """
 
 
-@register(
-    "dedup_ngram_jaccard",
-    sql=f"""
-    WITH sh AS ({_SHINGLES_DUCK}),
+# Shared CTE chain for the shingle inverted-index pair enumeration —
+# used verbatim by the Jaccard-pairs oracle AND the connected-components
+# oracle so their edge sets cannot drift.
+_JACCARD_PAIRS_DUCK = f"""sh AS ({_SHINGLES_DUCK}),
     ex AS (
       SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
     ),
@@ -125,7 +127,13 @@ _SHINGLES_DUCK = """
              COUNT(*) AS common, ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH {_JACCARD_PAIRS_DUCK}
     SELECT doc_a, doc_b,
            ROUND(CAST(common AS DOUBLE) / (na + nb - common), {R}) AS jaccard
     FROM pairs
@@ -640,25 +648,8 @@ DEDUP_LSH_PLANES = 3
 @register(
     "dedup_embedding_lsh",
     sql=f"""
-    WITH e AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-             sqrt(list_aggregate(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
-      FROM embeddings
-    ),
-    banded AS (
-      SELECT vec_id, label, e, nrm, t AS tbl,
-             list_aggregate(
-               [ CASE WHEN list_aggregate(
-                     [ e[i + 1] *
-                       ((CAST(('0x' || substr(md5(t || ':' || p || ':' || i),
-                               1, 12)) AS BIGINT) % 2001 - 1000) / 1000.0)
-                       FOR i IN range(0, 64) ], 'sum') > 0
-                 THEN (1 << p) ELSE 0 END
-                 FOR p IN range(0, {DEDUP_LSH_PLANES}) ], 'sum') AS bucket
-      FROM e, range({DEDUP_LSH_TABLES}) r(t)
-    )
+    WITH e AS ({EMB_E_DUCK}),
+    banded AS ({emb_banded_duck(DEDUP_LSH_TABLES, DEDUP_LSH_PLANES)})
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_aggregate(list_transform(range(1, 65),
                    i -> a.e[i] * b.e[i]), 'sum') / (a.nrm * b.nrm),
@@ -679,10 +670,15 @@ def dedup_embedding_lsh(spark, sf_dir):
     groups, then the EMB_DUP_THR threshold — one shuffle on the band
     key, never an all-pairs product.  Same output columns as the fenced
     exact tier (dedup_embedding_cosine), whose role is to recall-test
-    this query (tests/test_dedup_similarity.py).  Rows-only: bucketing
-    has no SQL oracle; correctness = measured recall vs the exact tier
-    + containment (every emitted pair is a true >= threshold pair,
-    since the final cosine is exact)."""
+    this query (tests/test_dedup_similarity.py).  Full DuckDB oracle
+    (shared EMB_E_DUCK/emb_banded_duck templates): the md5 pseudo-plane
+    banding is mirrored term-for-term with identical IEEE association,
+    so the candidate-pair set itself hash-matches — recall vs the exact
+    tier remains the semantic test, the oracle pins cross-engine
+    determinism.  Precondition (documented, holds for the driver
+    testdata): embeddings are non-zero-norm — a zero vector would give
+    NULL cosine here vs NaN in DuckDB, which DuckDB orders ABOVE the
+    threshold."""
     from medical_ocr_pipeline_spark.queries.similarity import (
         hyperplane_signatures,
     )
@@ -737,17 +733,7 @@ def dedup_embedding_lsh(spark, sf_dir):
 @register(
     "dedup_components",
     sql=f"""
-    WITH RECURSIVE sh AS ({_SHINGLES_DUCK}),
-    ex AS (
-      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             COUNT(*) AS common,
-             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
+    WITH RECURSIVE {_JACCARD_PAIRS_DUCK},
     edges AS (
       SELECT doc_a, doc_b FROM pairs
       WHERE CAST(common AS DOUBLE) / (na + nb - common) >= {JACCARD_THR}

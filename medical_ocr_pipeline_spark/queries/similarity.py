@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
+from medical_ocr_pipeline_spark.queries.base import (
+    EMB_E_DUCK,
+    ROUND_DIGITS,
+    emb_banded_duck,
+    load,
+    register,
+)
 
 R = ROUND_DIGITS
 TOP_K = 5
@@ -43,8 +49,15 @@ def _cosine(dot, norm_prod):
     """try_divide: a zero-norm (all-zero / padding) vector must yield a
     NULL cosine — dropped by threshold filters, ranked last in top-k —
     not a job-aborting ArithmeticException under Spark 4's default ANSI
-    mode.  (DuckDB oracles produce NaN for the same rows, which their
-    threshold predicates likewise exclude.)"""
+    mode.
+
+    Oracle caveat: DuckDB produces NaN for the same rows and ORDERS NaN
+    ABOVE every number (NaN >= thr is TRUE, NaN ranks first under DESC)
+    — the opposite of Spark's NULL handling.  The embedding-family
+    oracles therefore carry a documented precondition that the driver
+    testdata has no zero-norm vectors (verified: all unit-norm); the
+    operators themselves handle zero vectors per this docstring
+    (test_zero_vector_yields_null_cosine_not_crash)."""
     return F.try_divide(dot, norm_prod)
 
 
@@ -221,25 +234,8 @@ def hyperplane_signatures(n_tables: int, n_planes: int):
 @register(
     "ann_lsh_topk",
     sql=f"""
-    WITH e AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-             sqrt(list_aggregate(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
-      FROM embeddings
-    ),
-    banded AS (
-      SELECT vec_id, label, e, nrm, t AS tbl,
-             list_aggregate(
-               [ CASE WHEN list_aggregate(
-                     [ e[i + 1] *
-                       ((CAST(('0x' || substr(md5(t || ':' || p || ':' || i),
-                               1, 12)) AS BIGINT) % 2001 - 1000) / 1000.0)
-                       FOR i IN range(0, 64) ], 'sum') > 0
-                 THEN (1 << p) ELSE 0 END
-                 FOR p IN range(0, {N_PLANES}) ], 'sum') AS bucket
-      FROM e, range({N_TABLES}) r(t)
-    ),
+    WITH e AS ({EMB_E_DUCK}),
+    banded AS ({emb_banded_duck(N_TABLES, N_PLANES)}),
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
              ROUND(list_aggregate(list_transform(range(1, 65),
@@ -411,13 +407,7 @@ def ivf_topk(spark, sf_dir, nprobe: int = IVF_NPROBE):
 @register(
     "ann_ivf_topk",
     sql=f"""
-    WITH e AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-             sqrt(list_aggregate(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
-      FROM embeddings
-    ),
+    WITH e AS ({EMB_E_DUCK}),
     cent AS (
       SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm FROM e
       WHERE vec_id % {IVF_SEED_STRIDE} = 0
@@ -485,11 +475,12 @@ SEMDEDUP_THR = 0.30  # aligned with dedup.EMB_DUP_THR for recall tests
 
 def semdedup_verdicts(emb, thr: float = SEMDEDUP_THR):
     """Per-vector SemDeDup verdict frame: (vec_id, cluster_id,
-    centroid_sim, keep).  A vector is dropped iff some same-cluster
+    centroid_sim_e6, keep).  A vector is dropped iff some same-cluster
     vector exceeds `thr` cosine with it AND that partner is more
-    keepable (strictly lower centroid similarity, ties to the lower
-    vec_id) — for a duplicate clique this keeps exactly the one
-    farthest from the centroid, SemDeDup's selection rule.
+    keepable (strictly lower centroid similarity in integer micro-units,
+    ties to the lower vec_id) — for a duplicate clique this keeps
+    exactly the one farthest from the centroid, SemDeDup's selection
+    rule.
 
     Scale shape: assignment is a broadcast of the centroid table (one
     row per cluster) + per-row argmax; the pair join is an equi-join on
@@ -501,23 +492,28 @@ def semdedup_verdicts(emb, thr: float = SEMDEDUP_THR):
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("ce"),
     )
-    # centroid_sim is ROUNDED once here (6 digits — finer than the R=4
-    # oracle rounding, coarse enough to absorb summation-order noise)
-    # and used for BOTH the keep rule and the output frame: a decision
-    # on unrounded sims could not be reproduced (or audited) from the
-    # frame the operator returns — sub-6-digit sim differences fall
-    # through to the vec_id tie-break
+    # centroid_sim is quantized ONCE here to integer micro-units —
+    # floor(sim * 1e6), the base.py exact-integer form: floor of the
+    # identical double is identical in both engines, whereas ROUND(x, 6)
+    # can disagree at decimal boundaries (Spark rounds the shortest
+    # decimal repr half-up, DuckDB the binary value).  The quantized
+    # value drives BOTH the keep rule and the output frame, so the
+    # decision is reproducible and auditable from what the operator
+    # returns; sub-micro sim differences fall through to the vec_id
+    # tie-break.
     assign = (
         _assignments(emb, centroids, nprobe=1)
         .where(F.col("rnk") == 1)
         .select(
             "vec_id",
             F.col("centroid_id").alias("cluster_id"),
-            F.round("sim", 6).alias("centroid_sim"),
+            F.floor(F.col("sim") * F.lit(1000000.0)).alias(
+                "centroid_sim_e6"
+            ),
         )
     )
     vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
-        "vec_id", "cluster_id", "centroid_sim", "embedding"
+        "vec_id", "cluster_id", "centroid_sim_e6", "embedding"
     )
     a, b = vecs.alias("a"), vecs.alias("b")
     pair_cos = _cosine(
@@ -535,9 +531,9 @@ def semdedup_verdicts(emb, thr: float = SEMDEDUP_THR):
             # the LOSER (dropped side) is the endpoint CLOSER to the
             # centroid; ties break to dropping the higher vec_id
             F.when(
-                (F.col("a.centroid_sim") > F.col("b.centroid_sim"))
+                (F.col("a.centroid_sim_e6") > F.col("b.centroid_sim_e6"))
                 | (
-                    (F.col("a.centroid_sim") == F.col("b.centroid_sim"))
+                    (F.col("a.centroid_sim_e6") == F.col("b.centroid_sim_e6"))
                     & (F.col("a.vec_id") > F.col("b.vec_id"))
                 ),
                 F.col("a.vec_id"),
@@ -553,7 +549,7 @@ def semdedup_verdicts(emb, thr: float = SEMDEDUP_THR):
         .select(
             "vec_id",
             "cluster_id",
-            "centroid_sim",
+            "centroid_sim_e6",
             (~F.coalesce(F.col("dropped"), F.lit(False))).alias("keep"),
         )
         .orderBy("vec_id")
@@ -563,19 +559,14 @@ def semdedup_verdicts(emb, thr: float = SEMDEDUP_THR):
 @register(
     "semdedup",
     sql=f"""
-    WITH e AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-             sqrt(list_aggregate(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
-      FROM embeddings
-    ),
+    WITH e AS ({EMB_E_DUCK}),
     cent AS (
       SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm FROM e
       WHERE vec_id % {IVF_SEED_STRIDE} = 0
     ),
     assign AS (
-      SELECT vec_id, centroid_id AS cluster_id, ROUND(sim, 6) AS centroid_sim
+      SELECT vec_id, centroid_id AS cluster_id,
+             CAST(FLOOR(sim * 1000000.0) AS BIGINT) AS centroid_sim_e6
       FROM (
         SELECT e.vec_id, cent.centroid_id,
                list_aggregate(list_transform(range(1, 65),
@@ -590,13 +581,13 @@ def semdedup_verdicts(emb, thr: float = SEMDEDUP_THR):
       ) WHERE rnk = 1
     ),
     vecs AS (
-      SELECT a.vec_id, a.cluster_id, a.centroid_sim, e.e, e.nrm
+      SELECT a.vec_id, a.cluster_id, a.centroid_sim_e6, e.e, e.nrm
       FROM assign a JOIN e ON a.vec_id = e.vec_id
     ),
     dropped AS (
       SELECT DISTINCT
-             CASE WHEN a.centroid_sim > b.centroid_sim
-                    OR (a.centroid_sim = b.centroid_sim
+             CASE WHEN a.centroid_sim_e6 > b.centroid_sim_e6
+                    OR (a.centroid_sim_e6 = b.centroid_sim_e6
                         AND a.vec_id > b.vec_id)
                   THEN a.vec_id ELSE b.vec_id END AS vec_id
       FROM vecs a JOIN vecs b
@@ -605,7 +596,7 @@ def semdedup_verdicts(emb, thr: float = SEMDEDUP_THR):
               i -> a.e[i] * b.e[i]), 'sum') / (a.nrm * b.nrm)
             >= {SEMDEDUP_THR}
     )
-    SELECT a.vec_id, a.cluster_id, a.centroid_sim,
+    SELECT a.vec_id, a.cluster_id, a.centroid_sim_e6,
            (d.vec_id IS NULL) AS keep
     FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
     ORDER BY a.vec_id
@@ -615,8 +606,11 @@ def semdedup(spark, sf_dir):
     """Registry wrapper: SemDeDup verdicts over the embeddings table.
     Full DuckDB oracle: stride centroids, nearest-cluster assignment,
     the in-cluster pair threshold, and the keep-farthest selection rule
-    are all deterministic SQL (the keep rule compares 6-digit-rounded
-    centroid sims, so the decision is bit-reproducible cross-engine);
-    a recall/containment cross-check against the exact all-pairs tier
+    are all deterministic SQL.  The keep rule compares centroid sims
+    quantized to integer micro-units — floor(sim * 1e6), bit-identical
+    cross-engine, unlike ROUND(x, 6) whose half-up-vs-binary behavior
+    differs at decimal boundaries (base.py discipline) — so the
+    decision and the output frame hash-match; a recall/containment
+    cross-check against the exact all-pairs tier
     (dedup_embedding_cosine) additionally pins semantics in tests."""
     return semdedup_verdicts(load(spark, sf_dir, "embeddings"))

@@ -556,8 +556,9 @@ def host_pagerank(spark, sf_dir):
     the operator's exact dataflow (see _pagerank_oracle_sql); the
     operator's math is additionally pinned by closed-form and
     sequential-reference tests in tests/test_pagerank.py.  Ranks rounded
-    to 8 decimals (noise margin ~1e5 over cross-engine float summation
-    order) with a vertex-id tie-break for stable output."""
+    to 8 decimals (half-grid 5e-9 vs ~1e-14 cross-engine summation
+    noise, a ~5e5 margin) with a vertex-id tie-break for stable
+    output."""
     from medical_ocr_pipeline_spark.operators.pagerank import pagerank
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")

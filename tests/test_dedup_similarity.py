@@ -338,7 +338,7 @@ def test_semdedup_invariants_vs_exact_tier(spark):
     ]
     assert same_cluster, "testdata must produce within-cluster pairs"
     for a, b in same_cluster:
-        ca, cb = v[a].centroid_sim, v[b].centroid_sim
+        ca, cb = v[a].centroid_sim_e6, v[b].centroid_sim_e6
         loser = a if (ca, a) > (cb, b) else b
         assert loser in dropped
         assert not (v[a].keep and v[b].keep)
