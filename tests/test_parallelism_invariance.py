@@ -27,6 +27,12 @@ QUERIES = [
     "span_boilerplate",      # span document-frequency index + join-back
     "token_budget_sample",   # hash-threshold sampling MUST not move with
                              # partitioning (unlike RNG sampleBy)
+    "host_pagerank",         # iterative float inflow sums cross partitions
+                             # — the 8-decimal rounding must absorb the
+                             # partition-order ulps at ANY layout
+    "dedup_components",      # iterative min-label propagation loop
+    "semdedup",              # integer-micro keep rule over cluster pairs
+    "pack_bin_manifest",     # two-phase range cumsum + interval explode
 ]
 
 
