@@ -53,7 +53,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "32000"))
-SIZES = (8, 32)
+# N and 4N by default (the north-rule criterion); SPARK_GRAFT_SCALING_SIZES
+# takes a comma list (e.g. "8,16,32") for a multi-point curve.
+SIZES = tuple(
+    int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_SIZES", "8,32").split(",")
+)
 def _gen_ver() -> int:
     """Version the materialized input by a payload-sample hash so a
     generator change rebuilds it (same scheme as bench.py).  The sample
