@@ -43,6 +43,10 @@ HEADLINE = [
     # adds ~2-4 s to headline_queries_total vs earlier rounds
     "dedup_substring_spans",
     "ngram_lm_score",
+    # round 3 (late): C4/CCNet line-level dedup — the corpus REWRITE op
+    # (combinable MIN winner table + inverted-index join + reassembly);
+    # adds ~1-2 s to headline_queries_total vs earlier r3 records
+    "line_dedup",
 ]
 
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))

@@ -70,6 +70,7 @@ _PROMOTE_TO_WINDOW = [
     "ann_ivf_topk",
     "dedup_components",
     "pack_bin_manifest",
+    "line_dedup",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

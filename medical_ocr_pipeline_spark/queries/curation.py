@@ -15,6 +15,10 @@ PII / contamination families already registered:
   documents is boilerplate, and each document reports the fraction of
   its span occurrences that are boilerplate.  Corpus-FREQUENCY based —
   deliberately distinct from the pairwise-similarity dedup family.
+* ``line_dedup`` — C4/CCNet keep-one-copy line dedup as a corpus
+  REWRITE: duplicated fixed-width word-segments ("lines" — the word
+  streams have no newlines) keep only their first corpus occurrence
+  and documents are reassembled from the survivors in order.
 * ``token_budget_sample`` — deterministic domain-mixing primitive:
   downsample every language to the smallest language's token total via
   an exact integer keep-rate and an md5-derived per-doc hash threshold,
@@ -303,6 +307,126 @@ def boilerplate_metrics(raw_docs):
         (F.col("boiler_bp") / F.lit(10000.0)).alias("boiler_frac"),
         (F.col("boiler_bp") >= F.lit(SPAN_FLAG_BP)).alias("flagged"),
     ).orderBy("doc_id")
+
+
+LINE_W = 4  # words per "line" segment (the word-stream line analogue)
+LINE_KEY_MUL = 1_000_000  # first-occurrence key = doc_id * MUL + seg_idx
+
+
+@register(
+    "line_dedup",
+    sql=f"""
+    WITH wl AS (SELECT doc_id, {_REP_WS_DUCK} AS ws FROM documents),
+    segs AS (
+      SELECT doc_id,
+             list_transform(range(0, (len(ws) + {LINE_W - 1}) // {LINE_W}),
+               i -> array_to_string(ws[i*{LINE_W}+1 : i*{LINE_W}+{LINE_W}],
+                                    ' ')) AS sg
+      FROM wl
+    ),
+    occ AS (
+      SELECT doc_id, unnest(sg) AS seg,
+             CAST(generate_subscripts(sg, 1) - 1 AS BIGINT) AS seg_idx
+      FROM segs
+    ),
+    win AS (
+      SELECT seg,
+             CAST(MIN(doc_id * {LINE_KEY_MUL} + seg_idx) AS BIGINT)
+               AS keep_key
+      FROM occ GROUP BY seg
+    ),
+    kept AS (
+      SELECT o.doc_id, o.seg_idx, o.seg
+      FROM occ o JOIN win w USING (seg)
+      WHERE o.doc_id * {LINE_KEY_MUL} + o.seg_idx = w.keep_key
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.sg) AS BIGINT) AS n_segments,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           CAST(len(s.sg) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_dropped,
+           COALESCE(a.dedup_text, '') AS dedup_text
+    FROM segs s LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def line_dedup(spark, sf_dir):
+    """Corpus-wide line-level dedup, the C4/CCNet rewrite rule (Raffel
+    et al. 2020 §2.2 keep-one-copy; Wenzek et al. 2019 per-line dedup):
+    documents are segmented into fixed LINE_W-word "lines" (the
+    word-stream analogue — these documents have no newlines), every
+    duplicated line keeps exactly its FIRST corpus occurrence (min over
+    the exact BIGINT key doc_id * 1e6 + seg_idx), and each document is
+    REASSEMBLED from its surviving lines in original order.  Distinct
+    from span_boilerplate (metrics only) and the pairwise dedup family
+    (whole-document verdicts): this is the operator that rewrites the
+    corpus text itself.
+
+    Scale shape: the winner table is a COMBINABLE groupBy(seg) MIN —
+    map-side partial agg collapses hot boilerplate lines before the
+    shuffle, so a line duplicated a billion times costs one row per map
+    partition, never a hot reducer.  The join back is the shingle
+    inverted-index equi-join (no row amplification: <= 1 output per occ
+    row) and reassembly is a groupBy(doc_id) whose collect_list is
+    bounded by document length.  No windows, no self-join, no pair
+    enumeration — the same two-phase shape as corpus_keep_drop, which
+    is the one that survives 100 TB."""
+    return line_dedup_rewrite(load(spark, sf_dir, "documents"))
+
+
+def line_dedup_rewrite(raw_docs):
+    """Shared core for line_dedup: (doc_id, text) frame in, per-doc
+    surviving-line counts + reassembled dedup_text out."""
+    wl = raw_docs.select("doc_id", F.expr(_REP_WS_SPARK).alias("ws"))
+    segs = wl.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(ws) = 0 THEN cast(array() as array<string>) "
+            f"ELSE transform(sequence(0, (size(ws) + {LINE_W - 1}) "
+            f"DIV {LINE_W} - 1), "
+            f"i -> array_join(slice(ws, i*{LINE_W}+1, {LINE_W}), ' ')) "
+            "END"
+        ).alias("sg"),
+    )
+    occ = segs.select(
+        "doc_id", F.posexplode("sg").alias("seg_idx", "seg")
+    ).select(
+        "doc_id", F.col("seg_idx").cast("long").alias("seg_idx"), "seg"
+    )
+    key = F.col("doc_id") * F.lit(LINE_KEY_MUL) + F.col("seg_idx")
+    win = occ.groupBy("seg").agg(F.min(key).alias("keep_key"))
+    kept = occ.join(win, "seg").filter(key == F.col("keep_key"))
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(seg_idx, seg))),"
+                " s -> s.seg)"
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        segs.select("doc_id", F.size("sg").cast("long").alias("n_segments"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias(
+                "n_kept"
+            ),
+            (
+                F.col("n_segments")
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_dropped"),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # md5-hex prefix -> 48-bit int (canonical templates in base.py, shared

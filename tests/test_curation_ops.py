@@ -310,3 +310,71 @@ def test_token_budget_sample_plan_broadcasts_rates(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    """C4/CCNet keep-one-copy semantics on a hand-built corpus: a line
+    (LINE_W=4 word segment) duplicated across documents survives only
+    in the document where it first appears (corpus order = (doc_id,
+    seg_idx)); unique lines all survive; documents are reassembled from
+    survivors in original order."""
+    from medical_ocr_pipeline_spark.queries.curation import (
+        line_dedup_rewrite,
+    )
+
+    dup = "alpha beta gamma delta"  # exactly one LINE_W segment
+    rows = [
+        (1, dup + " one two three four"),
+        (2, dup + " five six seven eight"),  # dup line dropped here
+        (3, "nine ten eleven twelve " + dup),  # and here (seg_idx 1)
+        (4, "lone words only here"),  # short doc: single partial segment
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in line_dedup_rewrite(_docs(spark, rows)).collect()
+    }
+    assert got[1]["dedup_text"] == dup + " one two three four"
+    assert got[1]["n_segments"] == 2 and got[1]["n_dropped"] == 0
+    assert got[2]["dedup_text"] == "five six seven eight"
+    assert got[2]["n_dropped"] == 1
+    assert got[3]["dedup_text"] == "nine ten eleven twelve"
+    assert got[3]["n_dropped"] == 1
+    assert got[4]["dedup_text"] == "lone words only here"
+    assert got[4]["n_segments"] == 1 and got[4]["n_kept"] == 1
+
+
+def test_line_dedup_intra_doc_and_empty(spark):
+    """A line repeated WITHIN one document also keeps only its first
+    occurrence (global rule, no per-doc exemption), and a whitespace-only
+    document yields zero segments and empty dedup_text, not NULL."""
+    from medical_ocr_pipeline_spark.queries.curation import (
+        line_dedup_rewrite,
+    )
+
+    dup = "alpha beta gamma delta"
+    rows = [(7, f"{dup} {dup}"), (8, "   ")]
+    got = {
+        r["doc_id"]: r
+        for r in line_dedup_rewrite(_docs(spark, rows)).collect()
+    }
+    assert got[7]["n_segments"] == 2 and got[7]["n_kept"] == 1
+    assert got[7]["dedup_text"] == dup
+    assert got[8]["n_segments"] == 0 and got[8]["n_kept"] == 0
+    assert got[8]["dedup_text"] == ""
+
+
+def test_line_dedup_plan_no_window_no_cartesian(spark):
+    """The winner table must be a combinable MIN aggregation joined back
+    as an equi-join — a global Window over the segment stream (the naive
+    row_number form) would funnel hot boilerplate lines through single
+    reducers at 100 TB."""
+    from medical_ocr_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["line_dedup"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # presentation orderBy is the only sort-adjacent node allowed; the
+    # dedup rule itself must not be a Window
+    assert plan.count("Window") == 0
