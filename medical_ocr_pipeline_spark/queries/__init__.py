@@ -71,6 +71,7 @@ _PROMOTE_TO_WINDOW = [
     "dedup_components",
     "pack_bin_manifest",
     "line_dedup",
+    "unimax_sample",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

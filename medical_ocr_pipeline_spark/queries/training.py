@@ -496,6 +496,273 @@ def mixture_aggregate(frame) -> DataFrame:
     )
 
 
+# --- UniMax epoch-capped language allocation ---------------------------------
+
+UNIMAX_EPOCH_CAP = 2  # no language repeats more than this many epochs
+UNIMAX_BUDGET_PPM = 1_500_000  # token budget = 150% of the corpus (upsampling)
+
+_UX_H_SPARK = MD5_INT48_SPARK.format(
+    x="concat('unimax', cast(doc_id as string))"
+)
+_UX_H_DUCK = MD5_INT48_DUCK.format(x="'unimax' || CAST(doc_id AS VARCHAR)")
+
+# exact floor(x * 1e6 / n) in pure BIGINT via split multiplication
+# (x < n required; same overflow-safe form as curation._PPM_*)
+_UX_FRAC_SPARK = (
+    "CASE WHEN n_tokens > 0 THEN "
+    "(((alloc_tokens % n_tokens) * 1000) DIV n_tokens) * 1000 "
+    "+ ((((alloc_tokens % n_tokens) * 1000) % n_tokens) * 1000) "
+    "DIV n_tokens ELSE 0L END"
+)
+_UX_FRAC_DUCK = (
+    "CASE WHEN n_tokens > 0 THEN "
+    "(((alloc_tokens % n_tokens) * 1000) // n_tokens) * 1000 "
+    "+ ((((alloc_tokens % n_tokens) * 1000) % n_tokens) * 1000) "
+    "// n_tokens ELSE 0 END"
+)
+
+
+@register(
+    "unimax_sample",
+    sql=f"""
+    WITH d AS (
+      SELECT lang, doc_id, {_NT_DUCK} AS nt,
+             {_UX_H_DUCK} % 1000000 AS coin
+      FROM documents
+    ),
+    src AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM d GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM src
+    ),
+    b AS (
+      SELECT (total_tokens // 1000000) * {UNIMAX_BUDGET_PPM}
+             + ((total_tokens % 1000000) * {UNIMAX_BUDGET_PPM}) // 1000000
+               AS budget,
+             n_langs
+      FROM tot
+    ),
+    ranked AS (
+      SELECT lang, n_docs, n_tokens,
+             {UNIMAX_EPOCH_CAP} * n_tokens AS cap_tokens,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY {UNIMAX_EPOCH_CAP} * n_tokens, lang) AS BIGINT)
+               AS rk,
+             CAST(SUM({UNIMAX_EPOCH_CAP} * n_tokens) OVER (
+               ORDER BY {UNIMAX_EPOCH_CAP} * n_tokens, lang
+               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - {UNIMAX_EPOCH_CAP} * n_tokens AS cum_prev
+      FROM src
+    ),
+    flagged AS (
+      SELECT r.*, b.budget, b.n_langs,
+             cap_tokens * (b.n_langs - rk + 1) <= b.budget - cum_prev
+               AS capped
+      FROM ranked r, b
+    ),
+    kstar AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN 1 END), 0) AS BIGINT)
+               AS k,
+             CAST(COALESCE(SUM(CASE WHEN capped THEN cap_tokens END), 0)
+                  AS BIGINT) AS capsum
+      FROM flagged
+    ),
+    alloc AS (
+      SELECT f.lang, f.n_docs, f.n_tokens, f.cap_tokens, f.capped,
+             CASE WHEN f.capped THEN f.cap_tokens
+                  WHEN f.n_langs - k.k > 0
+                  THEN (f.budget - k.capsum) // (f.n_langs - k.k)
+                  ELSE 0 END AS alloc_tokens
+      FROM flagged f, kstar k
+    ),
+    rates AS (
+      SELECT lang, n_docs, n_tokens, cap_tokens, capped, alloc_tokens,
+             CASE WHEN n_tokens > 0 THEN alloc_tokens // n_tokens
+                  ELSE 0 END AS full_epochs,
+             {_UX_FRAC_DUCK} AS frac_rate_ppm
+      FROM alloc
+    ),
+    agg AS (
+      SELECT r.lang,
+             CAST(COALESCE(SUM(CASE WHEN d.coin < r.frac_rate_ppm
+                                    THEN 1 END), 0) AS BIGINT)
+               AS frac_docs_sampled,
+             CAST(COALESCE(SUM(CASE WHEN d.coin < r.frac_rate_ppm
+                                    THEN d.nt END), 0) AS BIGINT)
+               AS frac_tokens_sampled
+      FROM rates r JOIN d USING (lang)
+      GROUP BY r.lang
+    )
+    SELECT r.lang, r.n_docs, r.n_tokens, r.cap_tokens, r.capped,
+           r.alloc_tokens, r.full_epochs, r.frac_rate_ppm,
+           a.frac_docs_sampled, a.frac_tokens_sampled,
+           r.full_epochs * r.n_tokens + a.frac_tokens_sampled
+             AS sampled_tokens
+    FROM rates r JOIN agg a USING (lang)
+    ORDER BY r.lang
+    """,
+)
+def unimax_sample(spark, sf_dir):
+    """UniMax epoch-capped language allocation (Chung et al. 2023):
+    a token budget is spread uniformly over languages by WATERFILLING —
+    any language whose full data x UNIMAX_EPOCH_CAP epochs fits under
+    the uniform share is capped there and its leftover budget
+    redistributes over the rest.  The normative semantics is the
+    closed-form sorted-prefix rule (exact-integer, division-free, so
+    both engines flag identically): sort by cap_tokens asc; language i
+    is capped iff cap_i * (L - i + 1) <= budget - cum_prev_i — the
+    standard waterfilling prefix, provably monotone.  Uncapped
+    languages share the remainder equally (floor).  Each allocation
+    then becomes full_epochs whole passes plus a fractional md5-coin
+    sample at an exact ppm rate (split-multiplication, overflow-safe to
+    petatoken languages).  Complements mixture_sample (equal-share,
+    downsample-only) with the published upsample-with-epoch-cap form.
+
+    Scale shape: one corpus scan feeds a COMBINABLE groupBy(lang);
+    everything after operates on the LANGUAGE SUMMARY frame, whose
+    cardinality is bounded by the number of languages (hundreds at
+    most), so the unpartitioned rank window and the crossJoins are
+    over a frame that fits in one task at any corpus size; the rates
+    frame broadcasts back for the fractional-coin pass, which is
+    shuffle-free per row.  cap * L stays < 2^63 to ~1e15 tokens per
+    language x hundreds of languages."""
+    return unimax_summary(load(spark, sf_dir, "documents"))
+
+
+def unimax_summary(raw_docs) -> DataFrame:
+    """Shared core for unimax_sample: (lang, doc_id, text) frame in,
+    per-language UniMax allocation + fractional-sample audit out."""
+    d = raw_docs.select(
+        "lang",
+        "doc_id",
+        F.expr(_NT_SPARK).cast("long").alias("nt"),
+        (F.expr(_UX_H_SPARK) % 1_000_000).alias("coin"),
+    )
+    src = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+    tot = src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_langs"),
+    )
+    b = tot.select(
+        F.expr(
+            f"(total_tokens DIV 1000000) * {UNIMAX_BUDGET_PPM} "
+            f"+ ((total_tokens % 1000000) * {UNIMAX_BUDGET_PPM}) "
+            "DIV 1000000"
+        ).alias("budget"),
+        "n_langs",
+    )
+    cap = (F.lit(UNIMAX_EPOCH_CAP) * F.col("n_tokens")).cast("long")
+    # unpartitioned window is safe here: the frame is the per-language
+    # summary (cardinality = n_langs), never the corpus
+    w = Window.orderBy(cap, "lang")
+    ranked = src.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        cap.alias("cap_tokens"),
+        F.row_number().over(w).cast("long").alias("rk"),
+        (
+            F.sum(cap).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - cap
+        ).cast("long").alias("cum_prev"),
+    )
+    flagged = ranked.crossJoin(F.broadcast(b)).withColumn(
+        "capped",
+        F.col("cap_tokens") * (F.col("n_langs") - F.col("rk") + 1)
+        <= F.col("budget") - F.col("cum_prev"),
+    )
+    kstar = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("capped"), 1)), F.lit(0))
+        .cast("long")
+        .alias("k"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("capsum"),
+    )
+    alloc = flagged.crossJoin(F.broadcast(kstar)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "cap_tokens",
+        "capped",
+        F.when(F.col("capped"), F.col("cap_tokens"))
+        .when(
+            F.col("n_langs") - F.col("k") > 0,
+            F.expr("(budget - capsum) DIV (n_langs - k)"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("alloc_tokens"),
+    )
+    rates = alloc.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "cap_tokens",
+        "capped",
+        "alloc_tokens",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN alloc_tokens DIV n_tokens "
+            "ELSE 0L END"
+        ).alias("full_epochs"),
+        F.expr(_UX_FRAC_SPARK).alias("frac_rate_ppm"),
+    )
+    agg = (
+        d.join(
+            F.broadcast(rates.select("lang", "frac_rate_ppm")), "lang"
+        )
+        .groupBy("lang")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("coin") < F.col("frac_rate_ppm"), 1)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("frac_docs_sampled"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("coin") < F.col("frac_rate_ppm"), F.col("nt")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("frac_tokens_sampled"),
+        )
+    )
+    return (
+        rates.join(agg, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "cap_tokens",
+            "capped",
+            "alloc_tokens",
+            "full_epochs",
+            "frac_rate_ppm",
+            "frac_docs_sampled",
+            "frac_tokens_sampled",
+            (
+                F.col("full_epochs") * F.col("n_tokens")
+                + F.col("frac_tokens_sampled")
+            ).cast("long").alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --- full BPE training + encoding (operators/bpe.py cores) -------------------
 
 BPE_N_MERGES = 10

@@ -159,3 +159,76 @@ def test_pack_bin_manifest_plan_shape(spark):
     for ln in plan.splitlines():
         if "Window [" in ln and "_pid#" not in ln:
             assert "_part_total" in ln, ln
+
+
+def _lang_docs(spark, rows):
+    return spark.createDataFrame(rows, "lang string, doc_id int, text string")
+
+
+def test_unimax_waterfilling_hand_computed(spark):
+    """Exact waterfilling on a 3-language corpus (cap=2 epochs, budget=
+    150%): total=120 tokens -> budget=180; caps a=20, b=20, c=200;
+    sorted prefix caps a and b (20*3<=180, 20*2<=160), c is uncapped
+    and takes the floor remainder (180-40)//1 = 140 = 1 full epoch +
+    40-token fractional target at exactly 400000 ppm."""
+    from medical_ocr_pipeline_spark.queries.training import unimax_summary
+
+    w = lambda n: " ".join(f"w{i}" for i in range(n))
+    rows = [
+        ("a", 1, w(10)),
+        ("b", 2, w(5)), ("b", 3, w(5)),
+        ("c", 4, w(25)), ("c", 5, w(25)), ("c", 6, w(25)), ("c", 7, w(25)),
+    ]
+    got = {
+        r["lang"]: r
+        for r in unimax_summary(_lang_docs(spark, rows)).collect()
+    }
+    for lang in ("a", "b"):
+        assert got[lang]["capped"] is True
+        assert got[lang]["alloc_tokens"] == got[lang]["cap_tokens"] == 20
+        assert got[lang]["full_epochs"] == 2
+        assert got[lang]["frac_rate_ppm"] == 0
+        assert got[lang]["sampled_tokens"] == 20
+    c = got["c"]
+    assert c["capped"] is False
+    assert c["alloc_tokens"] == 140
+    assert c["full_epochs"] == 1 and c["frac_rate_ppm"] == 400_000
+    # fractional part is a coin sample: bounded by the language's data,
+    # and the audit identity holds exactly
+    assert 0 <= c["frac_tokens_sampled"] <= c["n_tokens"]
+    assert c["sampled_tokens"] == c["n_tokens"] + c["frac_tokens_sampled"]
+
+
+def test_unimax_uniform_corpus_caps_nobody(spark):
+    """Equal language masses: the uniform share (1.5x each language's
+    data at BUDGET_PPM=1.5e6) sits below every 2-epoch cap, so NO
+    language caps and all get the identical floor share — 1 full epoch
+    plus a 50% fractional rate.  (The all-capped state is unreachable by
+    construction: budget = 1.5x total < sum(caps) = 2x total always, so
+    waterfilling can never strand budget.)"""
+    from medical_ocr_pipeline_spark.queries.training import unimax_summary
+
+    w = lambda n: " ".join(f"w{i}" for i in range(n))
+    rows = [(f"l{i}", i, w(10)) for i in range(8)]
+    out = unimax_summary(_lang_docs(spark, rows)).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["capped"] is False
+        assert r["alloc_tokens"] == 15  # (1.5 * 80) // 8
+        assert r["full_epochs"] == 1
+        assert r["frac_rate_ppm"] == 500_000
+        assert r["sampled_tokens"] == 10 + r["frac_tokens_sampled"]
+
+
+def test_unimax_plan_broadcasts_rates_no_cartesian(spark):
+    """The doc-stream coin pass must join the (tiny) per-language rate
+    frame by broadcast equi-join; no CartesianProduct anywhere (the
+    constant one-row budget/kstar frames ride broadcast nested loops,
+    which is fine — they are single-row by construction)."""
+    from medical_ocr_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["unimax_sample"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
