@@ -380,22 +380,39 @@ def line_dedup(spark, sf_dir):
 
 def line_dedup_rewrite(raw_docs):
     """Shared core for line_dedup: (doc_id, text) frame in, per-doc
-    surviving-line counts + reassembled dedup_text out."""
+    surviving-line counts + reassembled dedup_text out.
+
+    The exploded line-occurrence frame is persist()ed (same discipline
+    as the Jaccard shingle index, dedup.py): it feeds THREE consumers —
+    per-doc segment counts, the winner MIN table, and the join-back —
+    and without materialization each would re-run the regex
+    segmentation scan over the full corpus.  No unpersist: the frame
+    lives until Spark evicts it (bench/driver sessions are short; a
+    long-lived job should unpersist after the write)."""
     wl = raw_docs.select("doc_id", F.expr(_REP_WS_SPARK).alias("ws"))
-    segs = wl.select(
-        "doc_id",
-        F.expr(
-            "CASE WHEN size(ws) = 0 THEN cast(array() as array<string>) "
-            f"ELSE transform(sequence(0, (size(ws) + {LINE_W - 1}) "
-            f"DIV {LINE_W} - 1), "
-            f"i -> array_join(slice(ws, i*{LINE_W}+1, {LINE_W}), ' ')) "
-            "END"
-        ).alias("sg"),
+    occ = (
+        wl.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "CASE WHEN size(ws) = 0 THEN "
+                    "cast(array() as array<string>) "
+                    f"ELSE transform(sequence(0, (size(ws) + {LINE_W - 1}) "
+                    f"DIV {LINE_W} - 1), "
+                    f"i -> array_join(slice(ws, i*{LINE_W}+1, {LINE_W}), "
+                    "' ')) END"
+                )
+            ).alias("seg_idx", "seg"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_idx").cast("long").alias("seg_idx"),
+            "seg",
+        )
+        .persist()
     )
-    occ = segs.select(
-        "doc_id", F.posexplode("sg").alias("seg_idx", "seg")
-    ).select(
-        "doc_id", F.col("seg_idx").cast("long").alias("seg_idx"), "seg"
+    stats = occ.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments")
     )
     key = F.col("doc_id") * F.lit(LINE_KEY_MUL) + F.col("seg_idx")
     win = occ.groupBy("seg").agg(F.min(key).alias("keep_key"))
@@ -410,17 +427,22 @@ def line_dedup_rewrite(raw_docs):
             " ",
         ).alias("dedup_text"),
     )
+    # zero-word docs never reach occ; the doc_id-only scan is column-
+    # pruned (no re-tokenization) and restores them with 0 segments
     return (
-        segs.select("doc_id", F.size("sg").cast("long").alias("n_segments"))
+        raw_docs.select("doc_id")
+        .join(stats, "doc_id", "left")
         .join(agg, "doc_id", "left")
         .select(
             "doc_id",
-            "n_segments",
+            F.coalesce(F.col("n_segments"), F.lit(0)).cast("long").alias(
+                "n_segments"
+            ),
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias(
                 "n_kept"
             ),
             (
-                F.col("n_segments")
+                F.coalesce(F.col("n_segments"), F.lit(0))
                 - F.coalesce(F.col("n_kept"), F.lit(0))
             ).cast("long").alias("n_dropped"),
             F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
