@@ -33,6 +33,10 @@ QUERIES = [
     "dedup_components",      # iterative min-label propagation loop
     "semdedup",              # integer-micro keep rule over cluster pairs
     "pack_bin_manifest",     # two-phase range cumsum + interval explode
+    "line_dedup",            # corpus rewrite: first-occurrence MIN winner
+                             # + reassembly must not move with layout
+    "unimax_sample",         # waterfilling over the lang summary + coin
+                             # sample — allocation is layout-free math
 ]
 
 
