@@ -18,9 +18,16 @@ Writes:
                         final keep = gate verdict AND representative.
   <out>/dup_pairs/      exact n-gram Jaccard near-dup pairs (the
                         inverted-index join from dedup_ngram_jaccard).
+  <out>/docs_rewritten/ (--line-dedup only) the C4/CCNet line-level
+                        rewrite of the KEPT documents: duplicated
+                        fixed-width word-segments keep one global copy
+                        (queries/curation.py::line_dedup_rewrite, the
+                        oracle-checked core), documents reassembled
+                        from survivors.
   <out>/metrics/        one row per curation reason (counts, avg words).
 
-Prints one RESULT line: docs, kept, dropped, dup_pairs, secs.
+Prints one RESULT line: docs, kept, dropped, dup_pairs, secs
+(+ lines_dropped when --line-dedup).
 
 All heavy lifting is pure Catalyst (no Python nodes): the curation
 gates are column expressions, the dup candidates an equi-join on the
@@ -36,6 +43,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from medical_ocr_pipeline_spark.queries.curation import line_dedup_rewrite
 from medical_ocr_pipeline_spark.queries.dedup import ngram_jaccard_pairs
 from medical_ocr_pipeline_spark.queries.textstats import document_verdicts
 
@@ -47,6 +55,18 @@ def curate_documents(docs):
     return document_verdicts(
         docs, extra_cols=("source",), with_fingerprint=True
     )
+
+
+def rewrite_kept(docs, curated):
+    """C4/CCNet line-level rewrite of the gate-surviving corpus:
+    line_dedup_rewrite (the oracle-checked registry core) over only the
+    documents the curation gate kept — the order a production pipeline
+    wants (gate first: no point paying the segment index for dropped
+    docs; the rewrite's first-occurrence rule then applies to the
+    SURVIVING corpus, so a kept doc never loses lines to a dropped
+    near-duplicate)."""
+    kept_ids = curated.where("keep").select("doc_id")
+    return line_dedup_rewrite(docs.join(kept_ids, "doc_id"))
 
 
 def near_dup_pairs(docs):
@@ -63,6 +83,9 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--master", default="local[32]")
     ap.add_argument("--run-id", default="corpus_run")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="also write <out>/docs_rewritten: C4-style "
+                         "line-level dedup rewrite of the kept docs")
     args = ap.parse_args()
 
     from medical_ocr_pipeline_spark.pipeline import write_stage
@@ -108,13 +131,23 @@ def main() -> None:
     )
     write_stage(metrics, f"{args.out}/metrics", mode="append")
 
+    extra = ""
+    if args.line_dedup:
+        rewritten = rewrite_kept(docs, curated)
+        write_stage(rewritten, f"{args.out}/docs_rewritten")
+        lines_dropped = (
+            spark.read.parquet(f"{args.out}/docs_rewritten")
+            .agg(F.sum("n_dropped")).collect()[0][0]
+        )
+        extra = f" lines_dropped={lines_dropped}"
+
     n = curated.count()
     kept = curated.where("keep").count()
     n_pairs = spark.read.parquet(f"{args.out}/dup_pairs").count()
     dt = time.time() - t0
     print(
         f"RESULT docs={n} kept={kept} dropped={n - kept} "
-        f"dup_pairs={n_pairs} secs={dt:.1f}"
+        f"dup_pairs={n_pairs} secs={dt:.1f}{extra}"
     )
     spark.stop()
 

@@ -33,3 +33,30 @@ def test_near_dup_pairs_matches_registry_query(spark):
     got = sorted(tuple(r) for r in near_dup_pairs(docs).collect())
     want = sorted(tuple(r) for r in dedup_ngram_jaccard(spark, SF_DIR).collect())
     assert got == want
+
+
+def test_rewrite_kept_matches_registry_core_on_survivors(spark):
+    """--line-dedup's rewrite stage must be exactly the oracle-checked
+    line_dedup_rewrite core applied to the gate-surviving documents:
+    one row per KEPT doc, and identical values to calling the core
+    directly on the same filtered frame."""
+    from medical_ocr_pipeline_spark.job_corpus import (
+        curate_documents,
+        rewrite_kept,
+    )
+    from medical_ocr_pipeline_spark.queries.curation import (
+        line_dedup_rewrite,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    curated = curate_documents(docs)
+    got = sorted(tuple(r) for r in rewrite_kept(docs, curated).collect())
+    kept_ids = {r["doc_id"] for r in curated.where("keep").collect()}
+    want = sorted(
+        tuple(r)
+        for r in line_dedup_rewrite(
+            docs.where(F.col("doc_id").isin(kept_ids))
+        ).collect()
+    )
+    assert got == want
+    assert {t[0] for t in got} == kept_ids
