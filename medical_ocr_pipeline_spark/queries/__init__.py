@@ -72,6 +72,9 @@ _PROMOTE_TO_WINDOW = [
     "pack_bin_manifest",
     "line_dedup",
     "unimax_sample",
+    "contamination_spans",
+    "dsir_sample",
+    "pack_best_fit",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

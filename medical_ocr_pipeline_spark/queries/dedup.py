@@ -13,7 +13,7 @@ shuffle once on (band, bucket), and only compare within buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from medical_ocr_pipeline_spark.queries.base import (
     EMB_E_DUCK,
@@ -840,6 +840,122 @@ def contamination_probe(docs):
         )
         .orderBy("doc_id")
     )
+
+
+def contamination_span_probe(docs):
+    """Span-resolved benchmark contamination (the removal-grade form of
+    contamination_probe): instead of one overlap rate per document,
+    report WHERE the contamination sits — for every non-benchmark doc
+    with at least one hit, the number of contaminated shingle
+    positions, the number of contiguous contaminated runs, the longest
+    run, and the token span it covers (run + W - 1 words for W=3
+    shingles).  This is the frame a decontamination REWRITE consumes
+    (drop/mask the spans, keep the document), the remedy GPT-3
+    appendix C applies, versus contamination_check's drop-the-document
+    verdict.  Positional shingles (posexplode, duplicates kept) rather
+    than the dedup family's distinct sets; contiguity via the classic
+    gaps-and-islands key (pos - row_number over contaminated
+    positions).
+
+    100 TB shape: the benchmark side is the same broadcast DISTINCT
+    shingle set as contamination_probe; the corpus side's posexplode is
+    the token stream itself (one row per word, the same volume every
+    shingle operator pays); the islands window partitions by doc_id —
+    per-document state, never a global sort.  One combinable groupBy
+    per level after the probe join."""
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
+    )
+    base = (
+        docs.repartition(64, "doc_id")
+        .select("doc_id", words.alias("w"))
+        .where(F.size("w") >= 3)
+    )
+    is_bench = (F.col("doc_id") % CONTAM_BENCH_MOD) == CONTAM_BENCH_REM
+    bench_sh = (
+        base.where(is_bench)
+        .select(F.explode(_shingle_expr("w")).alias("s"))
+        .distinct()
+    )
+    pos_sh = base.where(~is_bench).select(
+        "doc_id",
+        (F.size("w") - 2).cast("long").alias("n_shingles"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
+                    F.element_at("w", i + 3),
+                ),
+            )
+        ).alias("pos", "s"),
+    )
+    hit_w = Window.partitionBy("doc_id").orderBy("pos")
+    hits = (
+        pos_sh.join(F.broadcast(bench_sh), "s")
+        .withColumn("grp", F.col("pos") - F.row_number().over(hit_w))
+    )
+    runs = hits.groupBy("doc_id", "n_shingles", "grp").agg(
+        F.count("*").cast("long").alias("run_len")
+    )
+    return (
+        runs.groupBy("doc_id", "n_shingles")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_contam"),
+            F.count("*").cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("longest_run"),
+        )
+        .withColumn(
+            "span_tokens", (F.col("longest_run") + 2).cast("long")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "contamination_spans",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS words
+      FROM documents
+    ),
+    pos_sh AS (
+      SELECT doc_id, CAST(len(words) - 2 AS BIGINT) AS n_shingles,
+             unnest(range(1, len(words) - 1)) AS pos,
+             unnest([ words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                      FOR i IN range(1, len(words) - 1) ]) AS s
+      FROM base WHERE len(words) >= 3
+    ),
+    b AS (
+      SELECT DISTINCT s FROM pos_sh
+      WHERE doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_REM}
+    ),
+    hits AS (
+      SELECT doc_id, n_shingles, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM pos_sh JOIN b USING (s)
+      WHERE doc_id % {CONTAM_BENCH_MOD} <> {CONTAM_BENCH_REM}
+    ),
+    runs AS (
+      SELECT doc_id, n_shingles, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM hits GROUP BY doc_id, n_shingles, grp
+    )
+    SELECT doc_id, n_shingles,
+           CAST(SUM(run_len) AS BIGINT) AS n_contam,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(MAX(run_len) + 2 AS BIGINT) AS span_tokens
+    FROM runs GROUP BY doc_id, n_shingles ORDER BY doc_id
+    """,
+)
+def contamination_spans(spark, sf_dir):
+    """Registry wrapper over the span-resolved contamination core."""
+    return contamination_span_probe(load(spark, sf_dir, "documents"))
 
 
 @register(

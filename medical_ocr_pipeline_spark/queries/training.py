@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from medical_ocr_pipeline_spark.queries.base import (
     MD5_INT48_DUCK,
     MD5_INT48_SPARK,
+    ROUND_DIGITS,
     load,
     register,
 )
@@ -761,6 +762,295 @@ def unimax_summary(raw_docs) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- DSIR importance-resampling data selection --------------------------------
+#
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): score every raw-pool document by how target-like it is
+# under hashed-n-gram bag-of-words models of a target sample vs the raw
+# pool, log w(x) = sum over the doc's grams of
+# ln p_target(bucket) - ln p_raw(bucket), with add-1 smoothing over the
+# hashed feature space.  A deterministic held-out slice of the corpus
+# plays the target sample (same device as the contamination family's
+# benchmark slice).
+
+DSIR_BUCKETS = 1024  # hashed feature space (the paper uses 10^4; any B works)
+DSIR_TARGET_MOD = 17
+DSIR_TARGET_REM = 5
+DSIR_TOP = 50
+
+_DSIR_H_SPARK = MD5_INT48_SPARK.format(x="concat('dsir', g)")
+_DSIR_H_DUCK = MD5_INT48_DUCK.format(x="'dsir' || g")
+
+
+def _dsir_grams(docs) -> DataFrame:
+    """(doc_id, g) frame of unigrams + bigrams (lowercased word split),
+    duplicates kept — DSIR counts occurrences, not the distinct set."""
+    words = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != F.lit("")
+    )
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("w", i), F.element_at("w", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.repartition(64, "doc_id")
+        .select("doc_id", words.alias("w"))
+        .select("doc_id", F.explode(F.concat("w", bigrams)).alias("g"))
+    )
+
+
+@register(
+    "dsir_sample",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(words || CASE WHEN len(words) >= 2
+               THEN [ words[i] || ' ' || words[i+1]
+                      FOR i IN range(1, len(words)) ]
+               ELSE [] END) AS g
+      FROM w
+    ),
+    fb AS (
+      SELECT doc_id, {_DSIR_H_DUCK} % {DSIR_BUCKETS} AS b FROM g
+    ),
+    t AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS t_cnt FROM fb
+      WHERE doc_id % {DSIR_TARGET_MOD} = {DSIR_TARGET_REM} GROUP BY b
+    ),
+    s AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS s_cnt FROM fb
+      WHERE doc_id % {DSIR_TARGET_MOD} <> {DSIR_TARGET_REM} GROUP BY b
+    ),
+    tt AS (
+      SELECT CAST(COALESCE(SUM(t_cnt), 0) AS BIGINT) AS t_tot FROM t
+    ),
+    st AS (
+      SELECT CAST(COALESCE(SUM(s_cnt), 0) AS BIGINT) AS s_tot FROM s
+    ),
+    lam AS (
+      SELECT s.b,
+             LN(CAST(COALESCE(t.t_cnt, 0) + 1 AS DOUBLE)
+                / (tt.t_tot + {DSIR_BUCKETS}))
+           - LN(CAST(s.s_cnt + 1 AS DOUBLE)
+                / (st.s_tot + {DSIR_BUCKETS})) AS lam
+      FROM s LEFT JOIN t USING (b), tt, st
+    ),
+    sc AS (
+      SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             ROUND(SUM(lam.lam), {ROUND_DIGITS}) AS score
+      FROM fb JOIN lam USING (b)
+      WHERE fb.doc_id % {DSIR_TARGET_MOD} <> {DSIR_TARGET_REM}
+      GROUP BY fb.doc_id
+    )
+    SELECT sc.doc_id, d.lang, d.source, sc.n_grams, sc.score
+    FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+    ORDER BY sc.score DESC, sc.doc_id LIMIT {DSIR_TOP}
+    """,
+)
+def dsir_sample(spark, sf_dir):
+    """DSIR importance scoring (Xie et al. 2023): the top-{DSIR_TOP}
+    most target-like raw-pool documents under hashed unigram+bigram
+    bag-of-words models.  Target sample = the deterministic
+    doc_id % {DSIR_TARGET_MOD} == {DSIR_TARGET_REM} slice; raw pool =
+    everything else (which is also the source distribution the paper
+    contrasts against).  Smoothing is add-1 over the {DSIR_BUCKETS}
+    hashed buckets; scores round to ROUND_DIGITS before the
+    deterministic (score, doc_id) top-k so both engines rank
+    identically (the pagerank precedent for transcendental outputs:
+    engine libm log() agrees to ~1 ulp per term and docs sum hundreds
+    of terms, orders of magnitude inside the rounding margin).
+
+    Scale shape: per-side bucket counts are COMBINABLE groupBys over a
+    feature space capped at {DSIR_BUCKETS} rows; the log-ratio table
+    (<= {DSIR_BUCKETS} rows) and the two scalar totals broadcast; the
+    per-doc score is one combinable groupBy(doc_id) over the gram
+    stream.  Nothing in the plan grows faster than the token stream,
+    and the only sort is the final top-k (TakeOrdered, per-partition
+    heap + driver merge)."""
+    docs = load(spark, sf_dir, "documents")
+    fb = _dsir_grams(docs).select(
+        "doc_id", (F.expr(_DSIR_H_SPARK) % DSIR_BUCKETS).alias("b")
+    )
+    is_target = (F.col("doc_id") % DSIR_TARGET_MOD) == DSIR_TARGET_REM
+    t = (
+        fb.where(is_target)
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("t_cnt"))
+    )
+    s = (
+        fb.where(~is_target)
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("s_cnt"))
+    )
+    tt = t.agg(
+        F.coalesce(F.sum("t_cnt"), F.lit(0)).cast("long").alias("t_tot")
+    )
+    st = s.agg(
+        F.coalesce(F.sum("s_cnt"), F.lit(0)).cast("long").alias("s_tot")
+    )
+    lam = (
+        s.join(t, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("t_cnt", F.lit(0)) + 1).cast("double")
+                    / (F.col("t_tot") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("s_cnt") + 1).cast("double")
+                    / (F.col("s_tot") + DSIR_BUCKETS)
+                )
+            ).alias("lam"),
+        )
+    )
+    sc = (
+        fb.where(~is_target)
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(F.sum("lam"), ROUND_DIGITS).alias("score"),
+        )
+    )
+    return (
+        sc.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "n_grams", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(DSIR_TOP)
+    )
+
+
+# --- best-fit sequence packing -------------------------------------------------
+#
+# Ding et al. 2024 ("Fewer Truncations Improve Language Modeling"):
+# instead of concat-and-chunk (pack_sequences), split each document into
+# floor(nt / SEQ_LEN) full SEQ_LEN chunks plus a remainder, then
+# bin-pack the remainders best-fit-decreasing so no document is ever
+# truncated mid-remainder.  The distributed form packs independently
+# within deterministic hash groups — the paper's segment-level packing
+# parallelized the only way a 100 TB corpus can be.
+
+BFD_GROUPS = 8  # independent packers; dial up with corpus size
+
+_BFD_H_SPARK = MD5_INT48_SPARK.format(x="concat('bfd', cast(doc_id as string))")
+
+
+def _bfd_pack_group(pdf):
+    """Best-fit-decreasing over one hash group's remainder items:
+    items sorted by (length desc, doc_id asc); each goes to the
+    TIGHTEST bin that still fits (lowest index on ties), else opens a
+    new bin.  Pure driver-free python over one bounded group."""
+    import pandas as pd
+
+    items = pdf.sort_values(
+        ["rem", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    residuals: list[int] = []
+    assign: list[int] = []
+    for rem in items["rem"]:
+        best, best_res = -1, None
+        for i, res in enumerate(residuals):
+            if res >= rem and (best_res is None or res < best_res):
+                best, best_res = i, res
+        if best < 0:
+            residuals.append(SEQ_LEN - int(rem))
+            assign.append(len(residuals) - 1)
+        else:
+            residuals[best] -= int(rem)
+            assign.append(best)
+    items["bin_in_group"] = pd.Series(assign, dtype="int64")
+    items["bin_fill"] = items["bin_in_group"].map(
+        lambda b: SEQ_LEN - residuals[b]
+    ).astype("int64")
+    return items[["doc_id", "nt", "full_bins", "rem", "grp",
+                  "bin_in_group", "bin_fill"]]
+
+
+def best_fit_pack(docs) -> DataFrame:
+    """Best-fit packing over a raw documents frame: tokenizes text and
+    delegates to best_fit_pack_items (the shared core job_training also
+    consumes with its already-counted nt column)."""
+    return best_fit_pack_items(
+        docs.select("doc_id", F.expr(_NT_SPARK).cast("long").alias("nt"))
+    )
+
+
+def best_fit_pack_items(items) -> DataFrame:
+    """Shared best-fit packing core: (doc_id, nt) frame in, per-doc
+    packing assignment out — (doc_id, nt, full_bins, rem, grp,
+    bin_in_group, bin_fill).  full_bins SEQ_LEN-chunks tile bins
+    exactly and never enter the packer; rem == 0 docs carry the
+    (-1, -1, SEQ_LEN) sentinel triple.
+
+    Determinism / scale shape: docs map to BFD_GROUPS packers by a
+    salted md5 hash — a pure function of doc_id — so output is
+    invariant to input partitioning and cluster size (pinned by test).
+    Each group packs sequentially inside one applyInPandas task with
+    state = its bin-residual list; groups are embarrassingly parallel
+    and BFD_GROUPS is the dial that bounds per-task memory at any
+    corpus size (the paper packs per shard for the same reason).
+    Best-fit-decreasing guarantees <= 11/9 OPT + 6/9 bins per group."""
+    d = (
+        items.select("doc_id", F.col("nt").cast("long").alias("nt"))
+        .where(F.col("nt") > 0)
+        .select(
+            "doc_id",
+            "nt",
+            F.expr(f"nt DIV {SEQ_LEN}").alias("full_bins"),
+            (F.col("nt") % SEQ_LEN).alias("rem"),
+            (F.expr(_BFD_H_SPARK) % BFD_GROUPS).alias("grp"),
+        )
+    )
+    schema = (
+        "doc_id long, nt long, full_bins long, rem long, grp long, "
+        "bin_in_group long, bin_fill long"
+    )
+    packed = (
+        d.where(F.col("rem") > 0)
+        .groupBy("grp")
+        .applyInPandas(_bfd_pack_group, schema)
+    )
+    aligned = d.where(F.col("rem") == 0).select(
+        "doc_id",
+        "nt",
+        "full_bins",
+        "rem",
+        F.lit(-1).cast("long").alias("grp"),
+        F.lit(-1).cast("long").alias("bin_in_group"),
+        F.lit(SEQ_LEN).cast("long").alias("bin_fill"),
+    )
+    return packed.unionByName(aligned).orderBy("doc_id")
+
+
+@register("pack_best_fit")
+def pack_best_fit(spark, sf_dir):
+    """Best-fit-decreasing sequence packing (Ding et al. 2024) — the
+    zero-truncation alternative to pack_sequences' concat-and-chunk:
+    no remainder ever crosses a bin boundary, so short documents are
+    never split (concat-and-chunk splits every doc that straddles a
+    SEQ_LEN multiple).  Rows-only driver check — the greedy best-fit
+    fold is inherently sequential per group, not SQL-expressible; the
+    semantics are pinned by a pure-python reference equality test,
+    capacity/partitioning-invariance tests, and a structural
+    no-truncation comparison against pack_sequences
+    (tests/test_training_ops.py)."""
+    return best_fit_pack(load(spark, sf_dir, "documents"))
 
 
 # --- full BPE training + encoding (operators/bpe.py cores) -------------------

@@ -378,3 +378,53 @@ def test_line_dedup_plan_no_window_no_cartesian(spark):
     # presentation orderBy is the only sort-adjacent node allowed; the
     # dedup rule itself must not be a Window
     assert plan.count("Window") == 0
+
+
+def test_contamination_spans_islands_semantics(spark):
+    """Span-resolved contamination: hand-built runs.  Benchmark doc 3 =
+    'a1..a6' (4 shingles); doc 1 embeds two SEPARATED benchmark runs
+    (positions 1-2 and 7); doc 2 is a verbatim copy (one run covering
+    the whole doc); doc 4 is clean and must be absent."""
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        contamination_span_probe,
+    )
+
+    rows = [
+        (3, "a1 a2 a3 a4 a5 a6"),                       # benchmark member
+        (1, "x1 a1 a2 a3 a4 y1 y2 a4 a5 a6 z1"),        # runs of 2 and 1
+        (2, "a1 a2 a3 a4 a5 a6"),                       # verbatim copy
+        (4, "totally unrelated words without any overlap here"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in contamination_span_probe(_docs(spark, rows)).collect()
+    }
+    assert set(got) == {1, 2}  # clean + benchmark docs are absent
+    assert got[1]["n_shingles"] == 9
+    assert got[1]["n_contam"] == 3
+    assert got[1]["n_runs"] == 2
+    assert got[1]["longest_run"] == 2
+    assert got[1]["span_tokens"] == 4
+    assert got[2]["n_shingles"] == 4
+    assert got[2]["n_contam"] == 4
+    assert got[2]["n_runs"] == 1
+    assert got[2]["longest_run"] == 4
+    assert got[2]["span_tokens"] == 6  # the whole 6-word document
+
+
+def test_contamination_spans_plan_is_broadcast_probe(spark):
+    """Same 100 TB shape contract as contamination_check: benchmark
+    shingles broadcast, probe stays an equi-join, the islands window
+    partitions by doc_id (never a global sort)."""
+    from medical_ocr_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["contamination_spans"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, "expected the islands window"
+    for ln in win_lines:
+        assert "doc_id#" in ln.split("Window [", 1)[1], ln

@@ -85,3 +85,86 @@ def test_mixture_sample_rates_and_draw(spark, tmp_path):
     )
     assert got["heavy"].n_docs_sampled == expect_heavy
     assert got["heavy"].tokens_sampled == expect_heavy * 10
+
+
+def _dsir_ref(texts_by_id):
+    """Pure-python DSIR reference: identical md5 bucketing, add-1
+    smoothing, 4-dp rounding, (score desc, doc_id) top-k."""
+    import hashlib
+    import math
+
+    from medical_ocr_pipeline_spark.queries.training import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_MOD,
+        DSIR_TARGET_REM,
+        DSIR_TOP,
+    )
+    import re
+
+    def grams(text):
+        words = [w for w in re.split("[^a-z0-9]+", text.lower()) if w]
+        return words + [
+            f"{words[i]} {words[i + 1]}" for i in range(len(words) - 1)
+        ]
+
+    def bucket(g):
+        h = hashlib.md5(("dsir" + g).encode()).hexdigest()[:12]
+        return int(h, 16) % DSIR_BUCKETS
+
+    t_cnt, s_cnt = {}, {}
+    doc_buckets = {}
+    for doc_id, text in texts_by_id.items():
+        bs = [bucket(g) for g in grams(text)]
+        doc_buckets[doc_id] = bs
+        side = (
+            t_cnt
+            if doc_id % DSIR_TARGET_MOD == DSIR_TARGET_REM
+            else s_cnt
+        )
+        for b in bs:
+            side[b] = side.get(b, 0) + 1
+    t_tot, s_tot = sum(t_cnt.values()), sum(s_cnt.values())
+    out = []
+    for doc_id, bs in doc_buckets.items():
+        if doc_id % DSIR_TARGET_MOD == DSIR_TARGET_REM or not bs:
+            continue
+        score = sum(
+            math.log((t_cnt.get(b, 0) + 1) / (t_tot + DSIR_BUCKETS))
+            - math.log((s_cnt[b] + 1) / (s_tot + DSIR_BUCKETS))
+            for b in bs
+        )
+        out.append((doc_id, len(bs), round(score, 4)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:DSIR_TOP]
+
+
+def test_dsir_matches_python_reference(spark, tmp_path):
+    """The Spark DSIR scorer must equal the sequential reference —
+    same buckets, same smoothing, same rounding, same top-k order."""
+    from medical_ocr_pipeline_spark.queries.training import dsir_sample
+
+    texts = {
+        5: "cat dog cat dog ferret",            # target (5 % 17 == 5)
+        22: "cat dog hamster cat",              # target (22 % 17 == 5)
+        0: "cat dog cat dog ferret",            # raw: identical to target
+        1: "stock market index fund bond",      # raw: disjoint
+        2: "cat dog walks in the park",         # raw: partial overlap
+        3: "bond index cat",                    # raw: mixed
+        4: "dog dog dog dog dog dog",           # raw: repeated target word
+    }
+    rows = [
+        Row(doc_id=k, text=t, lang="en", source="s", n_chars=len(t))
+        for k, t in texts.items()
+    ]
+    spark.createDataFrame(rows).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    sf = str(tmp_path)
+    got = [
+        (r.doc_id, r.n_grams, r.score)
+        for r in dsir_sample(spark, sf).collect()
+    ]
+    assert got == _dsir_ref(texts)
+    # the verbatim target copy must outrank the disjoint doc
+    rank = {doc_id: i for i, (doc_id, _, _) in enumerate(got)}
+    assert rank[0] < rank[1]

@@ -232,3 +232,103 @@ def test_unimax_plan_broadcasts_rates_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def _bfd_ref(items, seq_len):
+    """Sequential best-fit-decreasing reference over (doc_id, rem)
+    items of ONE group: tightest fitting bin, lowest index on ties."""
+    order = sorted(items, key=lambda r: (-r[1], r[0]))
+    residuals, assign = [], {}
+    for doc_id, rem in order:
+        best, best_res = -1, None
+        for i, res in enumerate(residuals):
+            if res >= rem and (best_res is None or res < best_res):
+                best, best_res = i, res
+        if best < 0:
+            residuals.append(seq_len - rem)
+            assign[doc_id] = len(residuals) - 1
+        else:
+            residuals[best] -= rem
+            assign[doc_id] = best
+    return assign, residuals
+
+
+def test_pack_best_fit_matches_python_reference(spark):
+    """Group assignment (salted md5) and within-group best-fit must
+    equal the sequential reference exactly, including bin fills."""
+    import hashlib
+
+    from medical_ocr_pipeline_spark.queries.training import (
+        BFD_GROUPS,
+        pack_best_fit,
+    )
+
+    out = pack_best_fit(spark, SF_DIR).collect()
+    assert out, "empty packing output"
+    by_grp = {}
+    for r in out:
+        assert r["nt"] == r["full_bins"] * SEQ_LEN + r["rem"]
+        if r["rem"] == 0:
+            assert r["grp"] == -1 and r["bin_in_group"] == -1
+            assert r["bin_fill"] == SEQ_LEN
+            continue
+        h = int(
+            hashlib.md5(f"bfd{r['doc_id']}".encode()).hexdigest()[:12], 16
+        )
+        assert r["grp"] == h % BFD_GROUPS
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert by_grp, "expected at least one remainder group"
+    for grp, rows in by_grp.items():
+        assign, residuals = _bfd_ref(
+            [(r["doc_id"], r["rem"]) for r in rows], SEQ_LEN
+        )
+        fills = [SEQ_LEN - res for res in residuals]
+        for r in rows:
+            assert r["bin_in_group"] == assign[r["doc_id"]], (grp, r)
+            assert r["bin_fill"] == fills[r["bin_in_group"]], (grp, r)
+        # capacity + BFD quality: every bin <= SEQ_LEN, bins used within
+        # the best-fit-decreasing guarantee of the group's lower bound
+        total = sum(r["rem"] for r in rows)
+        lb = -(-total // SEQ_LEN)
+        assert all(0 <= res < SEQ_LEN for res in residuals)
+        assert lb <= len(residuals) <= max(lb, (11 * lb) // 9 + 2)
+
+
+def test_pack_best_fit_partition_invariant_and_untruncated(spark):
+    """Output is a pure function of doc ids and lengths — invariant to
+    input partitioning — and structurally truncation-free (every
+    remainder lives in exactly one bin), unlike concat-and-chunk which
+    splits every straddling document."""
+    from medical_ocr_pipeline_spark.queries.training import best_fit_pack
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = sorted(
+        tuple(r) for r in best_fit_pack(docs).collect()
+    )
+    for n_parts in (1, 7, 32):
+        got = sorted(
+            tuple(r)
+            for r in best_fit_pack(docs.repartition(n_parts)).collect()
+        )
+        assert got == base, f"n_parts={n_parts}"
+    # concat-and-chunk splits short docs across bins; best-fit never does
+    straddlers = [
+        r
+        for r in pack_sequences(spark, SF_DIR).collect()
+        if 0 < r["nt"] < SEQ_LEN and r["first_bin"] != r["last_bin"]
+    ]
+    assert straddlers, "testdata should produce concat-chunk straddlers"
+
+
+def test_dsir_plan_broadcasts_ratio_table(spark):
+    """The log-ratio table (bounded by DSIR_BUCKETS rows) must reach
+    the gram stream as a broadcast hash join; no cartesian products —
+    the only nested-loop joins allowed are the one-row totals
+    crossJoins feeding the ratio table itself."""
+    from medical_ocr_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["dsir_sample"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
