@@ -32,10 +32,19 @@ exactly once per stage build, never twice per run):
                        check the oracle-backed split_leakage_check
                        registry query runs corpus-wide).  Disable with
                        --no-leakage-audit.
+  <out>/docs_bfd/      (--packing best-fit only) per-split best-fit-
+                       decreasing packing assignment of the sampled
+                       docs (queries/training.best_fit_pack_items, the
+                       reference-pinned core): full SEQ_LEN chunks tile
+                       bins exactly, remainders pack BFD inside
+                       deterministic hash groups — the zero-truncation
+                       layout of Ding et al. 2024, alongside the
+                       default concat-and-chunk docs_packed stage.
 
 Prints one RESULT line:
   RESULT docs=N kept=N sampled=N train=N val=N test=N shards=N secs=S
-(shards = distinct (split, shard) pairs touched.)
+(shards = distinct (split, shard) pairs touched; + bfd_bins — full
+chunks plus packed remainder bins — when --packing best-fit.)
 
 Every decision is a deterministic salted-md5 hash compare — rerunning
 the job, resuming it, or changing cluster size cannot change a single
@@ -53,6 +62,7 @@ from medical_ocr_pipeline_spark.queries.textstats import document_verdicts
 from medical_ocr_pipeline_spark.queries.training import (
     _PACK_H_SPARK,
     SEQ_LEN,
+    best_fit_pack_items,
     global_running_offset,
     mixture_doc_frame,
     split_expr,
@@ -106,6 +116,29 @@ def pack_sampled(mixed) -> DataFrame:
             f"ELSE offset DIV {shard_tokens} END"
         ).alias("last_shard"),
     )
+
+
+def bfd_pack_sampled(mixed) -> DataFrame:
+    """Per-split best-fit packing of the sampled docs — the
+    docs_bfd stage.  Each split packs independently (its own bins,
+    like its own binary on disk), via the reference-pinned
+    best_fit_pack_items core over the mixed stage's already-counted
+    nt column (no re-tokenization)."""
+    sampled = (
+        mixed.where("sampled")
+        .select("doc_id", "nt")
+        .withColumn("split", split_expr())
+    )
+    parts = [
+        best_fit_pack_items(
+            sampled.where(F.col("split") == split).select("doc_id", "nt")
+        ).withColumn("split", F.lit(split))
+        for split in ("train", "val", "test")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def assemble_training_set(docs) -> tuple[DataFrame, DataFrame]:
@@ -173,6 +206,10 @@ def main() -> None:
                     help="skip stages whose _SUCCESS marker exists")
     ap.add_argument("--no-leakage-audit", action="store_true",
                     help="skip the train->eval decontamination audit")
+    ap.add_argument("--packing", choices=["concat", "best-fit"],
+                    default="concat",
+                    help="'best-fit' additionally writes <out>/docs_bfd: "
+                         "per-split best-fit-decreasing bin assignments")
     args = ap.parse_args()
 
     from medical_ocr_pipeline_spark.pipeline import (
@@ -211,6 +248,27 @@ def main() -> None:
             f"{args.out}/leakage",
         )
 
+    extra = ""
+    if args.packing == "best-fit":
+        bfd_path = f"{args.out}/docs_bfd"
+        if not (args.resume and stage_is_complete(spark, bfd_path)):
+            write_stage(bfd_pack_sampled(mixed), bfd_path)
+        bfd = spark.read.parquet(bfd_path)
+        n_bins = (
+            bfd.agg(
+                (
+                    F.sum("full_bins")
+                    + F.countDistinct(
+                        F.when(
+                            F.col("bin_in_group") >= 0,
+                            F.struct("split", "grp", "bin_in_group"),
+                        )
+                    )
+                ).alias("b")
+            ).collect()[0]["b"]
+        )
+        extra = f" bfd_bins={n_bins}"
+
     n = docs.count()
     kept = mixed.count()
     sampled = mixed.where("sampled").count()
@@ -231,6 +289,7 @@ def main() -> None:
         f"RESULT docs={n} kept={kept} sampled={sampled} "
         f"train={by_split.get('train', 0)} val={by_split.get('val', 0)} "
         f"test={by_split.get('test', 0)} shards={shards} secs={dt:.1f}"
+        f"{extra}"
     )
     spark.stop()
 

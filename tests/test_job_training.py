@@ -132,3 +132,37 @@ def test_leakage_audit_on_packed_frame(spark):
         assert r.n_docs == eval_counts[r.split]
         assert 0 <= r.n_exact_leaks <= r.n_docs
         assert 0 <= r.n_near_leaks <= r.n_docs
+
+
+def test_bfd_stage_matches_core_on_sampled_splits(spark):
+    """--packing best-fit's stage must be exactly the reference-pinned
+    best_fit_pack_items core applied per sampled split: same doc set as
+    the sampled mixture, and identical assignments to calling the core
+    directly on each split's (doc_id, nt) frame."""
+    from medical_ocr_pipeline_spark.job_training import (
+        bfd_pack_sampled,
+        mixture_verdict_frame,
+    )
+    from medical_ocr_pipeline_spark.queries.training import (
+        best_fit_pack_items,
+        split_expr,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mixed = mixture_verdict_frame(docs)
+    got = sorted(tuple(r) for r in bfd_pack_sampled(mixed).collect())
+    sampled = (
+        mixed.where("sampled")
+        .select("doc_id", "nt")
+        .withColumn("split", split_expr())
+    )
+    want = []
+    for split in ("train", "val", "test"):
+        part = best_fit_pack_items(
+            sampled.where(F.col("split") == split).select("doc_id", "nt")
+        ).withColumn("split", F.lit(split))
+        want.extend(tuple(r) for r in part.collect())
+    assert got == sorted(want)
+    # every sampled doc with nt > 0 is packed exactly once
+    n_sampled = sampled.where("nt > 0").count()
+    assert len(got) == n_sampled
