@@ -75,6 +75,8 @@ _PROMOTE_TO_WINDOW = [
     "contamination_spans",
     "dsir_sample",
     "pack_best_fit",
+    "decontaminate_rewrite",
+    "dup_source_matrix",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

@@ -190,6 +190,123 @@ def ngram_jaccard_pairs(docs):
 
 
 @register(
+    "dup_source_matrix",
+    sql=f"""
+    WITH {_JACCARD_PAIRS_DUCK},
+    np AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(common AS DOUBLE) / (na + nb - common), {R})
+               AS jaccard
+      FROM pairs
+      WHERE CAST(common AS DOUBLE) / (na + nb - common) >= {JACCARD_THR}
+    ),
+    m AS (
+      SELECT LEAST(da.source, db.source) AS source_lo,
+             GREATEST(da.source, db.source) AS source_hi,
+             np.doc_a, np.doc_b, np.jaccard
+      FROM np
+      JOIN documents da ON da.doc_id = np.doc_a
+      JOIN documents db ON db.doc_id = np.doc_b
+    ),
+    agg AS (
+      SELECT source_lo, source_hi,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(FLOOR(jaccard * 10000) AS BIGINT)) AS BIGINT)
+               AS jaccard_bp_sum
+      FROM m GROUP BY source_lo, source_hi
+    ),
+    e AS (
+      SELECT source_lo, source_hi,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+      FROM (SELECT source_lo, source_hi, unnest([doc_a, doc_b]) AS d
+            FROM m)
+      GROUP BY source_lo, source_hi
+    )
+    SELECT agg.source_lo, agg.source_hi, agg.n_pairs, e.n_docs,
+           agg.jaccard_bp_sum // agg.n_pairs AS avg_jaccard_bp
+    FROM agg JOIN e USING (source_lo, source_hi)
+    ORDER BY source_lo, source_hi
+    """,
+)
+def dup_source_matrix(spark, sf_dir):
+    """Registry wrapper over the cross-source duplication matrix."""
+    return dup_source_matrix_frame(load(spark, sf_dir, "documents"))
+
+
+def dup_source_matrix_frame(docs):
+    """Cross-source duplication matrix — the audit a mixture design
+    reads BEFORE weighting sources: near-dup pair counts, docs
+    involved, and mean Jaccard for every (unordered) source pair.  A
+    source pair with heavy off-diagonal mass means its two corpora
+    overlap and naive per-source mixture weights double-count that
+    content (the reason The Pile / RedPajama dedup ACROSS sources
+    before mixing).  Composes the oracle-checked inverted-index pair
+    core with a doc->source broadcast-scale join; the mean reports in
+    exact integer basis points (BIGINT floor sum, floor-div mean) —
+    ROUND(AVG(...)) of already-rounded pair values trips the base.py
+    half-ulp ROUND divergence (observed at sf0.1).
+
+    Scale shape: everything downstream of the pair frame (which at
+    100 TB is the LSH tier's output instead) is one combinable
+    groupBy over at most n_sources^2 groups; the source lookup joins
+    on doc_id — a shuffle of the PAIR frame, orders smaller than the
+    corpus."""
+    pairs = ngram_jaccard_pairs(docs)
+    src = docs.select("doc_id", "source")
+    m = (
+        pairs.join(
+            src.withColumnRenamed("source", "sa"),
+            pairs.doc_a == src.doc_id,
+        )
+        .drop("doc_id")
+        .join(
+            src.withColumnRenamed("source", "sb").withColumnRenamed(
+                "doc_id", "doc_id_b"
+            ),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+            "doc_a",
+            "doc_b",
+            "jaccard",
+        )
+    )
+    # mean jaccard in exact integer basis points (floor of the
+    # oracle-matched per-pair double, BIGINT sum, floor-div mean) —
+    # ROUND(AVG(...)) trips the documented half-ulp ROUND divergence
+    # when two rounded pair values average onto a .00005 boundary
+    # (observed at sf0.1), the base.py pitfall verbatim
+    agg = m.groupBy("source_lo", "source_hi").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.floor(F.col("jaccard") * 10000).cast("long"))
+        .cast("long")
+        .alias("jaccard_bp_sum"),
+    )
+    ends = (
+        m.select(
+            "source_lo",
+            "source_hi",
+            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    )
+    return (
+        agg.join(ends, ["source_lo", "source_hi"])
+        .select(
+            "source_lo",
+            "source_hi",
+            "n_pairs",
+            "n_docs",
+            F.expr("jaccard_bp_sum DIV n_pairs").alias("avg_jaccard_bp"),
+        )
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+@register(
     "dedup_minhash",
     sql=f"""
     WITH sh AS ({_SHINGLES_DUCK}),
@@ -956,6 +1073,153 @@ def contamination_span_probe(docs):
 def contamination_spans(spark, sf_dir):
     """Registry wrapper over the span-resolved contamination core."""
     return contamination_span_probe(load(spark, sf_dir, "documents"))
+
+
+def decontaminate_rewrite_frame(docs):
+    """Decontamination as a corpus REWRITE (the remedy GPT-3 appendix C
+    applies): every token covered by a benchmark-colliding shingle is
+    removed and the document reassembled from the survivors — the
+    rewrite consumer of contamination_span_probe's detection frame.
+    Output one row per non-benchmark doc: (doc_id, n_tokens, n_removed,
+    clean_text); clean docs pass through with n_removed = 0, verbatim
+    benchmark copies collapse to the empty string (never NULL).
+
+    100 TB shape: identical probe plan to contamination_span_probe
+    (broadcast benchmark shingles, posexplode = the token stream); the
+    covered-position explode fans out a fixed W=3 per hit; the
+    reassembly is one combinable groupBy(doc_id) whose per-group state
+    is the document's own surviving tokens (array_sort over a
+    collect_list bounded by document length — the same bound every
+    per-doc operator carries)."""
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
+    )
+    is_bench = (F.col("doc_id") % CONTAM_BENCH_MOD) == CONTAM_BENCH_REM
+    base = (
+        docs.repartition(64, "doc_id")
+        .select("doc_id", words.alias("w"))
+    )
+    bench_sh = (
+        base.where(is_bench & (F.size("w") >= 3))
+        .select(F.explode(_shingle_expr("w")).alias("s"))
+        .distinct()
+    )
+    corpus = base.where(~is_bench)
+    toks = corpus.select(
+        "doc_id", F.posexplode("w").alias("p", "word")
+    )
+    pos_sh = corpus.where(F.size("w") >= 3).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
+                    F.element_at("w", i + 3),
+                ),
+            )
+        ).alias("pos", "s"),
+    )
+    covered = (
+        pos_sh.join(F.broadcast(bench_sh), "s")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + 2)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    kept = (
+        toks.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        corpus.select(
+            "doc_id", F.size("w").cast("long").alias("n_tokens")
+        )
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens")
+                - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "decontaminate_rewrite",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS words
+      FROM documents
+    ),
+    b AS (
+      SELECT DISTINCT
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+      FROM base, unnest(range(1, len(words) - 1)) r(i)
+      WHERE doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_REM}
+        AND len(words) >= 3
+    ),
+    corpus AS (
+      SELECT doc_id, words FROM base
+      WHERE doc_id % {CONTAM_BENCH_MOD} <> {CONTAM_BENCH_REM}
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(range(1, len(words) + 1)) AS p,
+             unnest(words) AS w
+      FROM corpus
+    ),
+    pos_sh AS (
+      SELECT doc_id,
+             unnest(range(1, len(words) - 1)) AS pos,
+             unnest([ words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                      FOR i IN range(1, len(words) - 1) ]) AS s
+      FROM corpus WHERE len(words) >= 3
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + d AS p
+      FROM pos_sh JOIN b USING (s), range(3) r(d)
+    ),
+    kept AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(t.w, ' ' ORDER BY t.p) AS clean_text
+      FROM toks t ANTI JOIN covered c
+        ON t.doc_id = c.doc_id AND t.p = c.p
+      GROUP BY t.doc_id
+    )
+    SELECT corpus.doc_id,
+           CAST(len(corpus.words) AS BIGINT) AS n_tokens,
+           CAST(len(corpus.words) - COALESCE(k.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           COALESCE(k.clean_text, '') AS clean_text
+    FROM corpus LEFT JOIN kept k USING (doc_id)
+    ORDER BY corpus.doc_id
+    """,
+)
+def decontaminate_rewrite(spark, sf_dir):
+    """Registry wrapper over the decontamination-rewrite core."""
+    return decontaminate_rewrite_frame(load(spark, sf_dir, "documents"))
 
 
 @register(

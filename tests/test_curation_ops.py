@@ -428,3 +428,45 @@ def test_contamination_spans_plan_is_broadcast_probe(spark):
     assert win_lines, "expected the islands window"
     for ln in win_lines:
         assert "doc_id#" in ln.split("Window [", 1)[1], ln
+
+
+def test_decontaminate_rewrite_removes_exact_spans(spark):
+    """The rewrite consumer of the span probe: tokens covered by any
+    benchmark-colliding shingle vanish, survivors reassemble in order.
+    doc 1's hits at positions 1, 2, 7 cover tokens {1..4, 7..9},
+    leaving 'x1 y1 y2 z1'; the verbatim copy collapses to ''; the clean
+    doc passes through untouched."""
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        decontaminate_rewrite_frame,
+    )
+
+    rows = [
+        (3, "a1 a2 a3 a4 a5 a6"),                # benchmark member
+        (1, "x1 a1 a2 a3 a4 y1 y2 a4 a5 a6 z1"),
+        (2, "a1 a2 a3 a4 a5 a6"),                # verbatim copy
+        (4, "totally unrelated words"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate_rewrite_frame(_docs(spark, rows)).collect()
+    }
+    assert set(got) == {1, 2, 4}
+    assert got[1]["clean_text"] == "x1 y1 y2 z1"
+    assert got[1]["n_tokens"] == 11 and got[1]["n_removed"] == 7
+    assert got[2]["clean_text"] == "" and got[2]["n_removed"] == 6
+    assert got[4]["clean_text"] == "totally unrelated words"
+    assert got[4]["n_removed"] == 0
+
+
+def test_decontaminate_rewrite_plan_is_broadcast_probe(spark):
+    """Same probe contract as the span query: benchmark shingles
+    broadcast, no cartesian/nested-loop pair blowup anywhere in the
+    rewrite plan."""
+    from medical_ocr_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["decontaminate_rewrite"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -383,3 +383,36 @@ def test_split_leakage_handcrafted(spark, tmp_path):
     assert got["test"].n_docs == 1
     assert got["test"].n_exact_leaks == 0
     assert got["test"].n_near_leaks == 1  # doc 250 shares doc 0's shingles
+
+
+def test_dup_source_matrix_cross_and_same_source(spark):
+    """A cross-source verbatim pair lands in its (lo, hi) cell, a
+    same-source pair on the diagonal; mean jaccard in exact basis
+    points (10000 = identical); disjoint sources never pair up."""
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        dup_source_matrix_frame,
+    )
+
+    text_a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    text_b = "q1 q2 q3 q4 q5 q6 q7 q8"
+    rows = [
+        (1, text_a, "en", "srcA", len(text_a)),
+        (2, text_a, "en", "srcB", len(text_a)),
+        (3, text_b, "en", "srcB", len(text_b)),
+        (4, text_b, "en", "srcB", len(text_b)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    )
+    got = {
+        (r.source_lo, r.source_hi): r
+        for r in dup_source_matrix_frame(docs).collect()
+    }
+    assert set(got) == {("srcA", "srcB"), ("srcB", "srcB")}
+    cross = got[("srcA", "srcB")]
+    assert cross.n_pairs == 1 and cross.n_docs == 2
+    assert cross.avg_jaccard_bp == 10000
+    diag = got[("srcB", "srcB")]
+    assert diag.n_pairs == 1 and diag.n_docs == 2
+    assert diag.avg_jaccard_bp == 10000
