@@ -24,10 +24,17 @@ Writes:
                         (queries/curation.py::line_dedup_rewrite, the
                         oracle-checked core), documents reassembled
                         from survivors.
+  <out>/docs_decontam/  (--decontaminate only) the benchmark-
+                        decontamination rewrite of the KEPT documents:
+                        tokens covered by a benchmark-colliding shingle
+                        removed, documents reassembled from survivors
+                        (queries/dedup.py::decontaminate_rewrite_frame,
+                        the oracle-checked core).
   <out>/metrics/        one row per curation reason (counts, avg words).
 
 Prints one RESULT line: docs, kept, dropped, dup_pairs, secs
-(+ lines_dropped when --line-dedup).
+(+ lines_dropped when --line-dedup; + tokens_decontam when
+--decontaminate).
 
 All heavy lifting is pure Catalyst (no Python nodes): the curation
 gates are column expressions, the dup candidates an equi-join on the
@@ -44,7 +51,10 @@ import time
 from pyspark.sql import functions as F
 
 from medical_ocr_pipeline_spark.queries.curation import line_dedup_rewrite
-from medical_ocr_pipeline_spark.queries.dedup import ngram_jaccard_pairs
+from medical_ocr_pipeline_spark.queries.dedup import (
+    decontaminate_rewrite_frame,
+    ngram_jaccard_pairs,
+)
 from medical_ocr_pipeline_spark.queries.textstats import document_verdicts
 
 
@@ -69,6 +79,16 @@ def rewrite_kept(docs, curated):
     return line_dedup_rewrite(docs.join(kept_ids, "doc_id"))
 
 
+def decontam_kept(docs, curated):
+    """Benchmark-decontamination rewrite of the gate-surviving corpus:
+    decontaminate_rewrite_frame (the oracle-checked registry core) over
+    only the documents the curation gate kept — same gate-first order
+    as rewrite_kept, for the same reason (no probe cost for dropped
+    docs)."""
+    kept_ids = curated.where("keep").select("doc_id")
+    return decontaminate_rewrite_frame(docs.join(kept_ids, "doc_id"))
+
+
 def near_dup_pairs(docs):
     """Exact n-gram Jaccard pairs — the shared inverted-index core from
     queries/dedup.py (same function the oracle-checked registry query
@@ -86,6 +106,9 @@ def main() -> None:
     ap.add_argument("--line-dedup", action="store_true",
                     help="also write <out>/docs_rewritten: C4-style "
                          "line-level dedup rewrite of the kept docs")
+    ap.add_argument("--decontaminate", action="store_true",
+                    help="also write <out>/docs_decontam: benchmark-"
+                         "contaminated spans removed from the kept docs")
     args = ap.parse_args()
 
     from medical_ocr_pipeline_spark.pipeline import write_stage
@@ -140,6 +163,15 @@ def main() -> None:
             .agg(F.sum("n_dropped")).collect()[0][0]
         )
         extra = f" lines_dropped={lines_dropped}"
+
+    if args.decontaminate:
+        decon = decontam_kept(docs, curated)
+        write_stage(decon, f"{args.out}/docs_decontam")
+        tokens_decontam = (
+            spark.read.parquet(f"{args.out}/docs_decontam")
+            .agg(F.sum("n_removed")).collect()[0][0]
+        )
+        extra += f" tokens_decontam={tokens_decontam}"
 
     n = curated.count()
     kept = curated.where("keep").count()

@@ -60,3 +60,29 @@ def test_rewrite_kept_matches_registry_core_on_survivors(spark):
     )
     assert got == want
     assert {t[0] for t in got} == kept_ids
+
+
+def test_decontam_kept_matches_registry_core_on_survivors(spark):
+    """--decontaminate's stage must be exactly the oracle-checked
+    decontaminate_rewrite_frame core applied to the gate-surviving
+    documents (non-benchmark survivors only, identical values)."""
+    from medical_ocr_pipeline_spark.job_corpus import (
+        curate_documents,
+        decontam_kept,
+    )
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        decontaminate_rewrite_frame,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    curated = curate_documents(docs)
+    got = sorted(tuple(r) for r in decontam_kept(docs, curated).collect())
+    kept_ids = {r["doc_id"] for r in curated.where("keep").collect()}
+    want = sorted(
+        tuple(r)
+        for r in decontaminate_rewrite_frame(
+            docs.where(F.col("doc_id").isin(kept_ids))
+        ).collect()
+    )
+    assert got == want
+    assert {t[0] for t in got} <= kept_ids  # benchmark members excluded

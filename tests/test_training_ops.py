@@ -332,3 +332,49 @@ def test_dsir_plan_broadcasts_ratio_table(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bfd_packer_properties_fuzz():
+    """Hypothesis fuzz of the group packer (pure pandas, no Spark):
+    capacity never exceeded, every item assigned exactly once, fills
+    consistent with assignments, bins within the BFD guarantee of the
+    lower bound, and output independent of input row order."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from medical_ocr_pipeline_spark.queries.training import (
+        SEQ_LEN,
+        _bfd_pack_group,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=SEQ_LEN),
+            min_size=1,
+            max_size=60,
+        ),
+        st.randoms(use_true_random=False),
+    )
+    def run(rems, rng):
+        rows = [
+            {"doc_id": i, "nt": r, "full_bins": 0, "rem": r, "grp": 0}
+            for i, r in enumerate(rems)
+        ]
+        shuffled = list(rows)
+        rng.shuffle(shuffled)
+        out = _bfd_pack_group(pd.DataFrame(rows))
+        out2 = _bfd_pack_group(pd.DataFrame(shuffled))
+        a = out.sort_values("doc_id").reset_index(drop=True)
+        b = out2.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert sorted(out["doc_id"]) == sorted(r["doc_id"] for r in rows)
+        fills = out.groupby("bin_in_group")["rem"].sum()
+        assert (fills <= SEQ_LEN).all()
+        for _, r in out.iterrows():
+            assert r["bin_fill"] == fills[r["bin_in_group"]]
+        n_bins = out["bin_in_group"].nunique()
+        lb = -(-sum(rems) // SEQ_LEN)
+        assert lb <= n_bins <= max(lb, (11 * lb) // 9 + 2)
+
+    run()
