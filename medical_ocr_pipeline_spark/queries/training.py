@@ -881,6 +881,11 @@ def dsir_sample(spark, sf_dir):
     and the only sort is the final top-k (TakeOrdered, per-partition
     heap + driver merge)."""
     docs = load(spark, sf_dir, "documents")
+    # fb feeds three consumers (target counts, source counts, the score
+    # join); an explicit persist was A/B-measured at sf0.1 (3 runs each)
+    # and bought nothing — the gram explode + md5 recompute is cheaper
+    # than the cache round-trip at this shape, unlike the shingle index
+    # in ngram_jaccard_pairs whose expression is ~50x heavier per row.
     fb = _dsir_grams(docs).select(
         "doc_id", (F.expr(_DSIR_H_SPARK) % DSIR_BUCKETS).alias("b")
     )
