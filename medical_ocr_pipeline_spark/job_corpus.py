@@ -84,9 +84,13 @@ def decontam_kept(docs, curated):
     decontaminate_rewrite_frame (the oracle-checked registry core) over
     only the documents the curation gate kept — same gate-first order
     as rewrite_kept, for the same reason (no probe cost for dropped
-    docs)."""
+    docs).  The benchmark SHINGLE side is built from the FULL input
+    (bench_docs=docs): a benchmark doc the gate happens to drop must
+    still scrub its copies, so only the probe side is gated."""
     kept_ids = curated.where("keep").select("doc_id")
-    return decontaminate_rewrite_frame(docs.join(kept_ids, "doc_id"))
+    return decontaminate_rewrite_frame(
+        docs.join(kept_ids, "doc_id"), bench_docs=docs
+    )
 
 
 def near_dup_pairs(docs):
@@ -160,7 +164,8 @@ def main() -> None:
         write_stage(rewritten, f"{args.out}/docs_rewritten")
         lines_dropped = (
             spark.read.parquet(f"{args.out}/docs_rewritten")
-            .agg(F.sum("n_dropped")).collect()[0][0]
+            .agg(F.coalesce(F.sum("n_dropped"), F.lit(0)))
+            .collect()[0][0]
         )
         extra = f" lines_dropped={lines_dropped}"
 
@@ -169,7 +174,8 @@ def main() -> None:
         write_stage(decon, f"{args.out}/docs_decontam")
         tokens_decontam = (
             spark.read.parquet(f"{args.out}/docs_decontam")
-            .agg(F.sum("n_removed")).collect()[0][0]
+            .agg(F.coalesce(F.sum("n_removed"), F.lit(0)))
+            .collect()[0][0]
         )
         extra += f" tokens_decontam={tokens_decontam}"
 

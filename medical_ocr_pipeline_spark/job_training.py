@@ -257,7 +257,7 @@ def main() -> None:
         n_bins = (
             bfd.agg(
                 (
-                    F.sum("full_bins")
+                    F.coalesce(F.sum("full_bins"), F.lit(0))
                     + F.countDistinct(
                         F.when(
                             F.col("bin_in_group") >= 0,

@@ -211,8 +211,8 @@ def ngram_jaccard_pairs(docs):
     agg AS (
       SELECT source_lo, source_hi,
              CAST(COUNT(*) AS BIGINT) AS n_pairs,
-             CAST(SUM(CAST(FLOOR(jaccard * 10000) AS BIGINT)) AS BIGINT)
-               AS jaccard_bp_sum
+             CAST(SUM(CAST(FLOOR(jaccard * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS jaccard_bp_sum
       FROM m GROUP BY source_lo, source_hi
     ),
     e AS (
@@ -273,14 +273,16 @@ def dup_source_matrix_frame(docs):
             "jaccard",
         )
     )
-    # mean jaccard in exact integer basis points (floor of the
-    # oracle-matched per-pair double, BIGINT sum, floor-div mean) —
-    # ROUND(AVG(...)) trips the documented half-ulp ROUND divergence
-    # when two rounded pair values average onto a .00005 boundary
-    # (observed at sf0.1), the base.py pitfall verbatim
+    # mean jaccard in exact integer basis points: floor(x*1e4 + 0.5) of
+    # the oracle-matched per-pair double (the +0.5 recovers the values
+    # whose 4-dp decimal sits just below its binary double, e.g. 0.4286
+    # * 1e4 = 4285.999...), BIGINT sum, floor-div mean.  ROUND(AVG(..))
+    # trips the documented half-ulp ROUND divergence when two rounded
+    # pair values average onto a .00005 boundary (observed at sf0.1) —
+    # the base.py pitfall verbatim.
     agg = m.groupBy("source_lo", "source_hi").agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.sum(F.floor(F.col("jaccard") * 10000).cast("long"))
+        F.sum(F.floor(F.col("jaccard") * 10000 + 0.5).cast("long"))
         .cast("long")
         .alias("jaccard_bp_sum"),
     )
@@ -959,6 +961,36 @@ def contamination_probe(docs):
     )
 
 
+def _pos_shingle_expr(words_col):
+    """Positional word-3-gram column (duplicates kept, index = word
+    position) — the posexplode-side sibling of _shingle_expr's distinct
+    set.  Only valid where size(words) >= 3; shared by the span probe
+    and the decontamination rewrite so their shingle rule cannot
+    drift."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(words_col) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words_col, i + 1),
+            F.element_at(words_col, i + 2),
+            F.element_at(words_col, i + 3),
+        ),
+    )
+
+
+# DuckDB fragment: positional shingles with a 1-based pos column
+# (positional unnest zip) plus the per-doc shingle count, the
+# oracle-side twin of _pos_shingle_expr.  Expects a frame with
+# (doc_id, words) in scope named by {src}.
+_POS_SHINGLES_DUCK = """
+      SELECT doc_id, CAST(len(words) - 2 AS BIGINT) AS n_shingles,
+             unnest(range(1, len(words) - 1)) AS pos,
+             unnest([ words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                      FOR i IN range(1, len(words) - 1) ]) AS s
+      FROM {src} WHERE len(words) >= 3
+"""
+
+
 def contamination_span_probe(docs):
     """Span-resolved benchmark contamination (the removal-grade form of
     contamination_probe): instead of one overlap rate per document,
@@ -997,17 +1029,7 @@ def contamination_span_probe(docs):
     pos_sh = base.where(~is_bench).select(
         "doc_id",
         (F.size("w") - 2).cast("long").alias("n_shingles"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("w", i + 1),
-                    F.element_at("w", i + 2),
-                    F.element_at("w", i + 3),
-                ),
-            )
-        ).alias("pos", "s"),
+        F.posexplode(_pos_shingle_expr("w")).alias("pos", "s"),
     )
     hit_w = Window.partitionBy("doc_id").orderBy("pos")
     hits = (
@@ -1040,13 +1062,7 @@ def contamination_span_probe(docs):
                          w -> w <> '') AS words
       FROM documents
     ),
-    pos_sh AS (
-      SELECT doc_id, CAST(len(words) - 2 AS BIGINT) AS n_shingles,
-             unnest(range(1, len(words) - 1)) AS pos,
-             unnest([ words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-                      FOR i IN range(1, len(words) - 1) ]) AS s
-      FROM base WHERE len(words) >= 3
-    ),
+    pos_sh AS ({_POS_SHINGLES_DUCK.format(src="base")}),
     b AS (
       SELECT DISTINCT s FROM pos_sh
       WHERE doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_REM}
@@ -1075,7 +1091,7 @@ def contamination_spans(spark, sf_dir):
     return contamination_span_probe(load(spark, sf_dir, "documents"))
 
 
-def decontaminate_rewrite_frame(docs):
+def decontaminate_rewrite_frame(docs, bench_docs=None):
     """Decontamination as a corpus REWRITE (the remedy GPT-3 appendix C
     applies): every token covered by a benchmark-colliding shingle is
     removed and the document reassembled from the survivors — the
@@ -1084,13 +1100,24 @@ def decontaminate_rewrite_frame(docs):
     clean_text); clean docs pass through with n_removed = 0, verbatim
     benchmark copies collapse to the empty string (never NULL).
 
+    ``bench_docs`` (default: ``docs``) is the frame the benchmark
+    shingle set is built from.  Callers that pre-filter the corpus
+    (e.g. a curation gate) MUST pass the UNFILTERED frame here —
+    building the reference side from the filtered frame silently drops
+    every benchmark doc the filter rejected and leaves their copies
+    unscrubbed.
+
     100 TB shape: identical probe plan to contamination_span_probe
     (broadcast benchmark shingles, posexplode = the token stream); the
     covered-position explode fans out a fixed W=3 per hit; the
     reassembly is one combinable groupBy(doc_id) whose per-group state
     is the document's own surviving tokens (array_sort over a
     collect_list bounded by document length — the same bound every
-    per-doc operator carries)."""
+    per-doc operator carries).  The word-split frame persists: THREE
+    consumers (token stream, positional shingles, final token counts)
+    would each re-run the regex segmentation over the corpus (the
+    line_dedup_rewrite pattern); cached blocks are LRU-evictable, the
+    session owns reclamation."""
     words = F.filter(
         F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
     )
@@ -1098,9 +1125,15 @@ def decontaminate_rewrite_frame(docs):
     base = (
         docs.repartition(64, "doc_id")
         .select("doc_id", words.alias("w"))
+        .persist()
+    )
+    bench_base = (
+        base
+        if bench_docs is None
+        else bench_docs.select("doc_id", words.alias("w"))
     )
     bench_sh = (
-        base.where(is_bench & (F.size("w") >= 3))
+        bench_base.where(is_bench & (F.size("w") >= 3))
         .select(F.explode(_shingle_expr("w")).alias("s"))
         .distinct()
     )
@@ -1110,17 +1143,7 @@ def decontaminate_rewrite_frame(docs):
     )
     pos_sh = corpus.where(F.size("w") >= 3).select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("w", i + 1),
-                    F.element_at("w", i + 2),
-                    F.element_at("w", i + 3),
-                ),
-            )
-        ).alias("pos", "s"),
+        F.posexplode(_pos_shingle_expr("w")).alias("pos", "s"),
     )
     covered = (
         pos_sh.join(F.broadcast(bench_sh), "s")
@@ -1190,13 +1213,7 @@ def decontaminate_rewrite_frame(docs):
              unnest(words) AS w
       FROM corpus
     ),
-    pos_sh AS (
-      SELECT doc_id,
-             unnest(range(1, len(words) - 1)) AS pos,
-             unnest([ words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-                      FOR i IN range(1, len(words) - 1) ]) AS s
-      FROM corpus WHERE len(words) >= 3
-    ),
+    pos_sh AS ({_POS_SHINGLES_DUCK.format(src="corpus")}),
     covered AS (
       SELECT DISTINCT doc_id, pos + d AS p
       FROM pos_sh JOIN b USING (s), range(3) r(d)

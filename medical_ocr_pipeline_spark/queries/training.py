@@ -959,29 +959,41 @@ _BFD_H_SPARK = MD5_INT48_SPARK.format(x="concat('bfd', cast(doc_id as string))")
 def _bfd_pack_group(pdf):
     """Best-fit-decreasing over one hash group's remainder items:
     items sorted by (length desc, doc_id asc); each goes to the
-    TIGHTEST bin that still fits (lowest index on ties), else opens a
-    new bin.  Pure driver-free python over one bounded group."""
+    TIGHTEST bin that still fits (lowest bin index on ties — the
+    (residual, bin_idx) tuple order makes bisect pick exactly that),
+    else opens a new bin.  The open-bin table is a sorted list probed
+    with bisect, so a group packs in O(n log n) comparisons instead of
+    the naive per-item scan of every open bin (which is O(n^2) and
+    real money at millions of remainders per group); exactly-full bins
+    leave the table (nothing fits them again).  Pure driver-free
+    python over one bounded group."""
+    import bisect
+
     import pandas as pd
 
     items = pdf.sort_values(
         ["rem", "doc_id"], ascending=[False, True]
     ).reset_index(drop=True)
-    residuals: list[int] = []
+    fills: list[int] = []                   # fill per bin index
+    open_bins: list[tuple[int, int]] = []   # sorted (residual, bin_idx)
     assign: list[int] = []
     for rem in items["rem"]:
-        best, best_res = -1, None
-        for i, res in enumerate(residuals):
-            if res >= rem and (best_res is None or res < best_res):
-                best, best_res = i, res
-        if best < 0:
-            residuals.append(SEQ_LEN - int(rem))
-            assign.append(len(residuals) - 1)
+        rem = int(rem)
+        j = bisect.bisect_left(open_bins, (rem, -1))
+        if j == len(open_bins):
+            b = len(fills)
+            fills.append(rem)
+            res = SEQ_LEN - rem
         else:
-            residuals[best] -= int(rem)
-            assign.append(best)
+            res, b = open_bins.pop(j)
+            fills[b] += rem
+            res -= rem
+        if res > 0:
+            bisect.insort(open_bins, (res, b))
+        assign.append(b)
     items["bin_in_group"] = pd.Series(assign, dtype="int64")
     items["bin_fill"] = items["bin_in_group"].map(
-        lambda b: SEQ_LEN - residuals[b]
+        lambda b: fills[b]
     ).astype("int64")
     return items[["doc_id", "nt", "full_bins", "rem", "grp",
                   "bin_in_group", "bin_fill"]]
@@ -996,21 +1008,22 @@ def best_fit_pack(docs) -> DataFrame:
     )
 
 
-def best_fit_pack_items(items) -> DataFrame:
+def best_fit_pack_items(items, n_groups: int = BFD_GROUPS) -> DataFrame:
     """Shared best-fit packing core: (doc_id, nt) frame in, per-doc
     packing assignment out — (doc_id, nt, full_bins, rem, grp,
     bin_in_group, bin_fill).  full_bins SEQ_LEN-chunks tile bins
     exactly and never enter the packer; rem == 0 docs carry the
     (-1, -1, SEQ_LEN) sentinel triple.
 
-    Determinism / scale shape: docs map to BFD_GROUPS packers by a
+    Determinism / scale shape: docs map to ``n_groups`` packers by a
     salted md5 hash — a pure function of doc_id — so output is
-    invariant to input partitioning and cluster size (pinned by test).
-    Each group packs sequentially inside one applyInPandas task with
-    state = its bin-residual list; groups are embarrassingly parallel
-    and BFD_GROUPS is the dial that bounds per-task memory at any
-    corpus size (the paper packs per shard for the same reason).
-    Best-fit-decreasing guarantees <= 11/9 OPT + 6/9 bins per group."""
+    invariant to input partitioning and cluster size (pinned by test)
+    but NOT to ``n_groups``, which a caller sizes with the corpus
+    (~one group per million remainders keeps each applyInPandas task's
+    sorted-bin state and O(n log n) packing loop bounded; the paper
+    packs per shard for the same reason).  Groups are embarrassingly
+    parallel.  Best-fit-decreasing guarantees <= 11/9 OPT + 6/9 bins
+    per group."""
     d = (
         items.select("doc_id", F.col("nt").cast("long").alias("nt"))
         .where(F.col("nt") > 0)
@@ -1019,7 +1032,7 @@ def best_fit_pack_items(items) -> DataFrame:
             "nt",
             F.expr(f"nt DIV {SEQ_LEN}").alias("full_bins"),
             (F.col("nt") % SEQ_LEN).alias("rem"),
-            (F.expr(_BFD_H_SPARK) % BFD_GROUPS).alias("grp"),
+            (F.expr(_BFD_H_SPARK) % n_groups).alias("grp"),
         )
     )
     schema = (

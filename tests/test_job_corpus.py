@@ -81,8 +81,37 @@ def test_decontam_kept_matches_registry_core_on_survivors(spark):
     want = sorted(
         tuple(r)
         for r in decontaminate_rewrite_frame(
-            docs.where(F.col("doc_id").isin(kept_ids))
+            docs.where(F.col("doc_id").isin(kept_ids)),
+            bench_docs=docs,  # reference side is NEVER gated
         ).collect()
     )
     assert got == want
     assert {t[0] for t in got} <= kept_ids  # benchmark members excluded
+
+
+def test_decontam_bench_side_survives_the_gate(spark):
+    """A benchmark doc the curation gate drops must still scrub its
+    copies: the reference shingle side is built from the FULL input,
+    only the probe side is gated.  (Passing the gated frame as the
+    bench side too — the bug this pins — leaves the copy untouched.)"""
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        decontaminate_rewrite_frame,
+    )
+
+    bench_text = "b1 b2 b3 b4 b5"
+    rows = [
+        (3, bench_text, "en", "s", len(bench_text)),   # benchmark member
+        (1, f"x1 {bench_text} x2", "en", "s", 20),     # kept copy
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    )
+    gated = docs.where("doc_id <> 3")  # the gate dropped the bench doc
+    [r] = decontaminate_rewrite_frame(gated, bench_docs=docs).collect()
+    assert r["doc_id"] == 1
+    assert r["clean_text"] == "x1 x2" and r["n_removed"] == 5
+    # without the full bench side the contamination survives — the
+    # exact failure the bench_docs parameter exists to prevent
+    [r2] = decontaminate_rewrite_frame(gated).collect()
+    assert r2["n_removed"] == 0
