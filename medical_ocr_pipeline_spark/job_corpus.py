@@ -121,11 +121,17 @@ def main() -> None:
     spark = get_spark(app=f"corpus:{args.run_id}", master=args.master)
     t0 = time.time()
 
+    def phase(name: str, since: float) -> float:
+        now = time.time()
+        print(f"PHASE {name} secs={now - since:.1f}", flush=True)
+        return now
+
     docs = spark.read.parquet(args.input)
 
     pairs = near_dup_pairs(docs)
     write_stage(pairs, f"{args.out}/dup_pairs")
     pairs = spark.read.parquet(f"{args.out}/dup_pairs")
+    tp = phase("dup_pairs", t0)
 
     # near-dup clusters: component label = min doc_id of each Jaccard
     # cluster; representative = min doc_id among the cluster's
@@ -135,6 +141,7 @@ def main() -> None:
     )
 
     curated = dedup_keep_representatives(curate_documents(docs), pairs)
+    tp = phase("components_plan", tp)
     # gate-passing docs that lose the cluster-representative race get a
     # distinct reason so metrics counts reconcile with RESULT kept/dropped
     # (ADVICE r01: 'keep'-reason count used to exceed kept)
@@ -146,6 +153,7 @@ def main() -> None:
     ).withColumn("keep", F.col("keep") & F.col("is_representative"))
     write_stage(curated, f"{args.out}/docs_curated")
     curated = spark.read.parquet(f"{args.out}/docs_curated")
+    tp = phase("docs_curated", tp)
 
     metrics = (
         curated.groupBy("reason")
@@ -157,6 +165,7 @@ def main() -> None:
         .withColumn("ts", F.current_timestamp())
     )
     write_stage(metrics, f"{args.out}/metrics", mode="append")
+    tp = phase("metrics", tp)
 
     extra = ""
     if args.line_dedup:

@@ -1,0 +1,182 @@
+"""Two-cluster-size scaling evidence for the CORPUS-CURATION surface
+(job_corpus.py: Gopher-composite gate + n-gram near-dup pair index +
+reason metrics) — the same N vs 4N protocol as bench_scaling.py, on the
+second spark-submit runtime surface.
+
+Input: the driver's sf0.1 documents table replicated R times with a
+deterministic per-replica WORD SUFFIX (every word of replica r > 0
+becomes word+str(r)), so the corpus grows R-fold while shingles from
+different replicas can NEVER collide: the near-dup pair set is exactly
+R independent copies of the base corpus's — linear in R.  (Two designs
+that look natural both explode the inverted-index join quadratically:
+verbatim clones make C(R,2) pairs per clone family, and a per-replica
+word SHUFFLE over the synthetic corpus's small vocabulary makes random
+3-grams collide across the whole corpus — measured: 40x docs -> ~400x
+join work.  The suffix scheme measures the job, not a duplication
+pathology.)  Suffixing is a pure function of the replica index: the
+input parquet is byte-identical across runs and sizes.
+
+Protocol per size (mirrors bench_scaling.py):
+  * taskset-pin the whole spark-submit to exactly N CPUs;
+  * --master local[N - N//8] (the 1/8-reserved-for-JVM executor rule);
+  * fresh JVM per trial, best-of-TRIALS, trials interleaved across
+    sizes so host-load phases hit both equally;
+  * job-reported secs (excludes JVM/session startup);
+  * order-insensitive checksum over the curated-verdict rows plus the
+    dup-pair count -> output equality across sizes and trials.
+
+Appends one section to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_CORPUS_REPLICAS", "40"))
+SIZES = tuple(
+    int(c)
+    for c in os.environ.get("SPARK_GRAFT_SCALING_SIZES", "8,32").split(",")
+)
+TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+WORK = "/tmp/bench_scaling_corpus"
+
+
+def build_input() -> tuple[str, int]:
+    """Replicate the sf0.1 documents table R-fold with a deterministic
+    per-replica word suffix (pure function of the replica index)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{WORK}/documents.parquet"
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang, source, n_chars "
+        f"FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    n_base = len(rows)
+    out = {"doc_id": [], "text": [], "lang": [], "source": [],
+           "n_chars": []}
+    for r in range(REPLICAS):
+        for doc_id, text, lang, source, n_chars in rows:
+            new_id = doc_id + r * n_base
+            if r == 0:
+                t = text
+            else:
+                sfx = str(r)
+                t = " ".join(w + sfx for w in text.split())
+            out["doc_id"].append(new_id)
+            out["text"].append(t)
+            out["lang"].append(lang)
+            out["source"].append(source)
+            out["n_chars"].append(len(t))
+    os.makedirs(WORK, exist_ok=True)
+    pq.write_table(pa.table(out), path)
+    return path, n_base * REPLICAS
+
+
+def run_once(inp: str, cpus: int, trial: int) -> tuple[float, int, str]:
+    """One fresh-JVM pinned job run; returns (secs, docs, checksum)."""
+    import duckdb
+
+    out = f"{WORK}/run_c{cpus}_t{trial}"
+    shutil.rmtree(out, ignore_errors=True)
+    slots = cpus - cpus // 8
+    cpu_list = f"0-{cpus - 1}"
+    cmd = [
+        "taskset", "-c", cpu_list,
+        "spark-submit",
+        # driver memory must ride spark-submit (bench_scaling.py:289 —
+        # a session-level config is too late for the driver JVM); the
+        # default ~1g driver dies building broadcasts at 200k+ docs
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        "--py-files",
+        f"{REPO}/dist/medical_ocr_pipeline_spark.zip",
+        f"{REPO}/medical_ocr_pipeline_spark/job_corpus.py",
+        "--input", inp, "--out", out,
+        "--master", f"local[{slots}]",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    m = re.search(
+        r"RESULT docs=(\d+) kept=\d+ dropped=\d+ dup_pairs=\d+ "
+        r"secs=([0-9.]+)",
+        r.stdout,
+    )
+    assert m, (r.stdout[-2000:], r.stderr[-2000:])
+    docs, secs = int(m.group(1)), float(m.group(2))
+    chk = duckdb.sql(
+        f"""
+        SELECT md5(string_agg(h, ',' ORDER BY h)) FROM (
+          SELECT md5(CAST(doc_id AS VARCHAR) || ':' ||
+                     CAST(keep AS VARCHAR) || ':' ||
+                     COALESCE(reason, '')) AS h
+          FROM '{out}/docs_curated/*.parquet'
+        )"""
+    ).fetchone()[0]
+    n_pairs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{out}/dup_pairs/*.parquet'"
+    ).fetchone()[0]
+    return secs, docs, f"{chk}:{n_pairs}"
+
+
+def main() -> None:
+    shutil.rmtree(WORK, ignore_errors=True)
+    t0 = time.time()
+    inp, n_docs = build_input()
+    print(f"input: {n_docs} docs ({REPLICAS}x sf0.1, deterministic "
+          f"per-replica word suffix) in {time.time() - t0:.0f}s",
+          flush=True)
+
+    best: dict[int, float] = {}
+    checks: set[str] = set()
+    for trial in range(TRIALS):
+        for cpus in SIZES:
+            secs, docs, chk = run_once(inp, cpus, trial)
+            checks.add(chk)
+            best[cpus] = min(best.get(cpus, 1e9), secs)
+            print(f"cpus={cpus} trial={trial}: {secs:.1f}s "
+                  f"({docs / secs:.0f} docs/s)", flush=True)
+    lo, hi = min(SIZES), max(SIZES)
+    eff = (best[lo] / best[hi]) / (hi / lo)
+    same = len(checks) == 1
+    lines = [
+        "",
+        f"## Corpus-job scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})",
+        "",
+        f"Second runtime surface (job_corpus.py: curation gate + near-dup"
+        f" pair index + metrics), {n_docs} docs ({REPLICAS}x sf0.1,"
+        f" deterministic per-replica word suffix — replica shingles never"
+        f" collide, so pair work grows linearly in R), same pinned-CPU"
+        f" protocol as the extraction ladder.",
+        "",
+        "| cores | slots | docs | sec | docs/sec |",
+        "|---|---|---|---|---|",
+    ]
+    for cpus in SIZES:
+        slots = cpus - cpus // 8
+        lines.append(
+            f"| {cpus} | {slots} | {n_docs} | {best[cpus]:.1f} "
+            f"| {n_docs / best[cpus]:.0f} |"
+        )
+    lines += [
+        "",
+        f"raw scaling efficiency {lo}->{hi}: **{eff:.3f}**; identical"
+        f" curated-verdict checksum + dup-pair count across all sizes"
+        f" and trials: **{same}**",
+    ]
+    report = "\n".join(lines) + "\n"
+    print(report)
+    with open(f"{REPO}/BENCH.md", "a") as f:
+        f.write(report)
+
+
+if __name__ == "__main__":
+    main()
