@@ -77,6 +77,7 @@ _PROMOTE_TO_WINDOW = [
     "pack_best_fit",
     "decontaminate_rewrite",
     "dup_source_matrix",
+    "bm25_topk",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

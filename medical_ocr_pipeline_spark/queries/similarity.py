@@ -614,3 +614,193 @@ def semdedup(spark, sf_dir):
     cross-check against the exact all-pairs tier
     (dedup_embedding_cosine) additionally pins semantics in tests."""
     return semdedup_verdicts(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval: the inverted-index counterpart of cosine_topk.
+# A curation pipeline retrieves corpus documents for a query set
+# constantly (benchmark decontamination probes, targeted-domain
+# selection, eval-set mining); BM25 over a term-postings index is the
+# canonical lexical form (Robertson & Zaragoza 2009, the Okapi
+# weighting).  Reference analogue: the engine's dictionary/fuzzy vocab
+# joins (core/textnorm.py) score documents against a term list; this is
+# the ranked-retrieval generalization.
+
+BM25_K1 = "1.2"   # exact decimal literals so both engines parse the
+BM25_B = "0.75"   # same double constants
+BM25_TOP = 20     # neighbors kept per query
+_BM25_SALTS = 8   # salt fanout for the two-level megaquery-safe top-k
+
+# fixed literal query set: deterministic, self-contained (no external
+# data), terms drawn from the synthetic corpus vocabulary
+BM25_QUERIES = (
+    (0, ("fast", "hash", "join")),
+    (1, ("window", "agg", "stream")),
+    (2, ("customer", "table", "scan", "query")),
+)
+
+_BM25_Q_ROWS = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+)
+
+
+@register(
+    "bm25_topk",
+    sql=f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_Q_ROWS}),
+    tok AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS w
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS sum_dl
+      FROM dl
+    ),
+    tf AS (
+      SELECT tok.doc_id, tok.w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok JOIN (SELECT DISTINCT term FROM q) qt ON tok.w = qt.term
+      GROUP BY tok.doc_id, tok.w
+    ),
+    idf AS (
+      SELECT w, LN(1 + (stats.n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+           stats
+    ),
+    sc AS (
+      SELECT q.query_id, tf.doc_id,
+             ROUND(SUM(idf.idf * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl
+                    / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))),
+               {R}) AS score
+      FROM tf
+      JOIN q ON q.term = tf.w
+      JOIN idf ON idf.w = tf.w
+      JOIN dl ON dl.doc_id = tf.doc_id, stats
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM sc
+    )
+    WHERE rk <= {BM25_TOP}
+    ORDER BY query_id, rank
+    """,
+)
+def bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval: top-{BM25_TOP} documents per query for a
+    fixed literal query set, Okapi weighting (k1={BM25_K1},
+    b={BM25_B}), idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape (the 100 TB story):
+    1. the token stream is FILTERED to query terms by a broadcast
+       semi-join before anything groups — at web scale the postings
+       for a handful of terms are a vanishing fraction of the corpus,
+       and the filter reaches the scan side of the shuffle;
+    2. tf is one combinable groupBy(doc_id, term); df one combinable
+       groupBy(term) over the <= |distinct terms| x n_docs tf frame;
+       idf (<= |terms| rows) and the corpus stats (one row: exact
+       BIGINT token total + doc count) broadcast back;
+    3. doc length joins on doc_id — the same key tf grouped on, so AQE
+       plans it without a second full shuffle of the corpus;
+    4. the per-query top-k is the salted TWO-LEVEL row_number from
+       host_cap_sample: level 1 ranks within (query, salt) and keeps
+       {BM25_TOP} per salt (a megaquery matching a billion docs never
+       lands on one reducer), level 2 ranks the <= {BM25_TOP} x
+       {_BM25_SALTS} survivors.  Selecting the top-k per salt first is
+       exact: any global top-k row is a top-k row of its own salt.
+
+    Scores round to ROUND_DIGITS before ranking in BOTH engines (the
+    dsir/pagerank precedent for transcendental outputs: libm-vs-JVM
+    ln() agree to ~1 ulp per term and a score sums <= 4 terms, orders
+    of magnitude inside the rounding margin); ties break by doc_id, so
+    the ranking is deterministic cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id INT, term STRING",
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    stats = dl.agg(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl")
+    ).crossJoin(F.broadcast(n_docs))
+    tf = (
+        tok.join(F.broadcast(q.select("term").distinct()), tok.w == F.col("term"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.log(
+            1
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    k1 = F.expr(BM25_K1)
+    b = F.expr(BM25_B)
+    sc = (
+        tf.join(F.broadcast(q), tf.w == q.term)
+        .join(F.broadcast(idf.withColumnRenamed("w", "iw")), F.col("w") == F.col("iw"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * F.col("tf")
+                    * (k1 + 1)
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (
+                            1
+                            - b
+                            + b
+                            * F.col("dl")
+                            / (
+                                F.col("sum_dl").cast("double")
+                                / F.col("n_docs")
+                            )
+                        )
+                    )
+                ),
+                R,
+            ).alias("score")
+        )
+    )
+    salted = sc.withColumn(
+        "salt", F.crc32(F.col("doc_id").cast("string")) % _BM25_SALTS
+    )
+    w1 = W.partitionBy("query_id", "salt").orderBy(
+        F.desc("score"), "doc_id"
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        salted.withColumn("rk1", F.row_number().over(w1))
+        .where(F.col("rk1") <= BM25_TOP)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= BM25_TOP)
+        .select("query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
