@@ -79,12 +79,20 @@ def build_input() -> tuple[str, int]:
             out["source"].append(source)
             out["n_chars"].append(len(t))
     os.makedirs(WORK, exist_ok=True)
-    pq.write_table(pa.table(out), path)
+    # small row groups: pyarrow's default (~1Mi rows) puts the whole
+    # table in ONE row group, and Spark cannot split a parquet file
+    # finer than its row groups — the scan (and the shingle explode
+    # pipelined on it) would run as a single task at every core count
+    # (measured: 8->32 raw efficiency 0.262 on the one-row-group file)
+    pq.write_table(pa.table(out), path, row_group_size=4096)
     return path, n_base * REPLICAS
 
 
-def run_once(inp: str, cpus: int, trial: int) -> tuple[float, int, str]:
-    """One fresh-JVM pinned job run; returns (secs, docs, checksum)."""
+def run_once(
+    inp: str, cpus: int, trial: int
+) -> tuple[float, int, str, dict[str, float]]:
+    """One fresh-JVM pinned job run; returns (secs, docs, checksum,
+    per-phase secs)."""
     import duckdb
 
     out = f"{WORK}/run_c{cpus}_t{trial}"
@@ -98,6 +106,13 @@ def run_once(inp: str, cpus: int, trial: int) -> tuple[float, int, str]:
         # a session-level config is too late for the driver JVM); the
         # default ~1g driver dies building broadcasts at 200k+ docs
         "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        # the bench corpus is one ~50 MB parquet file; the default
+        # 128 MB maxPartitionBytes scans it as ONE split and serializes
+        # the whole map side (same rationale as bench_scaling.py:217 —
+        # a real 100 TB input arrives as thousands of files and needs
+        # neither knob)
+        "--conf", "spark.sql.files.maxPartitionBytes=1m",
+        "--conf", "spark.sql.files.openCostInBytes=262144",
         "--py-files",
         f"{REPO}/dist/medical_ocr_pipeline_spark.zip",
         f"{REPO}/medical_ocr_pipeline_spark/job_corpus.py",
@@ -112,6 +127,10 @@ def run_once(inp: str, cpus: int, trial: int) -> tuple[float, int, str]:
     )
     assert m, (r.stdout[-2000:], r.stderr[-2000:])
     docs, secs = int(m.group(1)), float(m.group(2))
+    phases = {
+        pm.group(1): float(pm.group(2))
+        for pm in re.finditer(r"PHASE (\w+) secs=([0-9.]+)", r.stdout)
+    }
     chk = duckdb.sql(
         f"""
         SELECT md5(string_agg(h, ',' ORDER BY h)) FROM (
@@ -124,7 +143,7 @@ def run_once(inp: str, cpus: int, trial: int) -> tuple[float, int, str]:
     n_pairs = duckdb.sql(
         f"SELECT COUNT(*) FROM '{out}/dup_pairs/*.parquet'"
     ).fetchone()[0]
-    return secs, docs, f"{chk}:{n_pairs}"
+    return secs, docs, f"{chk}:{n_pairs}", phases
 
 
 def main() -> None:
@@ -136,14 +155,19 @@ def main() -> None:
           flush=True)
 
     best: dict[int, float] = {}
+    best_phases: dict[int, dict[str, float]] = {}
     checks: set[str] = set()
     for trial in range(TRIALS):
         for cpus in SIZES:
-            secs, docs, chk = run_once(inp, cpus, trial)
+            secs, docs, chk, phases = run_once(inp, cpus, trial)
             checks.add(chk)
-            best[cpus] = min(best.get(cpus, 1e9), secs)
+            if secs < best.get(cpus, 1e9):
+                best[cpus] = secs
+                best_phases[cpus] = phases
             print(f"cpus={cpus} trial={trial}: {secs:.1f}s "
-                  f"({docs / secs:.0f} docs/s)", flush=True)
+                  f"({docs / secs:.0f} docs/s) "
+                  + " ".join(f"{k}={v:.1f}" for k, v in phases.items()),
+                  flush=True)
     lo, hi = min(SIZES), max(SIZES)
     eff = (best[lo] / best[hi]) / (hi / lo)
     same = len(checks) == 1
@@ -166,6 +190,21 @@ def main() -> None:
             f"| {cpus} | {slots} | {n_docs} | {best[cpus]:.1f} "
             f"| {n_docs / best[cpus]:.0f} |"
         )
+    phase_names = [k for k in best_phases.get(lo, {})
+                   if k in best_phases.get(hi, {})]
+    if phase_names:
+        lines += [
+            "",
+            f"Per-phase seconds (best trial at each core count):",
+            "",
+            f"| phase | {lo}c sec | {hi}c sec | speedup |",
+            "|---|---|---|---|",
+        ]
+        for k in phase_names:
+            a, b = best_phases[lo][k], best_phases[hi][k]
+            lines.append(
+                f"| {k} | {a:.1f} | {b:.1f} | {a / b:.2f}x |"
+            )
     lines += [
         "",
         f"raw scaling efficiency {lo}->{hi}: **{eff:.3f}**; identical"
@@ -174,8 +213,9 @@ def main() -> None:
     ]
     report = "\n".join(lines) + "\n"
     print(report)
-    with open(f"{REPO}/BENCH.md", "a") as f:
-        f.write(report)
+    if not os.environ.get("SPARK_GRAFT_SCALING_DRYRUN"):
+        with open(f"{REPO}/BENCH.md", "a") as f:
+            f.write(report)
 
 
 if __name__ == "__main__":
