@@ -294,3 +294,23 @@ def test_semdedup_pair_join_is_cluster_scoped(spark):
 
     plan = final_plan(semdedup(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_is_posting_list_no_join(spark):
+    """The exact-Jaccard pair core is a posting-list inverted index:
+    the exploded (hash, doc) table is shuffled ONCE into a hash
+    aggregate that builds postings, pairs are enumerated in-row, and
+    NO join of any kind touches the exploded table (the previous shape
+    sort-merge-joined two full copies of it; ref: the round-3 rewrite,
+    measured 2.8x CPU excess at 28 slots for the two-sided sort).  The
+    only sort allowed is the final presentation orderBy of the
+    already-thresholded pair rows."""
+    from medical_ocr_pipeline_spark.queries.dedup import dedup_ngram_jaccard
+
+    plan = final_plan(dedup_ngram_jaccard(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # no join at all
+    assert "ShuffledHashJoin" not in plan
+    # posting build: collect_list is an ObjectHashAggregate
+    assert "ObjectHashAggregate" in plan
