@@ -152,39 +152,46 @@ def ngram_jaccard_pairs(docs, freq_cap: int | None = None):
     and job_corpus both call this, so the production job cannot drift
     from the oracle-checked form.
 
-    Shape (one shuffle to build the index, one to combine pairs):
+    Shape (hash-keyed inverted-index self-join, fully codegen'd):
       1. explode (doc, shingle), key by xxhash64(shingle) — the 25-byte
-         string leaves the shuffle immediately; an 8-byte long key cuts
-         the exchange + agg memory traffic ~3x (measured: the previous
-         two-sided string sort-merge self-join burned 2.8x more
-         CPU-seconds at 28 slots than at 7 — bandwidth-bound, not
-         compute-bound);
-      2. groupBy(hash) -> sorted posting list of (doc_id, n_sh) — a
-         hash aggregate, NO sort of the exploded table (the old SMJ
-         sorted 2 full copies of it);
-      3. enumerate each posting's C(n, 2) ordered pairs inside the row
-         (pure Catalyst transform/slice — the sorted posting makes
-         doc_a < doc_b structural), then one combinable
-         groupBy(doc_a, doc_b) counts the shared shingles.
+         string leaves the pipeline immediately; an 8-byte long key cuts
+         the exchange + join memory traffic ~3x (measured: the previous
+         string-keyed sort-merge self-join burned 2.8x more CPU-seconds
+         at 28 slots than at 7 — bandwidth-bound, not compute-bound);
+      2. self-equi-join on the hash, strategy left to Catalyst/AQE
+         (round-2 lesson on the cohort hint: AQE converts to broadcast
+         when one side is provably small, picks SMJ/SHJ otherwise, and
+         its skew-join splitting only applies to the un-hinted plan);
+         sorting/hashing 8-byte longs instead of strings is what makes
+         either physical choice cheap.  A posting-list variant
+         (collect_list + in-row pair enumeration) was measured slower
+         at every scale tried (34 s vs 21.7 s at 800k docs x 28 slots;
+         3.0 s vs ~1.2 s at sf0.1): ObjectHashAggregate runs outside
+         whole-stage codegen and falls back to sort-based aggregation,
+         and a hot shingle builds its giant posting ARRAY before any
+         cap can drop it — the join never materializes per-key state.
+      3. one combinable groupBy(doc_a, doc_b) counts shared shingles.
 
     Hash-collision note: two different shingles colliding in xxhash64
-    would merge their postings and inflate `common` by 1 for the
-    affected pairs.  Cross-engine equality vs the string-keyed DuckDB
-    oracle at sf0.001/0.01/0.1 verifies zero collisions at test scale;
-    at web scale the expected inflation (~1e-19 per shingle pair) is
-    orders of magnitude below the Jaccard threshold's resolution.
+    would inflate `common` by 1 for the affected pairs.  Cross-engine
+    equality vs the string-keyed DuckDB oracle at sf0.001/0.01/0.1
+    verifies zero collisions at test scale; at web scale the expected
+    inflation (~1e-19 per shingle pair) is orders of magnitude below
+    the Jaccard threshold's resolution.
 
-    `freq_cap`: optional posting-length ceiling for web-scale runs —
-    a shingle present in more than `freq_cap` documents is boilerplate
-    (its pairs carry ~zero Jaccard signal) yet contributes O(n^2) pair
-    work; production corpus dedup drops them (same rationale as the
-    CDC chunk-frequency cap below).  Default None = exact semantics,
-    identical to the DuckDB oracle at every SF.
+    `freq_cap`: optional document-frequency ceiling for web-scale runs
+    — a shingle present in more than `freq_cap` documents is
+    boilerplate (its pairs carry ~zero Jaccard signal) yet contributes
+    O(n^2) pair work AND is the join-skew hot key; the cap drops it
+    BEFORE the self-join via a combinable count + semi-join (same
+    rationale as the CDC chunk-frequency cap below).  Default None =
+    exact semantics, identical to the DuckDB oracle at every SF.
 
     Persist the shingle arrays BEFORE exploding: without the barrier,
     CollapseProject inlines the (expensive) shingle-building expression
     into the Generate node and re-evaluates it once per exploded output
-    row (~50x per doc).  At cluster scale this is the materialized
+    row (~50x per doc); and the self-join would recompute the whole
+    pipeline for both sides.  At cluster scale this is the materialized
     shingle index, the standard shape."""
     sh = _shingles_spark(docs).persist()
     ex = (
@@ -193,38 +200,31 @@ def ngram_jaccard_pairs(docs, freq_cap: int | None = None):
             F.size("shingles").alias("n_sh"),
             F.explode("shingles").alias("s"),
         )
-        .select(F.xxhash64("s").alias("h"), F.struct("doc_id", "n_sh").alias("dn"))
-    )
-    posts = (
-        ex.groupBy("h")
-        .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
-        .where(F.size("ds") >= 2)
+        .select(F.xxhash64("s").alias("h"), "doc_id", "n_sh")
     )
     if freq_cap is not None:
-        posts = posts.where(F.size("ds") <= freq_cap)
-    ds = F.col("ds")
-    pair_expr = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    x["n_sh"].alias("na"),
-                    y["doc_id"].alias("doc_b"),
-                    y["n_sh"].alias("nb"),
-                ),
-            ),
+        rare = (
+            ex.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= freq_cap)
+            .select("h")
         )
-    )
+        ex = ex.join(rare, "h", "left_semi")
+    a = ex.alias("a")
+    b = ex.alias("b")
     pairs = (
-        posts.select(F.explode(pair_expr).alias("p"))
-        .select("p.*")
-        .groupBy("doc_a", "doc_b")
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .agg(
             F.count("*").alias("common"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
         )
     )
     jac = F.col("common").cast("double") / (

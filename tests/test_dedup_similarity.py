@@ -416,3 +416,17 @@ def test_dup_source_matrix_cross_and_same_source(spark):
     diag = got[("srcB", "srcB")]
     assert diag.n_pairs == 1 and diag.n_docs == 2
     assert diag.avg_jaccard_bp == 10000
+
+
+def test_ngram_jaccard_freq_cap_drops_hot_shingles(spark):
+    """freq_cap is the web-scale boilerplate/skew control: a shingle in
+    more than freq_cap docs is dropped BEFORE the self-join.  Three
+    identical docs make every shingle df=3: cap 2 kills every pair,
+    cap 3 (and the exact default None) keeps all C(3,2)=3 pairs."""
+    from medical_ocr_pipeline_spark.queries.dedup import ngram_jaccard_pairs
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    assert ngram_jaccard_pairs(docs).count() == 3
+    assert ngram_jaccard_pairs(docs, freq_cap=3).count() == 3
+    assert ngram_jaccard_pairs(docs, freq_cap=2).count() == 0
