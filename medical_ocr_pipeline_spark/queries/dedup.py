@@ -158,18 +158,24 @@ def ngram_jaccard_pairs(docs, freq_cap: int | None = None):
          the exchange + join memory traffic ~3x (measured: the previous
          string-keyed sort-merge self-join burned 2.8x more CPU-seconds
          at 28 slots than at 7 — bandwidth-bound, not compute-bound);
-      2. self-equi-join on the hash, strategy left to Catalyst/AQE
-         (round-2 lesson on the cohort hint: AQE converts to broadcast
-         when one side is provably small, picks SMJ/SHJ otherwise, and
-         its skew-join splitting only applies to the un-hinted plan);
-         sorting/hashing 8-byte longs instead of strings is what makes
-         either physical choice cheap.  A posting-list variant
-         (collect_list + in-row pair enumeration) was measured slower
-         at every scale tried (34 s vs 21.7 s at 800k docs x 28 slots;
-         3.0 s vs ~1.2 s at sf0.1): ObjectHashAggregate runs outside
-         whole-stage codegen and falls back to sort-based aggregation,
-         and a hot shingle builds its giant posting ARRAY before any
-         cap can drop it — the join never materializes per-key state.
+      2. self-equi-join on the hash with a SHUFFLE_HASH hint.  All
+         four physical shapes were measured steady-state at 800k docs
+         x 28 slots: hinted SHJ 69 s, posting-list (collect_list +
+         in-row pair enumeration) 76 s, string-keyed SMJ ~2.9x the
+         CPU of SHJ, and the un-hinted long-keyed plan — where
+         Catalyst/AQE picks SMJ — 179 s: sorting two 40M-row copies
+         of the exploded table is the dominant cost and the hint is
+         what removes it.  The known trade: at toy scale (sf0.1) AQE
+         would instead broadcast the 4 MB exploded side and save
+         ~1.4 s, which the hint forgoes — the corpus_keep_drop
+         precedent applies (pay seconds at test scale for the plan
+         you need at 100 TB).  AQE's skew-join splitting only applies
+         to SMJ, so skew control at scale is freq_cap (below), which
+         removes the skewed keys themselves rather than splitting
+         their n^2 pair output.  The posting-list variant is also
+         rejected for memory shape: a hot shingle builds its giant
+         posting ARRAY before any cap can drop it, while the join
+         never materializes per-key state.
       3. one combinable groupBy(doc_a, doc_b) counts shared shingles.
 
     Hash-collision note: two different shingles colliding in xxhash64
@@ -214,7 +220,7 @@ def ngram_jaccard_pairs(docs, freq_cap: int | None = None):
     b = ex.alias("b")
     pairs = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

@@ -296,21 +296,25 @@ def test_semdedup_pair_join_is_cluster_scoped(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_ngram_jaccard_is_hash_keyed_equi_join(spark):
+def test_ngram_jaccard_is_hash_keyed_shuffled_hash_join(spark):
     """The exact-Jaccard pair core is a hash-keyed inverted-index
     self-join: xxhash64(shingle) is the join key, so the 25-byte
     shingle string never enters the exchange or the join-side
-    sort/hash (the previous string-keyed SMJ was measured at 2.8x CPU
-    excess at 28 slots — bandwidth, not compute).  The physical join
-    strategy is deliberately left to Catalyst/AQE (broadcast at small
-    scale, SMJ/SHJ with skew splitting at large), so the test pins the
-    invariants that hold at every scale: an equi-join on the hashed
-    key, never a cartesian, and no per-key array state (the
-    posting-list variant's ObjectHashAggregate must not reappear)."""
+    sort/hash (the string-keyed SMJ was measured at 2.8x CPU excess at
+    28 slots — bandwidth, not compute), and the SHUFFLE_HASH hint
+    pins the no-sort physical join: un-hinted, Catalyst/AQE picks SMJ
+    at corpus scale and sorts two full copies of the exploded table
+    (measured 179 s vs 69 s steady-state at 800k docs; the hint's
+    known cost is forgoing AQE's broadcast conversion at toy scale —
+    see the core's docstring for the full measured matrix).  Also
+    pinned: never a cartesian, and no per-key array state (the
+    rejected posting-list variant's ObjectHashAggregate)."""
     from medical_ocr_pipeline_spark.queries.dedup import dedup_ngram_jaccard
 
     plan = final_plan(dedup_ngram_jaccard(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "xxhash64" in plan
     assert "ObjectHashAggregate" not in plan
