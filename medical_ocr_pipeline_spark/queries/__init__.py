@@ -78,6 +78,9 @@ _PROMOTE_TO_WINDOW = [
     "decontaminate_rewrite",
     "dup_source_matrix",
     "bm25_topk",
+    # Rewritten late in round 3 (xxhash64 join key + pinned SHUFFLE_HASH +
+    # freq_cap): must carry a fresh driver row, so it re-enters the window.
+    "dedup_ngram_jaccard",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}
