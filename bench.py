@@ -47,6 +47,10 @@ HEADLINE = [
     # (combinable MIN winner table + inverted-index join + reassembly);
     # adds ~1-2 s to headline_queries_total vs earlier r3 records
     "line_dedup",
+    # round 3 (late): Lee-et-al duplicate-span REMOVAL (keep-first-copy
+    # window dedup + reassembly); adds ~1-2 s to headline_queries_total
+    # vs earlier r3 records — compare per-query across rounds
+    "span_dedup_rewrite",
 ]
 
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))

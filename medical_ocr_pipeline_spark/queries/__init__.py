@@ -81,6 +81,7 @@ _PROMOTE_TO_WINDOW = [
     # Rewritten late in round 3 (xxhash64 join key + pinned SHUFFLE_HASH +
     # freq_cap): must carry a fresh driver row, so it re-enters the window.
     "dedup_ngram_jaccard",
+    "span_dedup_rewrite",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

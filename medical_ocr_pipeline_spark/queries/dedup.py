@@ -1451,6 +1451,20 @@ def incremental_verdicts(existing, incoming):
 SPAN_W = 8
 
 
+def _win_hash_expr(words_col: str):
+    """W-word sliding-window md5 column (one hash per window start,
+    empty array below W words) — shared by the span detector
+    (dedup_substring_spans) and the span rewrite (span_dedup_rewrite)
+    so the window rule cannot drift."""
+    return F.when(
+        F.size(words_col) >= SPAN_W,
+        F.expr(
+            f"transform(sequence(1, size({words_col}) - {SPAN_W} + 1),"
+            f" i -> md5(concat_ws(' ', slice({words_col}, i, {SPAN_W}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @register(
     "dedup_substring_spans",
     sql=f"""
@@ -1507,17 +1521,7 @@ def dedup_substring_spans(spark, sf_dir):
         .select("doc_id", words.alias("words"))
     )
     win = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("words") >= SPAN_W,
-                F.expr(
-                    f"""transform(sequence(1, size(words) - {SPAN_W} + 1),
-                         i -> md5(concat_ws(' ',
-                                  slice(words, i, {SPAN_W}))))"""
-                ),
-            ).otherwise(F.array())
-        ).alias("h"),
+        "doc_id", F.explode(_win_hash_expr("words")).alias("h")
     )
     dup = win.groupBy("h").count().where(F.col("count") > 1).select("h")
     per_doc = (
@@ -1542,6 +1546,168 @@ def dedup_substring_spans(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def span_dedup_rewrite_frame(docs):
+    """Substring dedup as a corpus REWRITE (the removal step of Lee et
+    al. 2022 on top of dedup_substring_spans' detection): every W-word
+    sliding window whose hash repeats corpus-wide keeps exactly ONE
+    canonical occurrence — the lexicographically first (doc_id, pos) —
+    and every token covered only by non-canonical occurrences is
+    removed, the document reassembled from the survivors.  Output one
+    row per doc: (doc_id, n_tokens, n_removed, clean_text); docs
+    shorter than W words (no windows) pass through untouched, and a doc
+    that is entirely duplicated text collapses to '' (never NULL).
+
+    First-occurrence-wins is the same winner rule as line_dedup's
+    combinable MIN over (doc_id, seg_idx), applied at overlapping
+    token-window granularity; the reassembly is the
+    decontaminate_rewrite consumer shape.  Known greedy-removal
+    subtlety (documented, inherent to fixed-W span dedup): a canonical
+    window may overlap a non-canonical occurrence of a DIFFERENT
+    repeated window inside the same document, so tokens of a canonical
+    span can still be clipped by a neighbouring span's removal.
+
+    100 TB shape: the winner table is ONE combinable groupBy(h) with
+    (count, min(struct(doc_id, pos))) — partial-aggregable, one row per
+    distinct window hash; flagging joins each occurrence row to that
+    one-row-per-hash frame (K occurrences of a hash produce K rows,
+    never K^2); the covered-position explode fans out a fixed W per
+    flagged window; the reassembly is a per-doc groupBy whose state is
+    bounded by document length.  A boilerplate hash with millions of
+    occurrences is a join-skew hot key — AQE's skew split applies to
+    the occurrence side, and removal semantics genuinely need every
+    occurrence (a freq_cap here would silently keep duplicate text);
+    ultra-hot boilerplate is the province of span_boilerplate /
+    line_dedup upstream.  The word frame persists: three consumers
+    (window hashes, token stream, final counts) would each re-run the
+    regex segmentation."""
+    words = F.filter(
+        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
+    )
+    base = (
+        docs.repartition(64, "doc_id")
+        .select("doc_id", words.alias("w"))
+        .persist()
+    )
+    win = base.select(
+        "doc_id", F.posexplode(_win_hash_expr("w")).alias("pos", "h")
+    )
+    winners = (
+        win.groupBy("h")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("c"),
+        )
+        .where(F.col("cnt") > 1)
+        .select(
+            "h",
+            F.col("c.doc_id").alias("cd"),
+            F.col("c.pos").alias("cp"),
+        )
+    )
+    covered = (
+        win.join(winners, "h")
+        .where(
+            ~((F.col("doc_id") == F.col("cd")) & (F.col("pos") == F.col("cp")))
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_W - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks = base.select("doc_id", F.posexplode("w").alias("p", "word"))
+    kept = (
+        toks.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "span_dedup_rewrite",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id,
+             unnest(range(1, len(words) - {SPAN_W} + 2)) AS pos,
+             unnest([ md5(array_to_string(words[i : i + {SPAN_W} - 1], ' '))
+                      FOR i IN range(1, len(words) - {SPAN_W} + 2) ]) AS h
+      FROM w WHERE len(words) >= {SPAN_W}
+    ),
+    dup AS (
+      SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1
+    ),
+    c1 AS (
+      SELECT win.h, MIN(doc_id) AS cd
+      FROM win JOIN dup USING (h) GROUP BY win.h
+    ),
+    canon AS (
+      SELECT w2.h, c1.cd, MIN(w2.pos) AS cp
+      FROM win w2 JOIN c1 ON w2.h = c1.h AND w2.doc_id = c1.cd
+      GROUP BY w2.h, c1.cd
+    ),
+    covered AS (
+      SELECT DISTINCT n.doc_id, n.pos + d AS p
+      FROM win n
+      JOIN canon c ON n.h = c.h
+       AND NOT (n.doc_id = c.cd AND n.pos = c.cp),
+      range({SPAN_W}) r(d)
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(range(1, len(words) + 1)) AS p,
+             unnest(words) AS wd
+      FROM w
+    ),
+    kept AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(t.wd, ' ' ORDER BY t.p) AS clean_text
+      FROM toks t ANTI JOIN covered c
+        ON t.doc_id = c.doc_id AND t.p = c.p
+      GROUP BY t.doc_id
+    )
+    SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_tokens,
+           CAST(len(w.words) - COALESCE(k.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           COALESCE(k.clean_text, '') AS clean_text
+    FROM w LEFT JOIN kept k USING (doc_id)
+    ORDER BY w.doc_id
+    """,
+)
+def span_dedup_rewrite(spark, sf_dir):
+    """Registry wrapper over the span-dedup rewrite core."""
+    return span_dedup_rewrite_frame(load(spark, sf_dir, "documents"))
 
 
 # --- train/eval split leakage check ------------------------------------------

@@ -278,6 +278,76 @@ def test_substring_spans_handcrafted(spark, tmp_path):
     assert got[0]["dup_ppm"] == 1000000 * 3 // got[0]["n_windows"]
 
 
+def _rewrite_rows(spark, rows):
+    return spark.createDataFrame(
+        [r + ("en", "a", 0) for r in rows],
+        "doc_id int, text string, lang string, source string, n_chars int",
+    )
+
+
+def test_span_dedup_rewrite_first_occurrence_wins(spark):
+    """Cross-doc case: doc 0 and doc 1 share a 10-word footer; doc 0
+    (lexicographically first occurrence) keeps it verbatim, doc 1 loses
+    all 10 footer tokens and keeps only its unique tail.  Unique and
+    short docs pass through untouched."""
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        span_dedup_rewrite_frame,
+    )
+
+    footer = ("all rights reserved by the example corporation "
+              "under licence terms")  # 10 words -> 3 shared windows
+    rows = [
+        (0, "unique opening words here " + footer),
+        (1, footer + " plus a different unique tail"),
+        (2, "completely fresh sentence with eleven distinct words "
+            "never repeated anywhere else in this corpus today"),
+        (3, "too short"),
+    ]
+    got = {r["doc_id"]: r
+           for r in span_dedup_rewrite_frame(
+               _rewrite_rows(spark, rows)).collect()}
+    assert got[0]["n_removed"] == 0
+    assert got[0]["clean_text"] == "unique opening words here " + footer
+    assert got[1]["n_tokens"] == 15 and got[1]["n_removed"] == 10
+    assert got[1]["clean_text"] == "plus a different unique tail"
+    assert got[2]["n_removed"] == 0 and got[3]["n_removed"] == 0
+    assert got[3]["clean_text"] == "too short"
+
+
+def test_span_dedup_rewrite_same_doc_repeat(spark):
+    """Within-doc case: an 8-word run repeated inside one document
+    keeps its first copy and drops the second (positions 9..16)."""
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        span_dedup_rewrite_frame,
+    )
+
+    run = "qa qb qc qd qe qf qg qh"  # exactly SPAN_W words
+    rows = [(9, f"{run} bridge {run}")]
+    got = span_dedup_rewrite_frame(_rewrite_rows(spark, rows)).collect()[0]
+    assert got["n_tokens"] == 17 and got["n_removed"] == 8
+    assert got["clean_text"] == f"{run} bridge"
+
+
+def test_span_dedup_rewrite_invariance_and_plan(spark, tmp_path):
+    """Result is a pure function of the corpus (1 vs 37 input
+    partitions), and the plan is window-free (winner table is a
+    combinable groupBy, never a global sort)."""
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        span_dedup_rewrite_frame,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = span_dedup_rewrite_frame(base.repartition(1)).collect()
+    b = span_dedup_rewrite_frame(base.repartition(37)).collect()
+    assert a == b
+    df = span_dedup_rewrite_frame(base)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window [" not in plan
+
+
 def test_semdedup_handcrafted_keep_rule(spark, tmp_path):
     """SemDeDup keeps the pair endpoint FARTHER from the centroid: with
     vec 0 seeding the only centroid, the near-duplicate pair (0, 1)
