@@ -82,6 +82,7 @@ _PROMOTE_TO_WINDOW = [
     # freq_cap): must carry a fresh driver row, so it re-enters the window.
     "dedup_ngram_jaccard",
     "span_dedup_rewrite",
+    "corpus_shuffle",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

@@ -296,6 +296,67 @@ def pack_bin_manifest(spark, sf_dir):
     )
 
 
+# --- deterministic global corpus shuffle --------------------------------------
+#
+# Every pretraining pipeline shuffles the corpus before packing: without
+# it, source/time locality in doc_id order becomes curriculum bias.  The
+# production form must be (a) a GLOBAL permutation, (b) reproducible
+# across engines, runs, and cluster sizes — so the order key is a salted
+# md5 of doc_id (no RNG state), and the 0-based position is assigned
+# with the same two-phase range-partitioned counting as pack_sequences
+# (never an unpartitioned row_number over the corpus).
+
+SHUFFLE_SHARD_DOCS = 1000
+
+_SHUF_H_SPARK = MD5_INT48_SPARK.format(
+    x="concat('shuffle', cast(doc_id as string))"
+)
+_SHUF_H_DUCK = MD5_INT48_DUCK.format(x="'shuffle' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "corpus_shuffle",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, {_SHUF_H_DUCK} AS h FROM documents
+    ),
+    o AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+               AS position
+      FROM d
+    )
+    SELECT doc_id, position,
+           CAST(position // {SHUFFLE_SHARD_DOCS} AS BIGINT) AS shard
+    FROM o ORDER BY doc_id
+    """,
+)
+def corpus_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: every document gets
+    a 0-based position in salted-md5 order (a reproducible permutation,
+    decorrelated from doc_id/source/time locality) plus the shard a
+    fixed docs-per-shard writer would place it in.
+
+    Scale shape: position = global_running_offset with value 1 — the
+    exact count of strictly-preceding rows via the two-phase
+    range-partition cumsum (local window + one-row-per-partition
+    broadcast prefix); the oracle's plain ROW_NUMBER is the same math
+    on a single-node engine.  At 100 TB this is a terasort-shaped
+    range exchange on an 8-byte key, the cheapest global order Spark
+    can produce."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SHUF_H_SPARK).alias("h"),
+        F.lit(1).alias("one"),
+    )
+    o = global_running_offset(d, value_col="one")
+    return o.select(
+        "doc_id",
+        F.col("offset").alias("position"),
+        F.expr(f"offset DIV {SHUFFLE_SHARD_DOCS}").cast("long").alias("shard"),
+    ).orderBy("doc_id")
+
+
 # --- BPE merge-candidate counting --------------------------------------------
 #
 # One iteration of byte-pair-encoding TRAINING at corpus scale: real BPE

@@ -378,3 +378,24 @@ def test_bfd_packer_properties_fuzz():
         assert lb <= n_bins <= max(lb, (11 * lb) // 9 + 2)
 
     run()
+
+
+def test_corpus_shuffle_is_permutation_and_invariant(spark):
+    """corpus_shuffle assigns a 0..n-1 permutation in salted-md5 order,
+    identical at any input partitioning, with the fixed docs-per-shard
+    writer view consistent with the position."""
+    from medical_ocr_pipeline_spark.queries.training import (
+        SHUFFLE_SHARD_DOCS,
+        corpus_shuffle,
+    )
+
+    rows = corpus_shuffle(spark, SF_DIR).collect()
+    n = len(rows)
+    positions = sorted(r["position"] for r in rows)
+    assert positions == list(range(n))
+    for r in rows:
+        assert r["shard"] == r["position"] // SHUFFLE_SHARD_DOCS
+    # decorrelated from doc_id order: the permutation must not be the
+    # identity (probability ~1/n! for the salted hash)
+    by_doc = [r["position"] for r in sorted(rows, key=lambda r: r["doc_id"])]
+    assert by_doc != sorted(by_doc)
