@@ -83,6 +83,7 @@ _PROMOTE_TO_WINDOW = [
     "dedup_ngram_jaccard",
     "span_dedup_rewrite",
     "corpus_shuffle",
+    "url_blocklist_filter",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

@@ -580,3 +580,108 @@ def host_pagerank(spark, sf_dir):
         )
         .orderBy(F.desc("rank"), F.asc("host"))
     )
+
+
+# ---------------------------------------------------------------------------
+# UT1-style URL/domain blocklist filter
+#
+# Every production web pipeline applies category blocklists (the
+# Toulouse/UT1 lists in RefinedWeb §3.1, C4's badwords analogue) as a
+# first-pass URL filter.  A blocklist rule is a DOMAIN SUFFIX:
+# "example.com" blocks every host under it.  The scalable form is NOT a
+# per-rule LIKE scan (rules x corpus work): explode each host into its
+# domain-suffix chain (a.b.c -> [a.b.c, b.c, c]) and equi-join the
+# broadcast rule table — fixed ~4-6x fanout per doc, one broadcast
+# hash join, combinable verdict groupBy.
+
+# deterministic stand-in blocklist (this sandbox ships no UT1 data):
+# one parent-domain rule (blocks every language subdomain of src3),
+# one exact leaf, one more parent — the suffix logic is exercised by
+# the parent rules, the plan is the production shape for ANY rule set.
+BLOCKLIST_RULES = (
+    "src3.example.com",
+    "src11.example.com",
+    "zh.src7.example.com",
+)
+
+
+def blocklist_verdicts(hosts: DataFrame, rules) -> DataFrame:
+    """Per-doc blocklist verdict over a (doc_id, host) frame: blocked=1
+    iff ANY domain suffix of the host equals a rule; matched_rule is
+    the lexicographically-smallest matching rule (deterministic when
+    several match, '' when none).  The rule table is broadcast — UT1
+    lists are a few MB, executor-resident at any corpus size."""
+    spark = hosts.sparkSession
+    bl = spark.createDataFrame([(r,) for r in rules], "rule string")
+    sfx = hosts.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(host, '[.]'))), i ->"
+                " array_join(slice(split(host, '[.]'), i,"
+                " size(split(host, '[.]')) - i + 1), '.'))"
+            )
+        ).alias("sfx"),
+    )
+    m = (
+        sfx.join(F.broadcast(bl), F.col("sfx") == F.col("rule"))
+        .groupBy("doc_id")
+        .agg(F.min("rule").alias("matched_rule"))
+    )
+    return (
+        hosts.join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            F.col("matched_rule")
+            .isNotNull()
+            .cast("long")
+            .alias("blocked"),
+            F.coalesce("matched_rule", F.lit("")).alias("matched_rule"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BL_VALUES = ", ".join(f"('{r}')" for r in BLOCKLIST_RULES)
+
+
+@register(
+    "url_blocklist_filter",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, lang || '.' || source || '.example.com' AS host
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, host, string_split(host, '.') AS parts FROM d
+    ),
+    sfx AS (
+      SELECT doc_id,
+             unnest([ array_to_string(parts[i:], '.')
+                      FOR i IN range(1, len(parts) + 1) ]) AS sfx
+      FROM p
+    ),
+    bl(rule) AS (VALUES {_BL_VALUES}),
+    m AS (
+      SELECT doc_id, MIN(rule) AS matched_rule
+      FROM sfx JOIN bl ON sfx.sfx = bl.rule
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.host,
+           CAST(CASE WHEN m.matched_rule IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS blocked,
+           COALESCE(m.matched_rule, '') AS matched_rule
+    FROM d LEFT JOIN m USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def url_blocklist_filter(spark, sf_dir):
+    """Registry wrapper: hierarchical host per doc (language subdomain
+    under the source domain, deterministic in both engines), verdicts
+    via the suffix-chain blocklist core."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("concat(lang, '.', source, '.example.com')").alias("host"),
+    )
+    return blocklist_verdicts(d, BLOCKLIST_RULES)

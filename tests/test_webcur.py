@@ -267,3 +267,45 @@ def test_canon_sql_matches_spark_on_adversarial_urls(spark):
     ]
     assert got_duck == got_spark
     assert all(v is not None for v in got_duck)
+
+
+def test_blocklist_suffix_semantics(spark):
+    """Parent-domain rules block every subdomain; exact-leaf rules
+    block only that host; matched_rule is the lexicographic min when
+    several rules match; clean hosts pass with ''."""
+    from pyspark.sql import Row
+
+    from medical_ocr_pipeline_spark.queries.webcur import (
+        blocklist_verdicts,
+    )
+
+    hosts = spark.createDataFrame([
+        Row(doc_id=1, host="de.src3.example.com"),   # parent rule
+        Row(doc_id=2, host="zh.src7.example.com"),   # exact leaf rule
+        Row(doc_id=3, host="en.src7.example.com"),   # sibling: clean
+        Row(doc_id=4, host="src3.example.com"),      # rule itself
+        Row(doc_id=5, host="en.src0.example.com"),   # clean
+        Row(doc_id=6, host="src3.example.com.evil.net"),  # suffix only,
+        # not a substring match: must stay clean
+    ])
+    rules = ("src3.example.com", "zh.src7.example.com")
+    got = {r["doc_id"]: r for r in
+           blocklist_verdicts(hosts, rules).collect()}
+    assert got[1]["blocked"] == 1 and got[1]["matched_rule"] == rules[0]
+    assert got[2]["blocked"] == 1 and got[2]["matched_rule"] == rules[1]
+    assert got[3]["blocked"] == 0 and got[3]["matched_rule"] == ""
+    assert got[4]["blocked"] == 1
+    assert got[5]["blocked"] == 0
+    assert got[6]["blocked"] == 0
+
+
+def test_blocklist_plan_is_broadcast_join(spark):
+    """The rule side must broadcast (never shuffle the corpus against
+    a few-MB rule list) and the suffix fanout must not cartesian."""
+    from medical_ocr_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["url_blocklist_filter"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
