@@ -84,6 +84,7 @@ _PROMOTE_TO_WINDOW = [
     "span_dedup_rewrite",
     "corpus_shuffle",
     "url_blocklist_filter",
+    "curation_funnel",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

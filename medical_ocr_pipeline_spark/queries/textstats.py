@@ -8,7 +8,7 @@ match Spark's replace-all default).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
 
@@ -471,10 +471,12 @@ def document_verdicts(docs, extra_cols: tuple = (),
     )
 
 
-@register(
-    "corpus_keep_drop",
-    sql=f"""
-    WITH w AS (
+# shared oracle CTE: the per-doc verdict frame (words -> length /
+# repetition / prefix-dup-rank -> first-failing reason), the DuckDB twin
+# of document_verdicts — used by corpus_keep_drop AND curation_funnel so
+# the two oracles cannot drift.
+_VERDICT_S_DUCK = f"""
+    w AS (
       SELECT doc_id, lang,
              list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),
                          x -> x <> '') AS words
@@ -488,16 +490,27 @@ def document_verdicts(docs, extra_cols: tuple = (),
                ORDER BY doc_id
              ) AS dup_rank
       FROM w
+    ), v AS (
+      SELECT doc_id, lang, n_words,
+             CASE
+               WHEN dup_rank > 1 THEN 'dup'
+               WHEN n_words < {CURATE_MIN_WORDS} THEN 'too_short'
+               WHEN rep >= {CURATE_MAX_REP} THEN 'repetitive'
+               ELSE 'keep'
+             END AS reason
+      FROM s
     )
-    SELECT CASE
-             WHEN dup_rank > 1 THEN 'dup'
-             WHEN n_words < {CURATE_MIN_WORDS} THEN 'too_short'
-             WHEN rep >= {CURATE_MAX_REP} THEN 'repetitive'
-             ELSE 'keep'
-           END AS reason,
+"""
+
+
+@register(
+    "corpus_keep_drop",
+    sql=f"""
+    WITH {_VERDICT_S_DUCK}
+    SELECT reason,
            COUNT(*) AS n_docs,
            ROUND(AVG(n_words), {R}) AS avg_words
-    FROM s GROUP BY reason ORDER BY reason
+    FROM v GROUP BY reason ORDER BY reason
     """,
 )
 def corpus_keep_drop(spark, sf_dir):
@@ -521,6 +534,110 @@ def corpus_keep_drop(spark, sf_dir):
             F.round(F.avg("n_words"), R).alias("avg_words"),
         )
         .orderBy("reason")
+    )
+
+
+# ordered gate chain of document_verdicts (first-failing attribution):
+# a doc dropped at stage k was never seen by stage k+1.
+CURATION_STAGES = ("dup", "too_short", "repetitive")
+
+
+@register(
+    "curation_funnel",
+    sql=f"""
+    WITH {_VERDICT_S_DUCK},
+    per AS (
+      SELECT reason, CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(n_words) AS BIGINT) AS t
+      FROM v GROUP BY reason
+    ),
+    st(stage_idx, stage) AS (
+      VALUES (1, 'dup'), (2, 'too_short'), (3, 'repetitive')
+    ),
+    j AS (
+      SELECT CAST(st.stage_idx AS BIGINT) AS stage_idx, st.stage,
+             CAST(COALESCE(per.d, 0) AS BIGINT) AS docs_dropped,
+             CAST(COALESCE(per.t, 0) AS BIGINT) AS dropped_tokens
+      FROM st LEFT JOIN per ON st.stage = per.reason
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+             CAST(SUM(n_words) AS BIGINT) AS total_tokens
+      FROM v
+    ),
+    c AS (
+      SELECT stage_idx, stage, docs_dropped,
+             CAST(SUM(docs_dropped) OVER (ORDER BY stage_idx) AS BIGINT)
+               AS cum_d,
+             CAST(SUM(dropped_tokens) OVER (ORDER BY stage_idx) AS BIGINT)
+               AS cum_t
+      FROM j
+    )
+    SELECT c.stage_idx, c.stage,
+           CAST(tot.total_docs - c.cum_d + c.docs_dropped AS BIGINT)
+             AS docs_in,
+           c.docs_dropped,
+           CAST(tot.total_docs - c.cum_d AS BIGINT) AS docs_out,
+           CAST(tot.total_tokens - c.cum_t AS BIGINT) AS tokens_out
+    FROM c, tot ORDER BY c.stage_idx
+    """,
+)
+def curation_funnel(spark, sf_dir):
+    """Stage-ordered attrition report over the composite curation gate
+    — the monitoring frame every production pipeline publishes: for
+    each gate in first-failing order (dup -> too_short -> repetitive),
+    how many documents entered, were dropped, and survived, and how
+    many tokens remain after the stage.  Invariants by construction:
+    docs_in(k+1) == docs_out(k); docs_out(last) == kept docs;
+    tokens_out(last) == kept tokens.
+
+    Scale shape: ONE pass over the shared document_verdicts core (the
+    oracle-checked gate), one combinable groupBy(reason) to a <=4-row
+    frame, one single-row total aggregate broadcast back; the only
+    window is the cumulative sum over the 3-row stage frame (same
+    provably-tiny-frame precedent as global_running_offset's prefix
+    window)."""
+    v = document_verdicts(load(spark, sf_dir, "documents"))
+    per = v.groupBy("reason").agg(
+        F.count("*").alias("d"), F.sum("n_words").alias("t")
+    )
+    stages = v.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(CURATION_STAGES)],
+        "stage_idx long, stage string",
+    )
+    j = stages.join(per, stages.stage == per.reason, "left").select(
+        "stage_idx",
+        "stage",
+        F.coalesce("d", F.lit(0)).cast("long").alias("docs_dropped"),
+        F.coalesce("t", F.lit(0)).cast("long").alias("dropped_tokens"),
+    )
+    tot = v.agg(
+        F.count("*").cast("long").alias("total_docs"),
+        F.sum("n_words").cast("long").alias("total_tokens"),
+    )
+    w = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = j.withColumn(
+        "cum_d", F.sum("docs_dropped").over(w).cast("long")
+    ).withColumn("cum_t", F.sum("dropped_tokens").over(w).cast("long"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "stage_idx",
+            "stage",
+            (F.col("total_docs") - F.col("cum_d") + F.col("docs_dropped"))
+            .cast("long")
+            .alias("docs_in"),
+            "docs_dropped",
+            (F.col("total_docs") - F.col("cum_d"))
+            .cast("long")
+            .alias("docs_out"),
+            (F.col("total_tokens") - F.col("cum_t"))
+            .cast("long")
+            .alias("tokens_out"),
+        )
+        .orderBy("stage_idx")
     )
 
 

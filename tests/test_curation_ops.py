@@ -470,3 +470,26 @@ def test_decontaminate_rewrite_plan_is_broadcast_probe(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_funnel_invariants(spark):
+    """The funnel chains exactly: docs_in(k+1) == docs_out(k), stage-1
+    docs_in is the corpus size, and the last stage's survivors equal
+    corpus_keep_drop's kept docs (same shared verdict core)."""
+    from medical_ocr_pipeline_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["curation_funnel"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    kd = {r["reason"]: r["n_docs"]
+          for r in REGISTRY["corpus_keep_drop"].fn(spark, SF_DIR).collect()}
+    n_total = sum(kd.values())
+    assert rows[0]["docs_in"] == n_total
+    for a, b in zip(rows, rows[1:]):
+        assert b["docs_in"] == a["docs_out"]
+    for r in rows:
+        assert r["docs_out"] == r["docs_in"] - r["docs_dropped"]
+        assert r["docs_dropped"] == kd.get(r["stage"], 0)
+    assert rows[-1]["docs_out"] == kd.get("keep", 0)
+    assert rows[-1]["tokens_out"] > 0
