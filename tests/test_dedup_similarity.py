@@ -500,3 +500,62 @@ def test_ngram_jaccard_freq_cap_drops_hot_shingles(spark):
     assert ngram_jaccard_pairs(docs).count() == 3
     assert ngram_jaccard_pairs(docs, freq_cap=3).count() == 3
     assert ngram_jaccard_pairs(docs, freq_cap=2).count() == 0
+
+
+def _ref_span_rewrite(docs, W):
+    """Brute-force python reference of the keep-first-copy span rewrite
+    (same word split, same md5-of-joined-window key)."""
+    import hashlib
+    import re
+
+    words = {
+        d: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        for d, t in docs
+    }
+    occ = {}
+    for d in sorted(words):
+        ws = words[d]
+        for i in range(len(ws) - W + 1):
+            h = hashlib.md5(" ".join(ws[i:i + W]).encode()).hexdigest()
+            occ.setdefault(h, []).append((d, i))
+    covered = {}
+    for lst in occ.values():
+        if len(lst) > 1:
+            canon = min(lst)
+            for d, p in lst:
+                if (d, p) != canon:
+                    covered.setdefault(d, set()).update(range(p, p + W))
+    out = {}
+    for d, ws in words.items():
+        cov = covered.get(d, set())
+        kept = [w for i, w in enumerate(ws) if i not in cov]
+        out[d] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+def test_span_dedup_rewrite_matches_bruteforce_on_random_corpora(spark):
+    """Five seeded random corpora over a tiny vocabulary (dense window
+    collisions, heavy overlap between spans) must match the O(n^2)
+    python reference exactly — every doc, every token."""
+    import random
+
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        SPAN_W,
+        span_dedup_rewrite_frame,
+    )
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for seed in range(5):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 30))))
+            for i in range(rng.randrange(2, 9))
+        ]
+        ref = _ref_span_rewrite(docs, SPAN_W)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in span_dedup_rewrite_frame(
+                _rewrite_rows(spark, docs)).collect()
+        }
+        assert got == ref, f"seed={seed}"
