@@ -24,6 +24,11 @@ Writes:
                         (queries/curation.py::line_dedup_rewrite, the
                         oracle-checked core), documents reassembled
                         from survivors.
+  <out>/docs_span_dedup/ (--span-dedup only) the Lee-et-al duplicate-
+                        span rewrite of the kept corpus: repeated
+                        W-word spans keep their first occurrence only
+                        (queries/dedup.py::span_dedup_rewrite_frame,
+                        the oracle-checked registry core)
   <out>/docs_decontam/  (--decontaminate only) the benchmark-
                         decontamination rewrite of the KEPT documents:
                         tokens covered by a benchmark-colliding shingle
@@ -54,6 +59,7 @@ from medical_ocr_pipeline_spark.queries.curation import line_dedup_rewrite
 from medical_ocr_pipeline_spark.queries.dedup import (
     decontaminate_rewrite_frame,
     ngram_jaccard_pairs,
+    span_dedup_rewrite_frame,
 )
 from medical_ocr_pipeline_spark.queries.textstats import document_verdicts
 
@@ -91,6 +97,17 @@ def decontam_kept(docs, curated):
     return decontaminate_rewrite_frame(
         docs.join(kept_ids, "doc_id"), bench_docs=docs
     )
+
+
+def span_dedup_kept(docs, curated):
+    """Lee-et-al duplicate-span removal over the gate-surviving corpus:
+    span_dedup_rewrite_frame (the oracle-checked registry core) on only
+    the kept documents — gate-first like rewrite_kept, and for the same
+    keep-one-copy reason: the canonical (first) occurrence is chosen
+    among SURVIVORS, so a kept doc never loses its spans to a dropped
+    duplicate holding the earlier (doc_id, pos)."""
+    kept_ids = curated.where("keep").select("doc_id")
+    return span_dedup_rewrite_frame(docs.join(kept_ids, "doc_id"))
 
 
 def near_dup_pairs(docs):
@@ -177,6 +194,16 @@ def run_pipeline(spark, args, out: str, tag: str = "RESULT") -> None:
         )
         extra += f" tokens_decontam={tokens_decontam}"
 
+    if args.span_dedup:
+        spans = span_dedup_kept(docs, curated)
+        write_stage(spans, f"{out}/docs_span_dedup")
+        tokens_span_dedup = (
+            spark.read.parquet(f"{out}/docs_span_dedup")
+            .agg(F.coalesce(F.sum("n_removed"), F.lit(0)))
+            .collect()[0][0]
+        )
+        extra += f" tokens_span_dedup={tokens_span_dedup}"
+
     n = curated.count()
     kept = curated.where("keep").count()
     n_pairs = spark.read.parquet(f"{out}/dup_pairs").count()
@@ -200,6 +227,11 @@ def main() -> None:
     ap.add_argument("--decontaminate", action="store_true",
                     help="also write <out>/docs_decontam: benchmark-"
                          "contaminated spans removed from the kept docs")
+    ap.add_argument("--span-dedup", action="store_true",
+                    help="also write <out>/docs_span_dedup: corpus-wide "
+                         "duplicated W-word spans removed from the kept "
+                         "docs, first occurrence preserved (Lee-et-al "
+                         "substring dedup rewrite)")
     ap.add_argument("--jit-warmup", action="store_true",
                     help="benchmarking only: run the full pipeline once "
                          "into <out>/_warmup (summary line tagged WARMUP) "

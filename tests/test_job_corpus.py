@@ -115,3 +115,30 @@ def test_decontam_bench_side_survives_the_gate(spark):
     # exact failure the bench_docs parameter exists to prevent
     [r2] = decontaminate_rewrite_frame(gated).collect()
     assert r2["n_removed"] == 0
+
+
+def test_span_dedup_kept_matches_registry_core_on_survivors(spark):
+    """--span-dedup's stage must be exactly the oracle-checked
+    span_dedup_rewrite_frame core applied to the gate-surviving
+    documents: one row per KEPT doc, identical values to calling the
+    core directly on the same filtered frame."""
+    from medical_ocr_pipeline_spark.job_corpus import (
+        curate_documents,
+        span_dedup_kept,
+    )
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        span_dedup_rewrite_frame,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    curated = curate_documents(docs)
+    got = sorted(tuple(r) for r in span_dedup_kept(docs, curated).collect())
+    kept_ids = {r["doc_id"] for r in curated.where("keep").collect()}
+    want = sorted(
+        tuple(r)
+        for r in span_dedup_rewrite_frame(
+            docs.where(F.col("doc_id").isin(kept_ids))
+        ).collect()
+    )
+    assert got == want
+    assert {t[0] for t in got} == kept_ids
