@@ -88,3 +88,22 @@ def register(name: str, sql: str | None = None):
 
 def load(spark, sf_dir: str, table: str):
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def fanout(df, *keys: str):
+    """Hash-redistribute by key with NO explicit partition count.
+
+    The documents table at test scale is one small parquet file -> one
+    input split; without a fan-out a whole shingle/token pipeline runs
+    on a single core.  A key-only repartition (REPARTITION_BY_COL, not
+    REPARTITION_BY_NUM) targets spark.sql.shuffle.partitions and stays
+    AQE-managed: with adaptive.coalescePartitions.parallelismFirst
+    (default true) it never drops below the cluster's parallelism at
+    toy scale, and at 100 TB the cluster-tuned shuffle.partitions —
+    not a literal baked into query bodies — sets the fan-out.  A
+    literal numPartitions would be a fixed parallelism ceiling AQE can
+    neither split nor coalesce (~1.5 TB/partition at 64 partitions on
+    the target corpus)."""
+    from pyspark.sql import functions as F
+
+    return df.repartition(*[F.col(k) for k in keys])

@@ -21,6 +21,7 @@ from medical_ocr_pipeline_spark.queries.base import (
     MD5_INT48_SPARK,
     ROUND_DIGITS,
     emb_banded_duck,
+    fanout,
     load,
     register,
 )
@@ -70,13 +71,13 @@ def _shingles_spark(df):
 
     The documents table at test scale is one small parquet file -> one
     input split; without an explicit fan-out the whole shingle pipeline
-    runs on a single core.  Repartition by doc_id first (at 100 TB the
-    scan has thousands of splits and this becomes a no-op-cost hash
-    exchange that also pre-distributes the join's build rows)."""
+    runs on a single core.  fanout() is a key-only repartition — the
+    partition count comes from spark.sql.shuffle.partitions under AQE,
+    never a literal baked into the query (see base.fanout)."""
     words = F.filter(
         F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
     )
-    df = df.repartition(64, "doc_id").select("doc_id", words.alias("w"))
+    df = fanout(df, "doc_id").select("doc_id", words.alias("w"))
     return df.where(F.size("w") >= 3).select(
         "doc_id", _shingle_expr("w").alias("shingles")
     )
@@ -660,7 +661,8 @@ def dedup_embedding_cosine(spark, sf_dir):
                 lambda acc, x: acc + x * x,
             )
         ).alias("nrm"),
-    ).repartition(16)
+    )
+    n = fanout(n, "vec_id")
     a = n.alias("a")
     b = n.alias("b")
     # try_divide: zero-norm vectors yield NULL cosine (excluded by the
@@ -1070,7 +1072,7 @@ def contamination_span_probe(docs):
         F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
     )
     base = (
-        docs.repartition(64, "doc_id")
+        fanout(docs, "doc_id")
         .select("doc_id", words.alias("w"))
         .where(F.size("w") >= 3)
     )
@@ -1177,7 +1179,7 @@ def decontaminate_rewrite_frame(docs, bench_docs=None):
     )
     is_bench = (F.col("doc_id") % CONTAM_BENCH_MOD) == CONTAM_BENCH_REM
     base = (
-        docs.repartition(64, "doc_id")
+        fanout(docs, "doc_id")
         .select("doc_id", words.alias("w"))
         .persist()
     )
@@ -1517,7 +1519,7 @@ def dedup_substring_spans(spark, sf_dir):
         F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit(""))
     docs = (
         load(spark, sf_dir, "documents")
-        .repartition(64, "doc_id")
+        .transform(lambda d: fanout(d, "doc_id"))
         .select("doc_id", words.alias("words"))
     )
     win = docs.select(
@@ -1586,7 +1588,7 @@ def span_dedup_rewrite_frame(docs):
         F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
     )
     base = (
-        docs.repartition(64, "doc_id")
+        fanout(docs, "doc_id")
         .select("doc_id", words.alias("w"))
         .persist()
     )

@@ -10,7 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
+from medical_ocr_pipeline_spark.queries.base import (
+    ROUND_DIGITS,
+    fanout,
+    load,
+    register,
+)
 
 R = ROUND_DIGITS
 
@@ -1189,7 +1194,7 @@ def lm_doc_scores(docs):
     words = F.filter(
         F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit(""))
     bo = (
-        docs.repartition(64, "doc_id")
+        fanout(docs, "doc_id")
         .select("doc_id", words.alias("words"))
         .select(
             "doc_id",

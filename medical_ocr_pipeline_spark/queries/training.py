@@ -28,6 +28,7 @@ from medical_ocr_pipeline_spark.queries.base import (
     MD5_INT48_DUCK,
     MD5_INT48_SPARK,
     ROUND_DIGITS,
+    fanout,
     load,
     register,
 )
@@ -404,7 +405,7 @@ def bpe_pair_counts(spark, sf_dir):
         F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != F.lit(""))
     wc = (
         load(spark, sf_dir, "documents")
-        .repartition(64, "doc_id")
+        .transform(lambda d: fanout(d, "doc_id"))
         .select(F.explode(words).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
@@ -504,7 +505,7 @@ def mixture_doc_frame(docs) -> DataFrame:
     nt = F.expr(_NT_SPARK).cast("long")
     d = (
         docs
-        .repartition(64, "doc_id")
+        .transform(lambda d: fanout(d, "doc_id"))
         .select(
             "doc_id", "source", nt.alias("nt"),
             (F.expr(_MIX_H_SPARK) % 1_000_000).alias("coin"),
@@ -861,7 +862,7 @@ def _dsir_grams(docs) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.repartition(64, "doc_id")
+        fanout(docs, "doc_id")
         .select("doc_id", words.alias("w"))
         .select("doc_id", F.explode(F.concat("w", bigrams)).alias("g"))
     )

@@ -21,6 +21,16 @@ def get_spark(app: str = "medical_ocr_pipeline_spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Key-only repartitions (base.fanout) are REPARTITION_BY_COL:
+        # AQE-managed, partition count from shuffle.partitions.  At the
+        # default minPartitionSize (1 MB) AQE would coalesce the toy-
+        # scale corpora (sf0.1 documents ~1.5 MB of text) down to 1-2
+        # partitions and serialize the shingle/token pipelines; with
+        # parallelismFirst (default true) the target size is
+        # max(total/parallelism, minPartitionSize), so a tiny floor
+        # keeps local[N] fan-outs at N partitions while a production
+        # cluster (where total/parallelism >> 1 MB) is unaffected.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

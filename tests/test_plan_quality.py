@@ -318,3 +318,62 @@ def test_ngram_jaccard_is_hash_keyed_shuffled_hash_join(spark):
     assert "SortMergeJoin" not in plan
     assert "xxhash64" in plan
     assert "ObjectHashAggregate" not in plan
+
+
+def test_no_literal_numpartitions_exchange_in_query_bodies(spark):
+    """No registry query may pin a literal partition count: an explicit
+    numPartitions (REPARTITION_BY_NUM) is a fixed parallelism ceiling —
+    AQE can neither coalesce nor split it, so repartition(64, ...) at
+    100 TB means ~1.5 TB per partition forever.  Two layers:
+
+    1. source scan — queries/*.py must not contain `repartition(<int>`
+       (fan-outs go through base.fanout, a key-only repartition);
+    2. plan scan — the rewritten fan-out family must compile to
+       REPARTITION_BY_COL, never REPARTITION_BY_NUM.
+    """
+    import pathlib
+    import re
+
+    qdir = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "medical_ocr_pipeline_spark"
+        / "queries"
+    )
+    offenders = []
+    for p in sorted(qdir.glob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if re.search(r"\.repartition\(\s*\d", line):
+                offenders.append(f"{p.name}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
+
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        dedup_ngram_jaccard,
+        span_dedup_rewrite,
+    )
+    from medical_ocr_pipeline_spark.queries.textstats import ngram_lm_score
+    from medical_ocr_pipeline_spark.queries.training import bpe_pair_counts
+
+    for q in (dedup_ngram_jaccard, span_dedup_rewrite, ngram_lm_score,
+              bpe_pair_counts):
+        plan = q(spark, SF_DIR)._jdf.queryExecution().sparkPlan().toString()
+        assert "REPARTITION_BY_NUM" not in plan, q.__name__
+        assert "REPARTITION_BY_COL" in plan, q.__name__
+
+
+def test_fanout_keeps_local_parallelism(spark):
+    """The session's tiny coalescePartitions.minPartitionSize floor must
+    keep a key-only fan-out at the session's parallelism on toy data —
+    the whole point of the fan-out is that one parquet split doesn't
+    serialize the shingle pipeline onto one core."""
+    from pyspark.sql import functions as F
+
+    from medical_ocr_pipeline_spark.queries.base import fanout
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("token "), F.col("id").cast("string")).alias("text"),
+    )
+    out = fanout(df, "doc_id")
+    out.collect()
+    n = out.rdd.getNumPartitions()
+    assert n >= 4, n  # local[8] session, shuffle.partitions=8
