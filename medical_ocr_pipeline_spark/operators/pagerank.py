@@ -38,24 +38,28 @@ def pagerank(edges: DataFrame, n_iters: int = 10,
         edges.select(F.col("src").alias("vertex"))
         .union(edges.select(F.col("dst").alias("vertex")))
         .distinct()
+        .persist()
     )
     n = verts.count()
     if n == 0:
-        return verts.withColumn("rank", F.lit(0.0))
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        return verts.select("vertex", F.lit(0.0).alias("rank"))
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
     # (src, dst, deg) — static across iterations; persist once
     flow = edges.join(out_deg, "src").persist()
     flow.count()
     ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     try:
         for _ in range(n_iters):
-            with_deg = ranks.join(
-                out_deg, ranks["vertex"] == out_deg["src"], "left"
-            )
+            # dangling mass stays a LAZY 1-row frame folded back in via a
+            # broadcast cross join — no per-iteration driver collect(),
+            # so each round is exactly one job (the eager localCheckpoint
+            # below), not two.  The anti-join is rank rows whose vertex
+            # has no out-edges.
             dangling = (
-                with_deg.where(F.col("deg").isNull())
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-                .collect()[0]["m"]
+                ranks.join(
+                    out_deg, ranks["vertex"] == out_deg["src"], "left_anti"
+                )
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
             )
             inflow = (
                 flow.join(ranks, flow["src"] == ranks["vertex"])
@@ -66,13 +70,14 @@ def pagerank(edges: DataFrame, n_iters: int = 10,
                 .groupBy("vertex")
                 .agg(F.sum("contrib").alias("inflow"))
             )
-            base = (1.0 - damping) / n + damping * dangling / n
             nxt = (
                 verts.join(inflow, "vertex", "left")
+                .crossJoin(F.broadcast(dangling))
                 .select(
                     "vertex",
                     (
-                        F.lit(base)
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.col("dm") / n
                         + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                     ).alias("rank"),
                 )
@@ -81,4 +86,6 @@ def pagerank(edges: DataFrame, n_iters: int = 10,
             ranks = nxt
     finally:
         flow.unpersist()
+        out_deg.unpersist()
+        verts.unpersist()
     return ranks
