@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> None:
                          "--repartition); per-turn work needs no co-location")
     ap.add_argument("--resume", action="store_true",
                     help="skip extraction if the stage output already exists")
+    ap.add_argument("--ensemble", action="store_true",
+                    help="k-way parallel engine ensemble per turn (reference "
+                         "prefect_pipeline.py:157-233 shape): every healthy "
+                         "engine over the same payload, union + J1 dedup; "
+                         "adds the per-engine metrics stage 01_engine_metrics")
     args = ap.parse_args(argv)
 
     from medical_ocr_pipeline_spark.pipeline import (
@@ -65,7 +70,8 @@ def main(argv: list[str] | None = None) -> None:
 
     def compute():
         extracted = extract_transcripts(
-            transcripts, enable_fuzzy=not args.no_fuzzy
+            transcripts, enable_fuzzy=not args.no_fuzzy,
+            ensemble=args.ensemble, with_engine_metrics=args.ensemble,
         )
         write_stage(extracted, extract_path)
         return spark.read.parquet(extract_path)
@@ -74,6 +80,15 @@ def main(argv: list[str] | None = None) -> None:
         extracted = resume_or_compute(spark, extract_path, compute)
     else:
         extracted = compute()
+
+    if args.ensemble:
+        # per-engine traceability stage — a cheap columnar explode of the
+        # written stage parquet, not a second engine run
+        from medical_ocr_pipeline_spark.pipeline import engine_metrics_table
+
+        write_stage(
+            engine_metrics_table(extracted), f"{args.out}/01_engine_metrics"
+        )
 
     write_stage(
         partition_metrics(extracted, args.run_id, "01_extracted"),

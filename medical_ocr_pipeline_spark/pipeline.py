@@ -45,9 +45,29 @@ _RESULT_FIELDS = [
     "parse_failures", "n_header", "n_footer", "two_col", "variant",
 ]
 
+# per-engine traceability row (reference 01_extract_blocks cell 4:437-444
+# keeps every engine's block list; our analogue is the A5-style metrics
+# struct with the J8 argmax is_best flag) — field order must match
+# core/ensemble.merge_ensemble's metric dicts
+_ENGINE_FIELDS = [
+    "engine", "n_blocks", "n_chars", "n_chars_kept", "mean_conf",
+    "gated_out", "is_best",
+]
+
+ENGINE_STRUCT = T.StructType([
+    T.StructField("engine", T.StringType()),
+    T.StructField("n_blocks", T.IntegerType()),
+    T.StructField("n_chars", T.LongType()),
+    T.StructField("n_chars_kept", T.LongType()),
+    T.StructField("mean_conf", T.DoubleType()),
+    T.StructField("gated_out", T.BooleanType()),
+    T.StructField("is_best", T.BooleanType()),
+])
+
 
 def extract_transcripts(df: DataFrame, enable_fuzzy: bool = True,
-                        ensemble: bool = False) -> DataFrame:
+                        ensemble: bool = False,
+                        with_engine_metrics: bool = False) -> DataFrame:
     """Per-turn main-content extraction over Arrow batches (no shuffle).
 
     Input: transcripts (conv_id, turn_idx, role, text, tool, ts).
@@ -58,6 +78,12 @@ def extract_transcripts(df: DataFrame, enable_fuzzy: bool = True,
     payload, union, J1 dedup; reference merge_ensemble shape) instead of
     the variant-dispatched fast path.  Same output schema; the variant
     column carries '+ens<k>'.
+
+    with_engine_metrics=True (ensemble only) appends an `engines`
+    array<ENGINE_STRUCT> column — the per-engine A5-style traceability
+    metrics with the J8 is_best argmax, produced in the SAME extraction
+    pass (never a second run of the engines); explode it with
+    engine_metrics_table for the per-engine stage sink.
 
     mapInArrow, not mapInPandas: the extractor consumes python strings
     and produces python scalars either way, so the pandas DataFrame on
@@ -79,6 +105,8 @@ def extract_transcripts(df: DataFrame, enable_fuzzy: bool = True,
     # extracted stage stays watermarkable (streaming_turn_metrics
     # composes directly on stream_extract's output); inputs without ts
     # (ad-hoc frames, documents-as-transcripts) keep the base schema
+    if with_engine_metrics and not ensemble:
+        raise ValueError("with_engine_metrics requires ensemble=True")
     has_ts = "ts" in df.columns
     passthrough = ["conv_id", "turn_idx", "role"] + (["ts"] if has_ts else [])
     out_schema = EXTRACT_SCHEMA
@@ -88,6 +116,17 @@ def extract_transcripts(df: DataFrame, enable_fuzzy: bool = True,
             + [T.StructField("ts", T.TimestampNTZType())]
             + EXTRACT_SCHEMA.fields[3:]
         )
+    if with_engine_metrics:
+        out_schema = T.StructType(
+            out_schema.fields
+            + [T.StructField("engines", T.ArrayType(ENGINE_STRUCT))]
+        )
+        engines_arrow = pa.list_(pa.struct([
+            ("engine", pa.string()), ("n_blocks", pa.int32()),
+            ("n_chars", pa.int64()), ("n_chars_kept", pa.int64()),
+            ("mean_conf", pa.float64()), ("gated_out", pa.bool_()),
+            ("is_best", pa.bool_()),
+        ]))
     # cast passthrough inputs to the declared output types up front:
     # the Arrow batches re-emit these columns verbatim, so an --input
     # table with e.g. bigint turn_idx would otherwise fail Arrow schema
@@ -103,22 +142,34 @@ def extract_transcripts(df: DataFrame, enable_fuzzy: bool = True,
         from medical_ocr_pipeline_spark.core.ensemble import extract_turn_ensemble
 
         def extractor(payload):
-            return extract_turn_ensemble(payload, enable_fuzzy=enable_fuzzy)[0]
+            res, metrics = extract_turn_ensemble(payload, enable_fuzzy=enable_fuzzy)
+            return (res, metrics) if with_engine_metrics else res
     else:
         def extractor(payload):
             return extract_turn(payload, enable_fuzzy=enable_fuzzy)
 
     def run(batches):
         for batch in batches:
-            results = [
+            outs = [
                 extractor(payload)
                 for payload in batch.column("text").to_pylist()
             ]
+            if with_engine_metrics:
+                results = [o[0] for o in outs]
+                engines = [
+                    [{k: m[k] for k in _ENGINE_FIELDS} for m in o[1]]
+                    for o in outs
+                ]
+            else:
+                results = outs
             arrays = [batch.column(c) for c in passthrough]
             names = list(passthrough)
             for j, f in enumerate(_RESULT_FIELDS):
                 arrays.append(pa.array([r[j] for r in results], type=types[f]))
                 names.append(f)
+            if with_engine_metrics:
+                arrays.append(pa.array(engines, type=engines_arrow))
+                names.append("engines")
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.select(*passthrough, "text").mapInArrow(run, schema=out_schema)
@@ -293,6 +344,22 @@ def partition_metrics(extracted: DataFrame, run_id: str, stage: str) -> DataFram
         .withColumn("stage", F.lit(stage))
         .withColumn("ts", F.current_timestamp())
     )
+
+
+def engine_metrics_table(extracted: DataFrame) -> DataFrame:
+    """Explode the per-turn `engines` array (extract_transcripts with
+    ensemble=True, with_engine_metrics=True) into the per-engine
+    traceability stage: one row per (turn, engine) with the A5-style
+    metrics, the J8 argmax is_best flag, and the merged turn's block
+    count + '+ens<k>' variant tag — the reference's per-engine block
+    lists (01_extract_blocks cell 4:437-444) as a queryable table.
+    Pure Catalyst explode over the already-written stage parquet; the
+    engines never re-run."""
+    return extracted.select(
+        "conv_id", "turn_idx",
+        F.col("n_blocks").alias("merged_blocks"), "variant",
+        F.explode("engines").alias("m"),
+    ).select("conv_id", "turn_idx", "m.*", "merged_blocks", "variant")
 
 
 def iceberg_available(spark) -> bool:

@@ -114,47 +114,19 @@ def ensemble_engine_metrics(spark, sf_dir):
     returns the per-engine A5-style traceability metrics with the J8
     argmax is_best flag, plus the merged turn's block count and variant
     tag.  Rows-only (difflib dedup inside the merge); exact union/dedup
-    semantics are golden-pinned in tests/test_ensemble.py."""
-    import pandas as pd
+    semantics are golden-pinned in tests/test_ensemble.py.
 
-    from pyspark.sql import types as T
-
-    from medical_ocr_pipeline_spark.core.ensemble import extract_turn_ensemble
-
-    schema = T.StructType([
-        T.StructField("conv_id", T.StringType()),
-        T.StructField("turn_idx", T.IntegerType()),
-        T.StructField("engine", T.StringType()),
-        T.StructField("n_blocks", T.IntegerType()),
-        T.StructField("n_chars", T.LongType()),
-        T.StructField("n_chars_kept", T.LongType()),
-        T.StructField("mean_conf", T.DoubleType()),
-        T.StructField("gated_out", T.BooleanType()),
-        T.StructField("is_best", T.BooleanType()),
-        T.StructField("merged_blocks", T.IntegerType()),
-        T.StructField("variant", T.StringType()),
-    ])
-
-    def run(pdfs):
-        for pdf in pdfs:
-            rows = []
-            for conv_id, turn_idx, payload in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
-            ):
-                res, metrics = extract_turn_ensemble(payload)
-                for m in metrics:
-                    rows.append((
-                        conv_id, int(turn_idx), m["engine"], m["n_blocks"],
-                        m["n_chars"], m["n_chars_kept"],
-                        round(m["mean_conf"], 4),
-                        m["gated_out"], m["is_best"], res.n_blocks,
-                        res.variant,
-                    ))
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+    Shares the job surface's exact core (job.py --ensemble):
+    extract_transcripts(ensemble=True, with_engine_metrics=True) emits
+    the engines array in the same Arrow pass as the merged turn, and
+    engine_metrics_table explodes it — so the driver row checks the
+    code path spark-submit runs, not a query-local twin."""
+    from medical_ocr_pipeline_spark.pipeline import engine_metrics_table
 
     df = spark_transcripts(spark, 40, partitions=8)
+    ext = extract_transcripts(df, ensemble=True, with_engine_metrics=True)
     return (
-        df.select("conv_id", "turn_idx", "text")
-        .mapInPandas(run, schema=schema)
+        engine_metrics_table(ext)
+        .withColumn("mean_conf", F.round("mean_conf", 4))
         .orderBy("conv_id", "turn_idx", "engine")
     )
