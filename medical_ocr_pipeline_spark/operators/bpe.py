@@ -3,11 +3,13 @@
 Byte-pair-encoding training (Sennrich et al. 2016) at corpus scale:
 the corpus collapses ONCE into a distinct-word frequency table (the
 combinable groupBy that makes web-scale BPE tractable — vocabulary is
-orders of magnitude smaller than the token stream), then each merge
-iteration is one distributed pair-count aggregation (weighted by word
-frequency) + one argmax row collected to the driver + one pure-Catalyst
-fold that applies the merge to every word's symbol array.  Driver state
-is exactly the merge list — bounded by n_merges, never by corpus size.
+orders of magnitude smaller than the token stream), then merges are
+learned in sequential-equivalent BATCHES: per pass, one distributed
+pair-count aggregation (weighted by word frequency) + one top-(M+1)
+collect + one chained pure-Catalyst fold applying every selected merge
+to the symbol arrays.  Driver state is exactly the merge list — bounded
+by n_merges, never by corpus size — and driver round-trips by
+n_merges / batch_size, not n_merges.
 
 Encoding applies the learned merges with a pandas UDF (Arrow batches):
 a rank-ordered merge loop over a ~n_merges-entry dict is idiomatic
@@ -21,14 +23,15 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-_WORD_SPLIT = "[^a-z0-9]+"
+from medical_ocr_pipeline_spark.queries.base import WORD_SPLIT, words_expr
+
+_WORD_SPLIT = WORD_SPLIT  # python-side re.compile twin of words_expr()
 
 
 def word_freq_table(docs) -> DataFrame:
     """(syms: array<string>, cnt) distinct-word frequency table with
     each word pre-split into single-character symbols."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit(""))
+    words = words_expr()
     return (
         docs.select(F.explode(words).alias("word"))
         .groupBy("word")
@@ -83,36 +86,103 @@ def _apply_merge(wc: DataFrame, a: str, b: str) -> DataFrame:
     return wc.select(merged.alias("syms"), "cnt")
 
 
-def bpe_train(docs, n_merges: int = 10) -> list[tuple[str, str]]:
+def _select_batch(rows, m: int,
+                  created: set[str]) -> list[tuple[str, str]]:
+    """Maximal SEQUENTIAL-EQUIVALENT merge batch from the sorted
+    (desc count, asc a, asc b) top-(m+1) pair rows.
+
+    A batch applied together equals m rounds of classic one-at-a-time
+    BPE iff no taken merge can change another taken merge's count or
+    let any non-taken pair overtake one.  Three rules deliver that:
+
+    1. disjointness — a candidate sharing any STRING (component or
+       concatenation) with an earlier taken pair stops the batch: only
+       symbol-disjoint merges have invariant counts, and sharing a
+       concat string means one merge mints the other's symbol;
+    2. collision hard-stop — a candidate whose concat a||b equals an
+       ALREADY-EXISTING symbol (from an earlier pass; initial symbols
+       are single chars, so only `created` can collide) must be the
+       batch's LAST member: applying it can BOOST counts of pairs
+       containing that symbol, which only the next pass's recount may
+       see;
+    3. strict truncation — every taken pair after the first must
+       strictly beat the count at the stop position (first conflict /
+       first uncollected row), because non-taken pairs only keep or
+       lose count and merge-minted pairs are bounded by their
+       conflicting sources (<= the stop count), so strict > pins the
+       argmax order; ties fall to the next pass.
+    """
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    stop_count = None
+    for i, r in enumerate(rows):
+        a, b, c = r["a"], r["b"], r["pair_count"]
+        concat = a + b
+        if len(batch) >= m or (batch and used & {a, b, concat}):
+            stop_count = c
+            break
+        batch.append((a, b, c))
+        used |= {a, b, concat}
+        if concat in created:
+            if i + 1 < len(rows):
+                stop_count = rows[i + 1]["pair_count"]
+            break
+    while stop_count is not None and len(batch) > 1 \
+            and batch[-1][2] <= stop_count:
+        batch.pop()
+    return [(a, b) for a, b, _ in batch]
+
+
+def bpe_train(docs, n_merges: int = 10, batch_size: int = 16,
+              _stats: dict | None = None) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges from a documents frame.  Returns the
     rank-ordered merge list.  Ties break lexicographically on (a, b) so
     training is deterministic across runs and partitionings.
 
-    Scale shape: per iteration, one combinable groupBy over the (small)
-    frequency-table pair frame and a LIMIT 1 collect; the table is
-    re-persisted each round and its predecessor unpersisted, so lineage
-    stays one merge deep."""
+    Scale shape: merges are learned in BATCHES — per pass, ONE
+    combinable pair-count groupBy + one LIMIT batch_size+1 collect picks
+    the maximal prefix of the count-ranked pair list that is provably
+    sequential-equivalent (_select_batch), and one chained Catalyst fold
+    applies the whole batch.  Driver round-trips drop from 2*n_merges
+    jobs to ~2*n_merges/batch_size — the difference between 64k jobs
+    and ~4k at a real 32k-merge vocab.  batch_size=1 is exactly the
+    classic one-merge-per-iteration trainer (the equivalence tests pin
+    batched == 1-at-a-time).  The table is re-persisted each pass and
+    its predecessor unpersisted, so lineage stays one pass deep.
+
+    _stats (tests/diagnostics): receives {"passes": <n>} — the number
+    of count->select->apply rounds actually executed."""
     wc = word_freq_table(docs).persist()
     wc.count()  # materialize before the loop
     merges: list[tuple[str, str]] = []
+    created: set[str] = set()
+    passes = 0
     try:
-        for _ in range(n_merges):
+        while len(merges) < n_merges:
+            m = min(batch_size, n_merges - len(merges))
             top = (
                 _pair_counts(wc)
                 .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
-                .limit(1)
+                .limit(m + 1)
                 .collect()
             )
+            passes += 1
             if not top or top[0]["pair_count"] is None:
                 break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
-            nxt = _apply_merge(wc, a, b).persist()
+            batch = _select_batch(top, m, created)
+            merges.extend(batch)
+            created.update(a + b for a, b in batch)
+            nxt = wc
+            for a, b in batch:
+                nxt = _apply_merge(nxt, a, b)
+            nxt = nxt.persist()
             nxt.count()
             wc.unpersist()
             wc = nxt
     finally:
         wc.unpersist()
+        if _stats is not None:
+            _stats["passes"] = passes
     return merges
 
 
@@ -155,8 +225,7 @@ def bpe_encode(docs, merges: list[tuple[str, str]]) -> DataFrame:
 
         return text.map(count)
 
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit(""))
+    words = words_expr()
     return docs.select(
         "doc_id",
         F.size(words).cast("long").alias("n_words"),

@@ -90,6 +90,26 @@ def load(spark, sf_dir: str, table: str):
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+WORD_SPLIT = "[^a-z0-9]+"
+
+
+def words_expr(col: str = "text"):
+    """Canonical lowercased word-array expression shared by every
+    tokenizing query (dedup / curation / textstats / training / BPE).
+
+    NULL-safe by construction: `text` is coalesced to '' BEFORE the
+    split, because F.split(NULL) yields a NULL array whose F.size is -1
+    — which silently poisons token counts, 1000000*x DIV n arithmetic,
+    and removal ratios on any production corpus that carries null text
+    (the sandbox tables don't, so only this shared builder guards it)."""
+    from pyspark.sql import functions as F
+
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(col), F.lit(""))), WORD_SPLIT),
+        lambda w: w != F.lit(""),
+    )
+
+
 def fanout(df, *keys: str):
     """Hash-redistribute by key with NO explicit partition count.
 

@@ -40,6 +40,86 @@ def test_bpe_train_stops_when_exhausted(spark):
     assert bpe_train(_docs(spark, ["a a a"]), n_merges=4) == []
 
 
+def test_bpe_batched_equals_sequential(spark):
+    """The batched trainer must produce the IDENTICAL rank-ordered merge
+    list as classic one-merge-per-iteration BPE (batch_size=1), on
+    corpora chosen to exercise the batch-selection edge rules: shared
+    symbols (disjointness stop), count ties (strict truncation), and a
+    merge whose concat collides with an already-minted symbol
+    (hard-stop)."""
+    from medical_ocr_pipeline_spark.operators.bpe import bpe_train
+
+    corpora = [
+        # Sennrich et al. walkthrough corpus
+        ["low low low low low lower lower newest newest newest "
+         "newest newest newest widest widest widest"],
+        # heavy symbol sharing: most top pairs conflict
+        ["aaab aaab ab aabb abab baba"],
+        # concat collision: merging (a,a)->'aa' then later (a,aa) etc.
+        ["aaaa aaaaaa aa aaa b ab aab"],
+        # ties everywhere
+        ["xy xy uv uv pq pq mn mn"],
+        ["the cat sat on the mat", "the bat and the cat", "mat cat"],
+    ]
+    for texts in corpora:
+        docs = _docs(spark, texts)
+        seq = bpe_train(docs, n_merges=12, batch_size=1)
+        for bs in (4, 16):
+            got = bpe_train(docs, n_merges=12, batch_size=bs)
+            assert got == seq, f"batch_size={bs} diverged on {texts!r}"
+
+
+def test_bpe_batching_reduces_passes(spark):
+    """The whole point: a batched pass learns several merges, so the
+    count->select->apply round count drops well below n_merges.
+
+    The corpus has Zipfian counts over symbol-disjoint frequent pairs
+    (the realistic large-vocabulary shape — with thousands of distinct
+    characters/subwords, consecutive argmax winners rarely share a
+    symbol).  Tie-heavy single-alphabet toy corpora (e.g. the Sennrich
+    walkthrough) legitimately degrade toward one merge per pass: the
+    sequential-equivalence rules refuse any batch extension whose order
+    a recount could change — correctness over speed, pinned by
+    test_bpe_batched_equals_sequential."""
+    from medical_ocr_pipeline_spark.operators.bpe import bpe_train
+
+    # 10 disjoint 2-char words, strictly decreasing Zipf-ish counts
+    words = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st"]
+    corpus = " ".join(
+        " ".join([w] * (100 - 9 * i)) for i, w in enumerate(words))
+    docs = _docs(spark, [corpus])
+    seq_stats, bat_stats = {}, {}
+    seq = bpe_train(docs, n_merges=10, batch_size=1, _stats=seq_stats)
+    bat = bpe_train(docs, n_merges=10, batch_size=16, _stats=bat_stats)
+    assert bat == seq and len(seq) == 10
+    assert seq_stats["passes"] >= 10
+    assert bat_stats["passes"] <= 3  # several merges land per pass
+
+
+def test_bpe_batched_equals_sequential_random_corpora(spark):
+    """Seeded random corpora over a small alphabet — the adversarial
+    regime for batching (dense symbol sharing, frequent ties, concat
+    collisions) — must still give the identical merge list at every
+    batch size."""
+    import random
+
+    from medical_ocr_pipeline_spark.operators.bpe import bpe_train
+
+    rng = random.Random(42)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(40)
+        ]
+        texts = [" ".join(rng.choices(words, k=30)) for _ in range(4)]
+        docs = _docs(spark, texts)
+        seq = bpe_train(docs, n_merges=15, batch_size=1)
+        for bs in (3, 16):
+            got = bpe_train(docs, n_merges=15, batch_size=bs)
+            assert got == seq, (
+                f"trial={trial} batch_size={bs} diverged: {got} != {seq}")
+
+
 def test_encode_word_greedy_rank_order():
     from medical_ocr_pipeline_spark.operators.bpe import encode_word
 
