@@ -113,8 +113,11 @@ def span_dedup_kept(docs, curated):
 def near_dup_pairs(docs):
     """Exact n-gram Jaccard pairs — the shared inverted-index core from
     queries/dedup.py (same function the oracle-checked registry query
-    runs)."""
-    return ngram_jaccard_pairs(docs)
+    runs).  join_hint is pinned to shuffle_hash rather than left on
+    "auto": the job's input is the replicas-expanded frame, whose plan
+    size estimate is derived (not parquet file bytes), and this is the
+    surface where the 800k-doc SHJ-vs-SMJ matrix was measured."""
+    return ngram_jaccard_pairs(docs, join_hint="shuffle_hash")
 
 
 def run_pipeline(spark, args, out: str, tag: str = "RESULT") -> None:
@@ -252,6 +255,11 @@ def main() -> None:
     spark = get_spark(app=f"corpus:{args.run_id}", master=args.master)
     if args.jit_warmup:
         run_pipeline(spark, args, f"{args.out}/_warmup", tag="WARMUP")
+        # drop every block the warmup pass persist()ed (shingle index,
+        # span word frame, ...): correctness-neutral (LRU-evictable
+        # either way) but the stale blocks add memory pressure to the
+        # very measurement the flag exists to stabilize
+        spark.catalog.clearCache()
     run_pipeline(spark, args, args.out)
     spark.stop()
 

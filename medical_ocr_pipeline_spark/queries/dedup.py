@@ -24,6 +24,7 @@ from medical_ocr_pipeline_spark.queries.base import (
     fanout,
     load,
     register,
+    words_expr,
 )
 
 R = ROUND_DIGITS
@@ -74,9 +75,7 @@ def _shingles_spark(df):
     runs on a single core.  fanout() is a key-only repartition — the
     partition count comes from spark.sql.shuffle.partitions under AQE,
     never a literal baked into the query (see base.fanout)."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
-    )
+    words = words_expr()
     df = fanout(df, "doc_id").select("doc_id", words.alias("w"))
     return df.where(F.size("w") >= 3).select(
         "doc_id", _shingle_expr("w").alias("shingles")
@@ -147,7 +146,39 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
 
 
-def ngram_jaccard_pairs(docs, freq_cap: int | None = None):
+# un-hinted below this input-size estimate (AQE broadcasts the exploded
+# side at toy scale); SHUFFLE_HASH-pinned at or above it (AQE would pick
+# a sort-merge join at corpus scale and sort two full copies of the
+# exploded table — measured 179 s vs 69 s at 800k docs x 28 slots)
+_SHJ_MIN_BYTES_CONF = "spark.graft.jaccard.shuffleHashMinBytes"
+_SHJ_MIN_BYTES_DEFAULT = 256 * 1024 * 1024
+
+
+def _auto_join_hint(docs) -> str | None:
+    """Scale-conditional join hint: Catalyst's optimized-plan size
+    estimate of the input (for a parquet scan, the file bytes) decides
+    whether to pin SHUFFLE_HASH.  Driver-side plan inspection only — no
+    job runs.  Unknown/failed estimates fall back to the hint: pinning
+    SHJ is the scale-safe default (its only cost is ~1.4 s of forgone
+    broadcast at toy scale; the un-hinted cost at corpus scale is a
+    2.6x wall-time SMJ)."""
+    try:
+        thr = int(
+            docs.sparkSession.conf.get(
+                _SHJ_MIN_BYTES_CONF, str(_SHJ_MIN_BYTES_DEFAULT)
+            )
+        )
+        size = int(
+            str(docs._jdf.queryExecution().optimizedPlan()
+                .stats().sizeInBytes())
+        )
+        return None if size < thr else "shuffle_hash"
+    except Exception:
+        return "shuffle_hash"
+
+
+def ngram_jaccard_pairs(docs, freq_cap: int | None = None,
+                        join_hint: str | None = "auto"):
     """Exact n-gram Jaccard near-dup pairs via a POSTING-LIST inverted
     index (no O(n^2) cross join).  THE shared core: the registry query
     and job_corpus both call this, so the production job cannot drift
@@ -159,18 +190,20 @@ def ngram_jaccard_pairs(docs, freq_cap: int | None = None):
          the exchange + join memory traffic ~3x (measured: the previous
          string-keyed sort-merge self-join burned 2.8x more CPU-seconds
          at 28 slots than at 7 — bandwidth-bound, not compute-bound);
-      2. self-equi-join on the hash with a SHUFFLE_HASH hint.  All
-         four physical shapes were measured steady-state at 800k docs
-         x 28 slots: hinted SHJ 69 s, posting-list (collect_list +
-         in-row pair enumeration) 76 s, string-keyed SMJ ~2.9x the
-         CPU of SHJ, and the un-hinted long-keyed plan — where
-         Catalyst/AQE picks SMJ — 179 s: sorting two 40M-row copies
-         of the exploded table is the dominant cost and the hint is
-         what removes it.  The known trade: at toy scale (sf0.1) AQE
-         would instead broadcast the 4 MB exploded side and save
-         ~1.4 s, which the hint forgoes — the corpus_keep_drop
-         precedent applies (pay seconds at test scale for the plan
-         you need at 100 TB).  AQE's skew-join splitting only applies
+      2. self-equi-join on the hash with a SCALE-CONDITIONAL
+         SHUFFLE_HASH hint (join_hint="auto": pinned at or above
+         spark.graft.jaccard.shuffleHashMinBytes of estimated input,
+         un-hinted below — _auto_join_hint).  All four physical shapes
+         were measured steady-state at 800k docs x 28 slots: hinted
+         SHJ 69 s, posting-list (collect_list + in-row pair
+         enumeration) 76 s, string-keyed SMJ ~2.9x the CPU of SHJ,
+         and the un-hinted long-keyed plan — where Catalyst/AQE picks
+         SMJ — 179 s: sorting two 40M-row copies of the exploded
+         table is the dominant cost and the hint is what removes it.
+         Below the threshold the hint would only forgo AQE's broadcast
+         of the ~4 MB exploded side (~1.4 s at sf0.1), so toy scale
+         runs un-hinted — each scale gets the plan measured best for
+         it.  AQE's skew-join splitting only applies
          to SMJ, so skew control at scale is freq_cap (below), which
          removes the skewed keys themselves rather than splitting
          their n^2 pair output.  The posting-list variant is also
@@ -184,7 +217,16 @@ def ngram_jaccard_pairs(docs, freq_cap: int | None = None):
     equality vs the string-keyed DuckDB oracle at sf0.001/0.01/0.1
     verifies zero collisions at test scale; at web scale the expected
     inflation (~1e-19 per shingle pair) is orders of magnitude below
-    the Jaccard threshold's resolution.
+    the Jaccard threshold's resolution.  Inflation is additionally
+    DETECTABLE, not silent: shingle sets are distinct per doc
+    (array_distinct), so absent collisions common <= least(na, nb)
+    holds as an invariant; a codegen'd raise_error guard inside the
+    threshold predicate trips on any pair where a cross-shingle
+    collision pushes the intersection past the smaller set — zero extra
+    passes, one branch per candidate pair.  (The guard is one-sided by
+    construction: a collision that does not cross the least() bound is
+    still possible, but that residual is exactly the ~1e-19 regime
+    above.)
 
     `freq_cap`: optional document-frequency ceiling for web-scale runs
     — a shingle present in more than `freq_cap` documents is
@@ -193,6 +235,12 @@ def ngram_jaccard_pairs(docs, freq_cap: int | None = None):
     BEFORE the self-join via a combinable count + semi-join (same
     rationale as the CDC chunk-frequency cap below).  Default None =
     exact semantics, identical to the DuckDB oracle at every SF.
+    Under a cap the Jaccard is EXACT OVER THE CAPPED SHINGLE SETS:
+    na/nb are recomputed post-cap (one combinable per-doc count, joined
+    onto the K-row candidate-pair frame — never onto the exploded
+    table), so a boilerplate-heavy pair is evaluated on the sets the
+    join actually saw rather than biased below threshold by a
+    denominator that still counts dropped shingles.
 
     Persist the shingle arrays BEFORE exploding: without the barrier,
     CollapseProject inlines the (expensive) shingle-building expression
@@ -216,30 +264,59 @@ def ngram_jaccard_pairs(docs, freq_cap: int | None = None):
             .where(F.col("df") <= freq_cap)
             .select("h")
         )
-        ex = ex.join(rare, "h", "left_semi")
+        ex = ex.join(rare, "h", "left_semi").persist()
+    if join_hint == "auto":
+        join_hint = _auto_join_hint(docs)
     a = ex.alias("a")
     b = ex.alias("b")
-    pairs = (
-        a.join(
-            b.hint("shuffle_hash"),
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(
+    pairs = a.join(
+        b.hint(join_hint) if join_hint else b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).groupBy(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    if freq_cap is None:
+        pairs = pairs.agg(
             F.count("*").alias("common"),
             F.first("a.n_sh").alias("na"),
             F.first("b.n_sh").alias("nb"),
         )
-    )
-    jac = F.col("common").cast("double") / (
+    else:
+        # exact-over-capped-sets denominator: per-doc surviving-shingle
+        # counts (rows in ex are distinct shingles per doc), joined onto
+        # the aggregated candidate pairs — K pair rows, not the exploded
+        # table, so the extra cost is two small hash joins at any scale
+        ncap = ex.groupBy("doc_id").agg(F.count("*").alias("n_cap"))
+        pairs = (
+            pairs.agg(F.count("*").alias("common"))
+            .join(ncap.withColumnsRenamed(
+                {"doc_id": "doc_a", "n_cap": "na"}), "doc_a")
+            .join(ncap.withColumnsRenamed(
+                {"doc_id": "doc_b", "n_cap": "nb"}), "doc_b")
+        )
+    # collision tripwire: with per-doc-distinct shingles, an
+    # intersection larger than the smaller set is impossible unless two
+    # different shingles collided in xxhash64 — fail loud, inside the
+    # threshold predicate so every candidate pair is checked
+    jac_raw = F.col("common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("common")
     )
+    jac = F.when(
+        F.col("common") > F.least("na", "nb"),
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit("xxhash64 shingle collision: common > least(na, nb)"
+                      " for pair"),
+                F.col("doc_a"),
+                F.col("doc_b"),
+            )
+        ).cast("double"),
+    ).otherwise(jac_raw)
     return (
         pairs.where(jac >= JACCARD_THR)
-        .select("doc_a", "doc_b", F.round(jac, R).alias("jaccard"))
+        .select("doc_a", "doc_b", F.round(jac_raw, R).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -498,8 +575,7 @@ def with_band_buckets(docs, bands: int = 4):
     STREAMING frame (no shuffle, no state).  Both forms derive from
     the same _sig_expr/_buckets_expr, so they cannot drift (pinned by
     test_with_band_buckets_matches_banded)."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit(""))
+    words = words_expr()
     # CASE WHEN evaluates lazily per row: sequence() inside the shingle
     # expression would throw on size(words) < 3, and md5(concat_ws) of
     # an all-NULL signature would produce md5('') — a single hot bucket
@@ -577,9 +653,7 @@ def dedup_simhash(spark, sf_dir):
     over the word multiset.  The word hash is hoisted out of the per-bit
     loop (one md5 per word, not 60); tests additionally assert near-dup
     texts land within small Hamming distance."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
-    )
+    words = words_expr()
     h = _SPARK_H.format(x="w")
     hs = F.expr(f"transform(words, w -> {h})")
     simhash = F.expr(
@@ -754,9 +828,7 @@ def dedup_cdc_chunks(spark, sf_dir):
     from pyspark.sql import Window as W
 
     h = _SPARK_H.format(x="word")
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda x: x != F.lit("")
-    )
+    words = words_expr()
     w = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.posexplode(words).alias("pos", "word"))
@@ -1068,9 +1140,7 @@ def contamination_span_probe(docs):
     shingle operator pays); the islands window partitions by doc_id —
     per-document state, never a global sort.  One combinable groupBy
     per level after the probe join."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
-    )
+    words = words_expr()
     base = (
         fanout(docs, "doc_id")
         .select("doc_id", words.alias("w"))
@@ -1174,9 +1244,7 @@ def decontaminate_rewrite_frame(docs, bench_docs=None):
     would each re-run the regex segmentation over the corpus (the
     line_dedup_rewrite pattern); cached blocks are LRU-evictable, the
     session owns reclamation."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
-    )
+    words = words_expr()
     is_bench = (F.col("doc_id") % CONTAM_BENCH_MOD) == CONTAM_BENCH_REM
     base = (
         fanout(docs, "doc_id")
@@ -1515,8 +1583,7 @@ def dedup_substring_spans(spark, sf_dir):
     (fixed W granularity instead of arbitrary-length repeats).  At
     100 TB the dup-hash side can also be frequency-capped like the CDC
     chunk index to bound hot-boilerplate keys."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit(""))
+    words = words_expr()
     docs = (
         load(spark, sf_dir, "documents")
         .transform(lambda d: fanout(d, "doc_id"))
@@ -1584,9 +1651,7 @@ def span_dedup_rewrite_frame(docs):
     line_dedup upstream.  The word frame persists: three consumers
     (window hashes, token stream, final counts) would each re-run the
     regex segmentation."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
-    )
+    words = words_expr()
     base = (
         fanout(docs, "doc_id")
         .select("doc_id", words.alias("w"))

@@ -8,7 +8,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
+from medical_ocr_pipeline_spark.queries.base import (
+    ROUND_DIGITS,
+    load,
+    register,
+    words_expr,
+)
 
 R = ROUND_DIGITS
 _WORD_SPLIT = "[^a-z0-9]+"
@@ -166,10 +171,7 @@ def u4_term_preservation(spark, sf_dir):
             "lang",
             "source",
             F.explode(
-                F.filter(
-                    F.split(F.lower("text"), _WORD_SPLIT),
-                    lambda x: x != F.lit(""),
-                )
+                words_expr()
             ).alias("w"),
         )
         .groupBy("lang", "source")

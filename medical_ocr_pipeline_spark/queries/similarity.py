@@ -22,6 +22,7 @@ from medical_ocr_pipeline_spark.queries.base import (
     emb_banded_duck,
     load,
     register,
+    words_expr,
 )
 
 R = ROUND_DIGITS
@@ -732,10 +733,7 @@ def bm25_topk(spark, sf_dir):
     tok = docs.select(
         "doc_id",
         F.explode(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"),
-                lambda w: w != F.lit(""),
-            )
+            words_expr()
         ).alias("w"),
     )
     dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))

@@ -15,6 +15,7 @@ from medical_ocr_pipeline_spark.queries.base import (
     fanout,
     load,
     register,
+    words_expr,
 )
 
 R = ROUND_DIGITS
@@ -142,9 +143,7 @@ def f9_lang_id(spark, sf_dir):
 )
 def f10_token_counts(spark, sf_dir):
     """F10 whitespace/word tokenization + BPE-ish token-count estimate."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
-    )
+    words = words_expr()
     # Spark SQL string literals consume one level of backslash escaping
     tokens = F.expr(
         f"regexp_extract_all(text, '{_TOKEN_RE.replace(chr(92), chr(92) * 2)}', 0)"
@@ -201,9 +200,7 @@ def f14_quality_scores(spark, sf_dir):
     a NULL special_ratio (try_divide / NULLIF(n,0), skipped by AVG in
     both engines) rather than aborting the job under ANSI mode."""
     stop_arr = F.array(*[F.lit(s) for s in STOP_WORDS])
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
-    )
+    words = words_expr()
     t = load(spark, sf_dir, "documents").select(
         "lang",
         F.length("text").alias("n"),
@@ -392,9 +389,7 @@ def fingerprint_rolling(spark, sf_dir):
     """Order-sensitive rolling-hash fingerprint per document, aggregated
     per source.  h*B never exceeds 2^36 before the mod, so the arithmetic
     is exact in both engines."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
-    )
+    words = words_expr()
     fp = F.expr(
         f"""
         aggregate(words, cast(0 as bigint),
@@ -436,9 +431,7 @@ def document_verdicts(docs, extra_cols: tuple = (),
     keep).  Prefix dedup is the skew-safe two-phase min (combinable,
     eqNullSafe on the prefix so NULL-text docs form their own group —
     the window oracle's PARTITION BY semantics)."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
-    )
+    words = words_expr()
     cols = [
         "doc_id",
         "lang",
@@ -791,9 +784,7 @@ def f16_term_extraction(spark, sf_dir):
     Catalyst; at 100 TB this is one scan, zero shuffles (final sort is
     presentation-only)."""
     words = F.array_distinct(
-        F.filter(
-            F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit("")
-        )
+        words_expr()
     )
     terms = F.array_sort(
         F.array_intersect(words, F.array(*[F.lit(t) for t in F16_TERMS]))
@@ -1191,8 +1182,7 @@ def lm_doc_scores(docs):
     """Shared core: (doc_id, n_bigrams, lm_score_ppm) frame for any
     (doc_id, text) input — consumed by ngram_lm_score and
     lm_perplexity_buckets."""
-    words = F.filter(
-        F.split(F.lower("text"), _WORD_SPLIT), lambda w: w != F.lit(""))
+    words = words_expr()
     bo = (
         fanout(docs, "doc_id")
         .select("doc_id", words.alias("words"))

@@ -31,6 +31,7 @@ from medical_ocr_pipeline_spark.queries.base import (
     fanout,
     load,
     register,
+    words_expr,
 )
 from medical_ocr_pipeline_spark.queries.textstats import _TOKEN_RE
 
@@ -401,8 +402,7 @@ def bpe_pair_counts(spark, sf_dir):
     vocabulary is orders of magnitude smaller than the token stream, so
     each BPE iteration costs one small shuffle, which is why trainers
     count over the frequency table in the first place."""
-    words = F.filter(
-        F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != F.lit(""))
+    words = words_expr()
     wc = (
         load(spark, sf_dir, "documents")
         .transform(lambda d: fanout(d, "doc_id"))
@@ -849,9 +849,7 @@ _DSIR_H_DUCK = MD5_INT48_DUCK.format(x="'dsir' || g")
 def _dsir_grams(docs) -> DataFrame:
     """(doc_id, g) frame of unigrams + bigrams (lowercased word split),
     duplicates kept — DSIR counts occurrences, not the distinct set."""
-    words = F.filter(
-        F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != F.lit("")
-    )
+    words = words_expr()
     bigrams = F.when(
         F.size("w") >= 2,
         F.transform(

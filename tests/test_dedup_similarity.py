@@ -559,3 +559,49 @@ def test_span_dedup_rewrite_matches_bruteforce_on_random_corpora(spark):
                 _rewrite_rows(spark, docs)).collect()
         }
         assert got == ref, f"seed={seed}"
+
+
+def test_ngram_jaccard_freq_cap_exact_denominator(spark):
+    """Under freq_cap the Jaccard must be exact OVER THE CAPPED SETS:
+    na/nb are recomputed after the boilerplate drop, so a pair whose
+    shared unique content is strong is not biased below threshold by a
+    denominator still counting dropped boilerplate shingles.
+
+    X = U + B, Y = B + U (U = 10 unique shared words, B = 30-word
+    boilerplate also present in four filler docs, df(B-shingles) = 6).
+    cap=3 drops every B shingle.  Capped sets: ~10 shingles each,
+    ~8 common -> jaccard ~= 0.667 (pair KEPT).  The old pre-cap
+    denominator gave 8/(38+38-8) ~= 0.12 and silently dropped it."""
+    from medical_ocr_pipeline_spark.queries.dedup import ngram_jaccard_pairs
+
+    u = "unique shared alpha beta gamma delta epsilon zeta eta theta"
+    b = " ".join(f"boiler{i}" for i in range(30))
+    rows = [(0, f"{u} {b}"), (1, f"{b} {u}")] + [
+        (10 + i, f"{b} filler{i}x filler{i}y filler{i}z") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, freq_cap=3).collect()}
+    assert set(got) == {(0, 1)}
+    # X: 8 U-shingles + 2 junction; Y: 8 U + 2 junction; common = 8
+    assert abs(got[(0, 1)] - 8 / (10 + 10 - 8)) < 1e-3  # ROUND_DIGITS=4
+
+
+def test_rewrite_frames_null_text(spark):
+    """A NULL text row must flow through the rewrite frames as an empty
+    document (n_tokens = 0, n_removed = 0, clean_text = ''), never as
+    the F.size(NULL) = -1 poison value."""
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        decontaminate_rewrite_frame,
+        span_dedup_rewrite_frame,
+    )
+
+    rows = [(1, None), (2, "some real words to keep around here")]
+    docs = _rewrite_rows(spark, rows)
+    for frame in (span_dedup_rewrite_frame(docs),
+                  decontaminate_rewrite_frame(docs)):
+        got = {r["doc_id"]: r for r in frame.collect()}
+        assert got[1]["n_tokens"] == 0
+        assert got[1]["n_removed"] == 0
+        assert got[1]["clean_text"] == ""
+        assert got[2]["n_removed"] == 0 and got[2]["n_tokens"] == 7

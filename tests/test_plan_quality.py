@@ -301,23 +301,40 @@ def test_ngram_jaccard_is_hash_keyed_shuffled_hash_join(spark):
     self-join: xxhash64(shingle) is the join key, so the 25-byte
     shingle string never enters the exchange or the join-side
     sort/hash (the string-keyed SMJ was measured at 2.8x CPU excess at
-    28 slots — bandwidth, not compute), and the SHUFFLE_HASH hint
-    pins the no-sort physical join: un-hinted, Catalyst/AQE picks SMJ
-    at corpus scale and sorts two full copies of the exploded table
-    (measured 179 s vs 69 s steady-state at 800k docs; the hint's
-    known cost is forgoing AQE's broadcast conversion at toy scale —
-    see the core's docstring for the full measured matrix).  Also
+    28 slots — bandwidth, not compute), and the join hint is SCALE-
+    CONDITIONAL ("auto"): at/above shuffleHashMinBytes of estimated
+    input the SHUFFLE_HASH hint pins the no-sort physical join
+    (un-hinted, Catalyst/AQE picks SMJ at corpus scale and sorts two
+    full copies of the exploded table — measured 179 s vs 69 s
+    steady-state at 800k docs); below it the query runs un-hinted so
+    AQE broadcasts the ~4 MB exploded side (saving the hint's ~1.4 s
+    toy-scale cost).  Both plans asserted at their respective scales
+    by flipping the conf threshold on the same toy input.  Also
     pinned: never a cartesian, and no per-key array state (the
     rejected posting-list variant's ObjectHashAggregate)."""
-    from medical_ocr_pipeline_spark.queries.dedup import dedup_ngram_jaccard
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        _SHJ_MIN_BYTES_CONF,
+        dedup_ngram_jaccard,
+    )
 
+    # corpus-scale plan: force the threshold under the toy input size
+    spark.conf.set(_SHJ_MIN_BYTES_CONF, "1")
+    try:
+        plan = final_plan(dedup_ngram_jaccard(spark, SF_DIR))
+        assert "ShuffledHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.unset(_SHJ_MIN_BYTES_CONF)
+    # toy-scale plan (default 256 MB threshold >> sf0.001): un-hinted,
+    # AQE broadcast-converts the pair self-join — and never a sort
     plan = final_plan(dedup_ngram_jaccard(spark, SF_DIR))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert "xxhash64" in plan
-    assert "ObjectHashAggregate" not in plan
+    for p in (plan,):
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "xxhash64" in p
+        assert "ObjectHashAggregate" not in p
 
 
 def test_no_literal_numpartitions_exchange_in_query_bodies(spark):
