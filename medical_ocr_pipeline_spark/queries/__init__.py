@@ -29,62 +29,50 @@ from medical_ocr_pipeline_spark.queries.base import REGISTRY  # noqa: F401
 # Queries promoted to the FRONT of the registry (and therefore into the
 # driver's 50-entry window) regardless of module import order: entries
 # that are new or semantically changed this round, so every change lands
-# with an independent driver correctness record (VERDICT r02 #1 /
-# ADVICE r02 #2 — q_below_avg_parts was the one oracle query that never
-# got a driver row; w4_sessionize / q_semi / q_anti changed in round 2
-# after the window was set).  Entries pushed out past slot 50 by this
-# promotion are all green in CORRECTNESS_r02.json with unchanged code.
+# with an independent driver correctness record.  The list turns over
+# each round — every round-3 promotion now holds a green
+# CORRECTNESS_r03.json row, so round 4 promotes exactly the queries
+# whose code changed this round: the three rows-only -> full-oracle
+# upgrades (bpe_train_merges / bpe_encode_stats via the unrolled
+# training CTE chain, pack_best_fit via the recursive-CTE BFD fold),
+# host_pagerank (per-iteration collect removed), dedup_ngram_jaccard +
+# its pair-core consumers (scale-conditional join hint, collision
+# tripwire, exact capped-set denominators), and every query that now
+# tokenizes through the shared null-safe words_expr() or repartitions
+# through base.fanout().  Entries pushed out past slot 50 are all green
+# in CORRECTNESS_r03/r02/r01.json with unchanged code (audited).
 _PROMOTE_TO_WINDOW = [
-    "q_below_avg_parts",
-    "w4_sessionize",
-    "q_semi_urgent_customers",
-    "q_anti_dormant_customers",
-    "ensemble_engine_metrics",
-    "media_thumbnails_smoke",
-    "contamination_check",
-    "pii_scrub",
-    "quality_repetition",
-    "quality_gopher_rules",
-    "span_boilerplate",
-    "token_budget_sample",
-    "url_canonicalize",
-    "host_cap_sample",
-    "quality_classifier",
-    "ccnet_buckets",
-    "train_test_split",
-    "pack_sequences",
-    "dedup_incremental",
-    "dedup_substring_spans",
-    "ngram_lm_score",
-    "bpe_pair_counts",
-    "mixture_sample",
-    "semdedup",
+    "dedup_ngram_jaccard",
     "bpe_train_merges",
     "bpe_encode_stats",
-    "lm_perplexity_buckets",
-    "split_leakage_check",
-    "host_pagerank",
-    "dedup_minhash_lsh",
-    "dedup_embedding_lsh",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "dedup_components",
-    "pack_bin_manifest",
-    "line_dedup",
-    "unimax_sample",
-    "contamination_spans",
-    "dsir_sample",
     "pack_best_fit",
-    "decontaminate_rewrite",
+    "host_pagerank",
     "dup_source_matrix",
-    "bm25_topk",
-    # Rewritten late in round 3 (xxhash64 join key + pinned SHUFFLE_HASH +
-    # freq_cap): must carry a fresh driver row, so it re-enters the window.
-    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_minhash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cdc_chunks",
+    "dedup_incremental",
+    "split_leakage_check",
+    "contamination_check",
+    "contamination_spans",
+    "decontaminate_rewrite",
+    "dedup_substring_spans",
     "span_dedup_rewrite",
-    "corpus_shuffle",
-    "url_blocklist_filter",
+    "corpus_keep_drop",
     "curation_funnel",
+    "f10_token_counts",
+    "f14_quality_scores",
+    "fingerprint_rolling",
+    "f16_term_extraction",
+    "ngram_lm_score",
+    "lm_perplexity_buckets",
+    "u4_term_preservation",
+    "bm25_topk",
+    "bpe_pair_counts",
+    "dsir_sample",
+    "mixture_sample",
 ]
 
 _ordered = {n: REGISTRY[n] for n in _PROMOTE_TO_WINDOW}

@@ -1116,18 +1116,92 @@ def best_fit_pack_items(items, n_groups: int = BFD_GROUPS) -> DataFrame:
     return packed.unionByName(aligned).orderBy("doc_id")
 
 
-@register("pack_best_fit")
+_BFD_H_DUCK = MD5_INT48_DUCK.format(
+    x="'bfd' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "pack_best_fit",
+    sql=f"""
+    WITH RECURSIVE d AS MATERIALIZED (
+      SELECT doc_id, nt, nt // {SEQ_LEN} AS full_bins,
+             nt % {SEQ_LEN} AS rem, {_BFD_H_DUCK} % {BFD_GROUPS} AS grp
+      FROM (SELECT doc_id, {{nt}} AS nt FROM documents)
+      WHERE nt > 0
+    ),
+    items AS MATERIALIZED (
+      SELECT doc_id, nt, full_bins, rem, grp,
+             row_number() OVER (
+               PARTITION BY grp ORDER BY rem DESC, doc_id ASC) AS rn
+      FROM d WHERE rem > 0
+    ),
+    gsz AS MATERIALIZED (SELECT grp, count(*) AS n FROM items GROUP BY grp),
+    -- the greedy BFD fold itself: one recursion step consumes the next
+    -- (rem desc, doc_id asc) item of every group, carrying each group's
+    -- packer state as LIST columns (per-bin fills + per-item
+    -- assignments); best_j is "tightest open bin that still fits,
+    -- lowest index on ties" = lexicographic min over [residual, idx]
+    -- pairs with residual >= rem — exactly _bfd_pack_group's
+    -- bisect_left((rem, -1)) probe (full bins have residual 0 < rem,
+    -- so they can never win, matching the popped-from-table semantics)
+    st AS (
+      SELECT grp, CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS fills,
+             CAST([] AS BIGINT[]) AS assign
+      FROM gsz
+      UNION ALL
+      SELECT grp, i,
+        CASE WHEN best_j IS NULL THEN list_append(fills, rem)
+             ELSE list_transform(range(1, len(fills) + 1),
+                  j -> CASE WHEN j = best_j THEN fills[j] + rem
+                       ELSE fills[j] END)
+        END AS fills,
+        list_append(assign,
+          CASE WHEN best_j IS NULL THEN len(fills)
+               ELSE best_j - 1 END) AS assign
+      FROM (
+        SELECT q.grp, q.i, q.fills, q.assign, q.rem,
+               CASE WHEN len(q.c) = 0 THEN NULL
+                    ELSE q.c[1][2] END AS best_j
+        FROM (
+          SELECT st.grp, st.i + 1 AS i, st.fills, st.assign, it.rem,
+                 list_sort(list_filter(
+                   list_transform(range(1, len(st.fills) + 1),
+                     j -> [{SEQ_LEN} - st.fills[j], CAST(j AS BIGINT)]),
+                   p -> p[1] >= it.rem)) AS c
+          FROM st JOIN items it ON it.grp = st.grp AND it.rn = st.i + 1
+        ) q
+      )
+    ),
+    fin AS MATERIALIZED (
+      SELECT st.grp, st.fills, st.assign
+      FROM st JOIN gsz ON gsz.grp = st.grp AND st.i = gsz.n
+    )
+    SELECT * FROM (
+      SELECT it.doc_id, it.nt, it.full_bins, it.rem, it.grp,
+             fin.assign[it.rn] AS bin_in_group,
+             fin.fills[CAST(fin.assign[it.rn] AS INT) + 1] AS bin_fill
+      FROM items it JOIN fin USING (grp)
+      UNION ALL
+      SELECT doc_id, nt, full_bins, rem, CAST(-1 AS BIGINT),
+             CAST(-1 AS BIGINT), CAST({SEQ_LEN} AS BIGINT)
+      FROM d WHERE rem = 0
+    ) ORDER BY doc_id
+    """.format(nt=_NT_DUCK),
+)
 def pack_best_fit(spark, sf_dir):
     """Best-fit-decreasing sequence packing (Ding et al. 2024) — the
     zero-truncation alternative to pack_sequences' concat-and-chunk:
     no remainder ever crosses a bin boundary, so short documents are
     never split (concat-and-chunk splits every doc that straddles a
-    SEQ_LEN multiple).  Rows-only driver check — the greedy best-fit
-    fold is inherently sequential per group, not SQL-expressible; the
-    semantics are pinned by a pure-python reference equality test,
-    capacity/partitioning-invariance tests, and a structural
-    no-truncation comparison against pack_sequences
-    (tests/test_training_ops.py)."""
+    SEQ_LEN multiple).  Full DuckDB oracle: the per-group greedy fold,
+    "inherently sequential" but NOT inherently non-SQL, is a recursive
+    CTE whose working row per group carries the packer state (per-bin
+    fills + per-item assignments) as LIST columns — one recursion step
+    per (rem desc, doc_id asc) item, best-fit probe as a lexicographic
+    list_sort min.  The semantics are additionally pinned by a
+    pure-python reference equality test, capacity/partitioning-
+    invariance tests, and a structural no-truncation comparison against
+    pack_sequences (tests/test_training_ops.py)."""
     return best_fit_pack(load(spark, sf_dir, "documents"))
 
 
@@ -1136,13 +1210,74 @@ def pack_best_fit(spark, sf_dir):
 BPE_N_MERGES = 10
 
 
-@register("bpe_train_merges")
+def _bpe_oracle_ctes(n_merges: int = BPE_N_MERGES) -> str:
+    """Unrolled BPE-training CTE chain for DuckDB (the pagerank-unroll
+    precedent applied to trainer state): w0 is the distinct-word
+    frequency table with each word as a pipe-joined symbol string; per
+    merge k, m{{k}} is the (desc count, asc a, asc b) argmax over
+    adjacent symbol pairs and w{{k}} applies it with a left-to-right
+    non-overlapping list_reduce fold — `acc || b` when the accumulated
+    string ends in symbol a (suffix check '|'||a is unambiguous because
+    symbols never contain '|'), `acc || '|' || x` otherwise, exactly
+    operators/bpe._apply_merge's aggregate() fold.  Every CTE is
+    MATERIALIZED: each w{{k}} is read twice (pair counts + merge apply)
+    and DuckDB would otherwise inline the chain exponentially."""
+    parts = ["""
+w0 AS MATERIALIZED (
+  SELECT word, array_to_string(string_split(word, ''), '|') AS s,
+         count(*) AS cnt
+  FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+      AS word
+    FROM documents
+  ) GROUP BY word
+)"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f"""
+m{k} AS MATERIALIZED (
+  SELECT p[1] AS a, p[2] AS b FROM (
+    SELECT p, sum(cnt) AS c FROM (
+      SELECT unnest(list_transform(range(1, len(syms)),
+                    i -> [syms[i], syms[i+1]])) AS p, cnt
+      FROM (SELECT string_split(s, '|') AS syms, cnt FROM w{p})
+    ) GROUP BY p
+  ) ORDER BY c DESC, a ASC, b ASC LIMIT 1
+),
+w{k} AS MATERIALIZED (
+  SELECT word, CASE WHEN len(syms) = 1 THEN syms[1] ELSE
+    list_reduce(syms, (acc, x) -> CASE
+      WHEN x = m{k}.b AND (acc = m{k}.a
+           OR right(acc, len(m{k}.a) + 1) = '|' || m{k}.a)
+      THEN acc || m{k}.b
+      ELSE acc || '|' || x END)
+  END AS s, cnt
+  FROM (SELECT word, string_split(s, '|') AS syms, cnt FROM w{p}), m{k}
+)""")
+    return ",".join(parts)
+
+
+@register(
+    "bpe_train_merges",
+    sql="WITH " + _bpe_oracle_ctes() + " SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT {k - 1} AS rank, a, b FROM m{k}"
+        for k in range(1, BPE_N_MERGES + 1)
+    )
+    + ") ORDER BY rank",
+)
 def bpe_train_merges(spark, sf_dir):
     """Rank-ordered BPE merge list learned from the corpus
-    (operators/bpe.bpe_train: distributed pair counts, driver-bounded
-    merge loop).  Rows-only driver check — the training loop is
-    iterative; semantics are pinned by the classic-example tests in
-    test_bpe.py (including determinism across partitionings)."""
+    (operators/bpe.bpe_train: distributed pair counts, batched
+    driver-bounded merge selection).  Full DuckDB oracle: the
+    n_merges training iterations are UNROLLED into chained
+    materialized CTEs (_bpe_oracle_ctes) replicating the trainer's
+    exact dataflow — pair-count argmax with the full (count, a, b)
+    tie-break, then the left-to-right non-overlapping merge fold.
+    Semantics additionally pinned by the classic-example tests in
+    test_bpe.py (including determinism across partitionings and
+    batched == sequential equivalence)."""
     from medical_ocr_pipeline_spark.operators.bpe import bpe_train
 
     merges = bpe_train(load(spark, sf_dir, "documents"), BPE_N_MERGES)
@@ -1152,12 +1287,43 @@ def bpe_train_merges(spark, sf_dir):
     ).orderBy("rank")
 
 
-@register("bpe_encode_stats")
+@register(
+    "bpe_encode_stats",
+    sql="WITH " + _bpe_oracle_ctes() + f""",
+    tok AS MATERIALIZED (
+      SELECT word, len(string_split(s, '|')) AS nt FROM w{BPE_N_MERGES}
+    ),
+    docw AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+        AS word
+      FROM documents
+    ),
+    perdoc AS (
+      SELECT doc_id, count(*) AS nw, sum(nt) AS ntok
+      FROM docw JOIN tok USING (word) GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(p.nw, 0)) AS BIGINT) AS n_words,
+           CAST(sum(coalesce(p.ntok, 0)) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
 def bpe_encode_stats(spark, sf_dir):
     """Per-source token statistics of the corpus encoded under its own
     learned BPE merges (train + Arrow-batched encode end to end):
-    compression = chars per BPE token.  Rows-only driver check;
-    exactness of the encoder is pinned by test_bpe.py."""
+    compression = chars per BPE token.  Full DuckDB oracle: training is
+    the unrolled CTE chain (see bpe_train_merges) and encoding reuses
+    its final word table — under in-rank-order whole-pass application,
+    the trained symbol string of a distinct word IS its encoding.  The
+    Spark side encodes with the classic lowest-rank-first rescan
+    (encode_word); the two disagree only when a later merge re-mints a
+    string an earlier merge's component equals (the batch trainer's
+    concat-collision case), verified absent on this corpus at
+    sf0.001/0.01/0.1 — and the encoder's exactness is independently
+    pinned by test_bpe.py's python-reference equality."""
     from medical_ocr_pipeline_spark.operators.bpe import (
         bpe_encode,
         bpe_train,
