@@ -1617,7 +1617,7 @@ def dedup_substring_spans(spark, sf_dir):
     )
 
 
-def span_dedup_rewrite_frame(docs):
+def span_dedup_rewrite_frame(docs, salt_buckets: int | None = None):
     """Substring dedup as a corpus REWRITE (the removal step of Lee et
     al. 2022 on top of dedup_substring_spans' detection): every W-word
     sliding window whose hash repeats corpus-wide keeps exactly ONE
@@ -1643,14 +1643,33 @@ def span_dedup_rewrite_frame(docs):
     one-row-per-hash frame (K occurrences of a hash produce K rows,
     never K^2); the covered-position explode fans out a fixed W per
     flagged window; the reassembly is a per-doc groupBy whose state is
-    bounded by document length.  A boilerplate hash with millions of
-    occurrences is a join-skew hot key — AQE's skew split applies to
-    the occurrence side, and removal semantics genuinely need every
-    occurrence (a freq_cap here would silently keep duplicate text);
-    ultra-hot boilerplate is the province of span_boilerplate /
-    line_dedup upstream.  The word frame persists: three consumers
-    (window hashes, token stream, final counts) would each re-run the
-    regex segmentation."""
+    bounded by document length.
+
+    Hot-key skew (`salt_buckets`): a boilerplate hash with millions of
+    occurrences is a join-skew hot key, and removal semantics genuinely
+    need every occurrence (a freq_cap here would silently keep
+    duplicate text).  AQE's skew split does NOT rescue this join —
+    measured, not assumed: because the winner aggregation and the
+    occurrence side consume the SAME hashpartitioning(h) exchange,
+    Spark reuses the shuffle stage for both SMJ children, and AQE
+    refuses to touch a reused stage (no AQEShuffleRead at all, even
+    with forceOptimizeSkewedJoin; an otherwise-identical join whose
+    sides come from separate exchanges splits fine —
+    tests/test_skew.py).  The default salt_buckets=None keeps that
+    single-shuffle reused-exchange plan, correct at any scale and right
+    when upstream line_dedup/span_boilerplate already stripped
+    mega-boilerplate.  salt_buckets=S is the deterministic skew escape
+    for hot corpora: occurrences salt by pmod(xxhash64(doc_id, pos), S)
+    — uniform over any hot hash by construction — and the tiny
+    one-row-per-hash winner frame replicates S ways, so the join keys
+    on (h, s) and the hottest window spreads over S tasks.  Price: the
+    occurrence table shuffles twice (groupBy(h) + join(h, s)) instead
+    of once; buy it only when a single hash's occurrence count exceeds
+    what one task should stream.  Identical output either way (pinned
+    by test on hot and random corpora).
+
+    The word frame persists: three consumers (window hashes, token
+    stream, final counts) would each re-run the regex segmentation."""
     words = words_expr()
     base = (
         fanout(docs, "doc_id")
@@ -1673,8 +1692,24 @@ def span_dedup_rewrite_frame(docs):
             F.col("c.pos").alias("cp"),
         )
     )
+    if salt_buckets:
+        flagged = win.withColumn(
+            "s",
+            F.pmod(F.xxhash64("doc_id", "pos"),
+                   F.lit(salt_buckets)).cast("int"),
+        ).join(
+            winners.withColumn(
+                "s",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+                ),
+            ),
+            ["h", "s"],
+        )
+    else:
+        flagged = win.join(winners, "h")
     covered = (
-        win.join(winners, "h")
+        flagged
         .where(
             ~((F.col("doc_id") == F.col("cd")) & (F.col("pos") == F.col("cp")))
         )

@@ -233,3 +233,120 @@ def test_assembly_probe_guard(spark, tmp_path):
     assert not plan_has_python_node(cached)
     assert assembly_regime(cached) == (bucket, mx)
     cached.unpersist()
+
+
+def test_span_dedup_rewrite_hot_window_skew(spark):
+    """VERDICT r03 #6 fixture: 30% of the corpus shares ONE W=8-word
+    boilerplate window — the hottest join key span_dedup_rewrite can
+    see, and the case where removal semantics forbid the Jaccard
+    family's freq_cap escape hatch (dropping the hot hash would
+    silently keep duplicate text).
+
+    What the fixture DEMONSTRATED (and this test pins): AQE's skew
+    split does NOT apply to the occurrence join, contrary to the
+    docstring's original claim — the winner aggregation and the
+    occurrence side consume the same hashpartitioning(h) exchange,
+    Spark reuses the shuffle stage for both SMJ children, and AQE
+    refuses to touch a reused stage even with forceOptimizeSkewedJoin
+    (probe (c) below).  The deterministic escape is salt_buckets: the
+    occurrence side salts by pmod(xxhash64(doc_id, pos), S) and the
+    one-row-per-hash winner frame replicates S ways, spreading the
+    hottest window over S tasks by construction.  Pinned here:
+
+    (a) exactness under the hot key, salted and unsalted: the
+        lexicographically-first (doc_id, pos) occurrence keeps its
+        tokens, every other hot doc loses exactly W, cold docs lose
+        nothing, and both plans agree row-for-row;
+    (b) the salted plan really joins on (h, s);
+    (c) the reused-exchange AQE refusal itself, via a minimal probe:
+        an identical skewed join splits (skew=true) when its sides
+        come from separate exchanges and is left untouched (no
+        AQEShuffleRead) when the dimension side derives from the fact
+        side's own exchange — the structural fact that motivates the
+        salt.
+    """
+    from pyspark.sql import functions as F
+
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        SPAN_W,
+        span_dedup_rewrite_frame,
+    )
+
+    n = 5_000
+    boiler = " ".join(f"hotword{j}" for j in range(SPAN_W))
+    rows = []
+    for i in range(n):
+        if i % 10 < 3:  # 30% carry the hot window
+            rows.append((i, f"{boiler} u{i}a u{i}b"))
+        else:  # cold docs: W+1 unique words -> 2 windows, both unique
+            rows.append((i, " ".join(f"c{i}w{j}" for j in range(SPAN_W + 1))))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    plain = span_dedup_rewrite_frame(docs).toPandas()
+    salted_df = span_dedup_rewrite_frame(docs, salt_buckets=16)
+    salted = salted_df.toPandas()
+
+    # (a) exact output: canonical = min doc_id among hot docs
+    hot = {i for i in range(n) if i % 10 < 3}
+    canon = min(hot)
+    for pdf in (plain, salted):
+        removed = dict(zip(pdf["doc_id"], pdf["n_removed"]))
+        assert len(removed) == n
+        assert removed[canon] == 0
+        assert all(removed[d] == SPAN_W for d in hot if d != canon)
+        assert all(removed[d] == 0 for d in range(n) if d not in hot)
+        canon_text = pdf.set_index("doc_id").loc[canon, "clean_text"]
+        assert canon_text.startswith(boiler)
+    assert plain.equals(salted)
+
+    # (b) the salted covered join keys on (h, s) — the physical form is
+    # scale-dependent (AQE broadcast-converts the replicated winner
+    # frame at fixture scale; SMJ/SHJ over an (h, s) exchange at
+    # corpus scale), but the join keys are the salt's contract
+    salted_plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert re.search(r"Join \[h#\d+L?, s#", salted_plan), (
+        "salted plan must join on (h, s)")
+
+    # (c) the reused-exchange AQE refusal (minimal probe, forced skew)
+    confs = {
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # pos adds per-row entropy so the hot partition's COMPRESSED
+        # shuffle bytes (what AQE's skew detector measures) actually
+        # dominate — a constant-key run-length-encodes to almost
+        # nothing and evades detection at fixture scale
+        fact = spark.range(36_000).select(
+            (F.col("id") % 97).alias("doc_id"),
+            (F.col("id") % 31).cast("int").alias("pos"),
+            F.when(F.col("id") < 6_000, F.lit(123456789))
+            .otherwise(F.col("id")).alias("h"),
+        )
+        # separate-exchange dim: AQE splits the hot partition
+        dim = spark.range(2_000).select(
+            F.when(F.col("id") == 0, F.lit(123456789))
+            .otherwise(F.col("id") + 10**7).alias("h"))
+        j1 = fact.join(dim, "h").groupBy("doc_id").count()
+        j1.collect()
+        p1 = j1._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p1
+        # dim derived from fact's own exchange: stage reused, AQE out
+        dim2 = fact.groupBy("h").agg(F.count("*").alias("cnt")).select("h")
+        j2 = fact.join(dim2, "h").groupBy("doc_id").count()
+        j2.collect()
+        p2 = j2._jdf.queryExecution().executedPlan().toString()
+        # the identically-skewed join is NOT split (downstream shuffles
+        # may still coalesce — the refusal is join-stage-specific)
+        assert "skew=true" not in p2
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
