@@ -93,13 +93,14 @@ def main() -> None:
     )
     force(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"))
 
-    # best-of-2 per query: the shared host shows large run-to-run CPU
+    # best-of-3 per query: the shared host shows large run-to-run CPU
     # steal; minimum wall clock estimates unloaded capacity (same policy
-    # as bench_scaling.py's best-of-3)
+    # as bench_scaling.py — BENCH_r03 was a loaded-host capture at
+    # best-of-2, reading +13% on unchanged queries; VERDICT r03 #2)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             force(REGISTRY[name].fn(spark, sf_dir))
             best = min(best, time.time() - t0)
@@ -141,7 +142,7 @@ def main() -> None:
     transcripts = spark.read.parquet(input_path)
     force(extract_transcripts(transcripts.limit(2000)))  # warm python workers
     extract_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         n_turns = force(extract_transcripts(transcripts))
         extract_sec = min(extract_sec, time.time() - t0)

@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> None:
                          "prefect_pipeline.py:157-233 shape): every healthy "
                          "engine over the same payload, union + J1 dedup; "
                          "adds the per-engine metrics stage 01_engine_metrics")
+    ap.add_argument("--qa-report", action="store_true",
+                    help="render <out>/qa_report.html from the finished "
+                         "stage tables (the reference's HTML QA evaluator "
+                         "artifact, qa_pipeline_evaluator.py:819-865)")
     args = ap.parse_args(argv)
 
     from medical_ocr_pipeline_spark.pipeline import (
@@ -96,6 +100,11 @@ def main(argv: list[str] | None = None) -> None:
         mode="append",
     )
     write_stage(conversation_text(extracted), f"{args.out}/02_conversations")
+
+    if args.qa_report:
+        from medical_ocr_pipeline_spark.report import render_qa_report
+
+        print(f"REPORT {render_qa_report(spark, args.out)}")
 
     n = extracted.count()
     dt = time.time() - t0
