@@ -375,7 +375,17 @@ def test_bfd_packer_properties_fuzz():
             assert r["bin_fill"] == fills[r["bin_in_group"]]
         n_bins = out["bin_in_group"].nunique()
         lb = -(-sum(rems) // SEQ_LEN)
-        assert lb <= n_bins <= max(lb, (11 * lb) // 9 + 2)
+        assert lb <= n_bins
+        # The 11/9 BFD guarantee is relative to OPT, which the LP lower
+        # bound `lb` can undershoot arbitrarily (hypothesis found
+        # rems=[256, 257 x 6]: lb=4 but OPT=7 since no two items
+        # coexist) — so bound with the AnyFit THEOREMS instead, which
+        # hold exactly: best-fit never opens a bin while the item fits
+        # in an open one, so no two bins can both be at-most-half full,
+        # giving n_bins < 2*sum/C + 1.
+        fills_sorted = sorted(fills)
+        assert sum(1 for f in fills_sorted if f <= SEQ_LEN // 2) <= 1
+        assert n_bins <= 2 * sum(rems) // SEQ_LEN + 1
 
     run()
 
