@@ -1,17 +1,26 @@
-"""Pure-stdlib(+numpy) baseline JPEG codec — the codec extension point
-of the media family (multimodal.py) closed for the dominant real-world
-format, with zero new dependencies.
+"""Pure-stdlib(+numpy) JPEG codec — the codec extension point of the
+media family (multimodal.py) closed for the dominant real-world format,
+with zero new dependencies.
 
-Scope (ITU-T T.81 baseline sequential DCT, JFIF):
-  decode: SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI marker parse,
+Scope (ITU-T T.81, JFIF):
+  decode: SOI/APPn/COM/DQT/SOF0/1/DHT/DRI/SOS/RSTn/EOI marker parse,
           stream-embedded Huffman tables, dequant, separable float
           IDCT, nearest-neighbour chroma upsampling for any (h,v) in
-          {1,2}, restart-interval resync, 1- or 3-component frames.
-  encode: 4:4:4, 4:2:0 or grayscale, Annex-K-style quant tables scaled
-          by an IJG-style quality knob, fixed Huffman tables written
-          into DHT (the decoder reads tables from the STREAM, so the
-          roundtrip is self-consistent by construction).
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+          {1,2}, restart-interval resync, 1- or 3-component frames;
+          PLUS progressive DCT (SOF2): multi-scan spectral selection
+          and successive approximation — DC first/refine, AC
+          first/refine with EOBn runs, ZRL, buffered correction bits,
+          interleaved DC and single-component AC scan geometry, restart
+          resync per scan (T.81 G.2 / the IJG decode_mcu_* semantics).
+  encode: baseline 4:4:4, 4:2:0 or grayscale (Annex-K-style quant
+          tables scaled by an IJG-style quality knob, fixed Huffman
+          tables written into DHT), and a progressive encoder
+          (encode_jpeg_progressive) emitting a six-phase scan script
+          (DC Al=1 -> per-component AC bands Al=2 -> two AC refinement
+          passes -> DC refinement) over the SAME quantized
+          coefficients, so progressive and baseline decode to
+          bit-identical pixels by construction — the fixture invariant.
+Arithmetic coding, 12-bit precision, and hierarchical mode raise
 NotImplementedError — per-row tolerated by media_features/thumbnails
 like every other unsupported-format case.
 
@@ -243,15 +252,11 @@ def _dht_payload(cls: int, tid: int, spec) -> bytes:
     return bytes([cls << 4 | tid]) + bytes(bits) + bytes(values)
 
 
-def encode_jpeg(arr, quality: int = 85, subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """HxWx3 (or HxW for grayscale source) uint8 -> baseline JFIF bytes.
-
-    subsampling: '444' (no chroma subsampling), '420' (2x2 chroma), or
-    'gray' (single-component luma-only frame).  restart_interval > 0
-    emits a DRI segment and RSTn markers every that-many MCUs (DC
-    predictors reset per segment) — real-world encoders do this for
-    error resilience, so the decoder's resync path needs coverage."""
+def _encode_prep(arr, quality: int, subsampling: str):
+    """Shared encoder front half: color convert, component layout,
+    quant tables, MCU-padded planes.  Returns
+    (h, w, comps, planes, qy, qc, qy_tab, qc_tab, hmax, vmax,
+    mcux, mcuy)."""
     arr = np.asarray(arr, dtype=np.float64)
     gray = subsampling == "gray"
     if arr.ndim == 2:
@@ -270,11 +275,6 @@ def encode_jpeg(arr, quality: int = 85, subsampling: str = "444",
     qc = _scale_quant(_QUANT_CHROMA, quality)
     qy_tab = np.array(qy, dtype=np.float64).reshape(8, 8)
     qc_tab = np.array(qc, dtype=np.float64).reshape(8, 8)
-
-    dc_l = _canonical_codes(*_DC_LUMA)
-    ac_l = _canonical_codes(*_AC_LUMA)
-    dc_c = _canonical_codes(*_DC_CHROMA)
-    ac_c = _canonical_codes(*_AC_CHROMA)
 
     if gray:
         comps = [(1, 1, 1, 0)]
@@ -306,6 +306,27 @@ def encode_jpeg(arr, quality: int = 85, subsampling: str = "444",
 
     planes = [plane_for(i, hi, vi) for i, (_cid, hi, vi, _tq) in
               enumerate(comps)]
+    return h, w, comps, planes, qy, qc, qy_tab, qc_tab, hmax, vmax, \
+        mcux, mcuy
+
+
+def encode_jpeg(arr, quality: int = 85, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """HxWx3 (or HxW for grayscale source) uint8 -> baseline JFIF bytes.
+
+    subsampling: '444' (no chroma subsampling), '420' (2x2 chroma), or
+    'gray' (single-component luma-only frame).  restart_interval > 0
+    emits a DRI segment and RSTn markers every that-many MCUs (DC
+    predictors reset per segment) — real-world encoders do this for
+    error resilience, so the decoder's resync path needs coverage."""
+    (h, w, comps, planes, qy, qc, qy_tab, qc_tab, hmax, vmax,
+     mcux, mcuy) = _encode_prep(arr, quality, subsampling)
+    gray = subsampling == "gray"
+
+    dc_l = _canonical_codes(*_DC_LUMA)
+    ac_l = _canonical_codes(*_AC_LUMA)
+    dc_c = _canonical_codes(*_DC_CHROMA)
+    ac_c = _canonical_codes(*_AC_CHROMA)
 
     wtr = _BitWriter()
     preds = [0] * len(comps)
@@ -356,6 +377,238 @@ def encode_jpeg(arr, quality: int = 85, subsampling: str = "444",
     out += _seg(0xDA, sos)
     out += wtr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------- encode (progressive)
+
+# Flat 8-bit AC table for progressive scans: every symbol 0x00-0xFE at
+# code length 8 (the all-ones length-8 code stays unused, as T.81's
+# BITS construction requires).  Progressive AC scans emit EOBn symbols
+# (r<<4 | 0 for r in 1..14) that the standard Annex-K tables do not
+# contain; a flat table trades compression for full symbol coverage —
+# correctness-neutral because the decoder reads tables from the stream.
+_AC_FLAT = ([0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0],
+            list(range(255)))
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward zero
+    (T.81 G.1.2.2 — DC uses an arithmetic shift instead)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+class _ProgAC:
+    """Per-scan progressive AC encoder state: EOB-run accumulation and
+    (for refinement scans) the correction bits buffered behind it."""
+
+    def __init__(self, wtr: _BitWriter, ac_codes):
+        self.w = wtr
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending = []  # correction bits owed after the EOB symbol
+
+    def flush_eob(self):
+        if self.eobrun:
+            n = self.eobrun.bit_length() - 1
+            code, length = self.ac[n << 4]
+            self.w.write(code, length)
+            if n:
+                self.w.write(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+        for b in self.pending:
+            self.w.write(b, 1)
+        self.pending = []
+
+    def bump_eob(self, correction_bits=()):
+        self.eobrun += 1
+        self.pending.extend(correction_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eob()
+
+
+def _encode_ac_first(blk, ss, se, al, st: _ProgAC):
+    vals = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+    last = -1
+    for j, v in enumerate(vals):
+        if v:
+            last = j
+    if last < 0:
+        st.bump_eob()
+        return
+    st.flush_eob()
+    run = 0
+    for v in vals[: last + 1]:
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = st.ac[0xF0]
+            st.w.write(code, length)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, length = st.ac[(run << 4) | s]
+        st.w.write(code, length)
+        st.w.write(bits, s)
+        run = 0
+    if last < se - ss:
+        st.bump_eob()
+
+
+def _encode_ac_refine(blk, ss, se, al, st: _ProgAC):
+    """IJG encode_mcu_AC_refine semantics: history-nonzero coefficients
+    contribute one correction bit each, newly-visible (|v|>>Al == 1)
+    coefficients are coded as (run, 1) + sign, ZRL only before the last
+    new coefficient, and blocks with no new coefficient fold into the
+    EOB run carrying their correction bits behind it."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eobpos = -1
+    for j, t in enumerate(absv):
+        if t == 1:
+            eobpos = j
+    run = 0
+    br: list[int] = []
+    for j, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and j <= eobpos:
+            st.flush_eob()
+            code, length = st.ac[0xF0]
+            st.w.write(code, length)
+            run -= 16
+            for b in br:
+                st.w.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        st.flush_eob()
+        code, length = st.ac[(run << 4) | 1]
+        st.w.write(code, length)
+        st.w.write(1 if blk[ss + j] > 0 else 0, 1)
+        for b in br:
+            st.w.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st.bump_eob(br)
+
+
+def encode_jpeg_progressive(arr, quality: int = 85,
+                            subsampling: str = "444") -> bytes:
+    """HxWx3 (or HxW) uint8 -> progressive (SOF2) JFIF bytes.
+
+    Six-phase scan script exercising every progressive decode path:
+      1. DC first, interleaved, Al=1          (successive approx on DC)
+      2. per component: AC band 1-5,  Ah=0 Al=2   (spectral selection)
+      3. per component: AC band 6-63, Ah=0 Al=2   (EOBn runs, ZRL)
+      4. per component: AC 1-63, Ah=2 Al=1        (refinement pass 1)
+      5. per component: AC 1-63, Ah=1 Al=0        (refinement pass 2)
+      6. DC refine, interleaved, Ah=1 Al=0
+    The quantized coefficients are identical to encode_jpeg's at the
+    same (quality, subsampling), so baseline and progressive decode to
+    bit-identical pixels — the invariant the tests pin."""
+    (h, w, comps, planes, qy, qc, qy_tab, qc_tab, hmax, vmax,
+     mcux, mcuy) = _encode_prep(arr, quality, subsampling)
+    gray = subsampling == "gray"
+
+    # all DCT coefficients up front, zigzag order, full MCU grid
+    coefs = []
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        qtab = qy_tab if tq == 0 else qc_tab
+        bh, bw = mcuy * vi, mcux * hi
+        blocks = np.zeros((bh, bw, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                block = planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                blocks[by, bx] = _fdct_quant(block, qtab)
+        coefs.append(blocks)
+
+    dc_l = _canonical_codes(*_DC_LUMA)
+    dc_c = _canonical_codes(*_DC_CHROMA)
+    ac_flat = _canonical_codes(*_AC_FLAT)
+
+    def nonint_dims(hi, vi):
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def sos(scan_comps, ss, se, ah, al) -> bytes:
+        p = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            cid, _hi, _vi, tq = comps[ci]
+            p += bytes([cid, (tq << 4) | 0])  # DC table id=tq, AC id=0
+        return _seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(qy[z] for z in ZIGZAG))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qc[z] for z in ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, hi << 4 | vi, tq])
+    out += _seg(0xC2, sof)  # SOF2: progressive DCT
+    out += _seg(0xC4, _dht_payload(0, 0, _DC_LUMA))
+    if not gray:
+        out += _seg(0xC4, _dht_payload(0, 1, _DC_CHROMA))
+    out += _seg(0xC4, _dht_payload(1, 0, _AC_FLAT))
+
+    all_ci = list(range(len(comps)))
+
+    # scan 1: DC first (interleaved), Al=1 — arithmetic-shift domain
+    wtr = _BitWriter()
+    preds = [0] * len(comps)
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (_cid, hi, vi, tq) in enumerate(comps):
+            dc = dc_l if tq == 0 else dc_c
+            for by in range(vi):
+                for bx in range(hi):
+                    v = int(coefs[ci][my * vi + by, mx * hi + bx, 0]) >> 1
+                    s, bits = _magnitude(v - preds[ci])
+                    preds[ci] = v
+                    code, length = dc[s]
+                    wtr.write(code, length)
+                    if s:
+                        wtr.write(bits, s)
+    wtr.flush()
+    out += sos(all_ci, 0, 0, 0, 1) + wtr.out
+
+    # scans 2-5: AC bands + refinements, one component per scan
+    for phase in (("first", 1, 5, 0, 2), ("first", 6, 63, 0, 2),
+                  ("refine", 1, 63, 2, 1), ("refine", 1, 63, 1, 0)):
+        kind, ss, se, ah, al = phase
+        for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+            bh, bw = nonint_dims(hi, vi)
+            wtr = _BitWriter()
+            st = _ProgAC(wtr, ac_flat)
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = coefs[ci][by, bx]
+                    if kind == "first":
+                        _encode_ac_first(blk, ss, se, al, st)
+                    else:
+                        _encode_ac_refine(blk, ss, se, al, st)
+            st.flush_eob()
+            wtr.flush()
+            out += sos([ci], ss, se, ah, al) + wtr.out
+
+    # scan 6: DC refine (interleaved), Ah=1 Al=0 — one bit per block
+    wtr = _BitWriter()
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+            for by in range(vi):
+                for bx in range(hi):
+                    wtr.write(
+                        int(coefs[ci][my * vi + by, mx * hi + bx, 0]) & 1, 1
+                    )
+    wtr.flush()
+    out += sos(all_ci, 0, 0, 1, 0) + wtr.out
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -428,17 +681,157 @@ def _split_scan(data: bytes, start: int):
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline JFIF bytes -> (width, height, HxWx3 uint8 array).
+    """Baseline or progressive JFIF bytes -> (width, height, HxWx3
+    uint8 array).
 
     Huffman/quant tables are read from the stream; restart intervals
-    resync DC predictors per segment; chroma planes upsample by pixel
-    replication and crop to the frame size.  Any malformed-stream
-    parse error surfaces as ValueError so the media kernels' per-row
-    failure tolerance (multimodal.media_features) catches it."""
+    resync DC predictors (and EOB runs) per segment; chroma planes
+    upsample by pixel replication and crop to the frame size.  Any
+    malformed-stream parse error surfaces as ValueError so the media
+    kernels' per-row failure tolerance (multimodal.media_features)
+    catches it."""
     try:
         return _decode_jpeg(payload)
     except (IndexError, struct.error) as e:
         raise ValueError(f"malformed JPEG stream: {e}") from e
+
+
+def _ac_first_block(bits, tab, blk, ss, se, al, eobrun):
+    """Progressive AC initial-scan decode for one block (zigzag-order
+    coefficient view).  Returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(bits, tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += bits.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC index overflow")
+        blk[k] = _extend(bits.read(s), s) * (1 << al)
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(bits, tab, blk, ss, se, al, eobrun):
+    """Progressive AC refinement decode for one block — the IJG
+    decode_mcu_AC_refine semantics: newly-visible coefficients arrive
+    as (run, 1) + sign, every already-nonzero coefficient traversed
+    costs one correction bit, ZRL skips 16 zero-history positions, and
+    an EOB run still consumes correction bits for the remainder of the
+    band in every covered block."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(bits, tab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement symbol")
+                val = p1 if bits.read1() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += bits.read(r)
+                break
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if bits.read1() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and bits.read1() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_units(sels, comps, mcux, mcuy, w, h, hmax, vmax):
+    """Yield (restart_unit, ci, by, bx) in scan order: MCU-interleaved
+    when the scan carries several components (restart unit = MCU),
+    component-raster over the NON-INTERLEAVED block dims when it
+    carries one (restart unit = block) — T.81 A.2."""
+    if len(sels) > 1:
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci, _td, _ta in sels:
+                _cid, hi, vi = comps[ci][0], comps[ci][1], comps[ci][2]
+                for by in range(vi):
+                    for bx in range(hi):
+                        yield mcu, ci, my * vi + by, mx * hi + bx
+    else:
+        ci = sels[0][0]
+        hi, vi = comps[ci][1], comps[ci][2]
+        bw = -(-(-(-(w * hi) // hmax)) // 8)
+        bh = -(-(-(-(h * vi) // vmax)) // 8)
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                yield unit, ci, by, bx
+                unit += 1
+
+
+def _decode_prog_scan(scan, sels, ss, se, ah, al, comps, coefs, htabs,
+                      dri, mcux, mcuy, w, h, hmax, vmax):
+    """Apply one progressive scan's entropy segments to the coefficient
+    buffers.  sels: [(ci, dc_table_id, ac_table_id)]."""
+    bits = None
+    seg_idx = -1
+    preds = {ci: 0 for ci, _td, _ta in sels}
+    tids = {ci: (td, ta) for ci, td, ta in sels}
+    eobrun = 0
+    for unit, ci, by, bx in _prog_units(
+            sels, comps, mcux, mcuy, w, h, hmax, vmax):
+        want = unit // dri if dri else 0
+        if want != seg_idx:
+            seg_idx = want
+            if seg_idx >= len(scan):
+                raise ValueError("JPEG scan missing restart segment")
+            bits = _Bits(scan[seg_idx])
+            preds = {c: 0 for c in preds}
+            eobrun = 0
+        blk = coefs[ci][by, bx]
+        if ss == 0:  # DC scan
+            if ah == 0:
+                tab = htabs.get((0, tids[ci][0]))
+                if tab is None:
+                    raise ValueError("JPEG missing Huffman table")
+                s = _huff_decode(bits, tab)
+                diff = _extend(bits.read(s), s) if s else 0
+                preds[ci] += diff
+                blk[0] = preds[ci] * (1 << al)
+            elif bits.read1():
+                blk[0] |= 1 << al
+        else:  # AC scan (single component)
+            tab = htabs.get((1, tids[ci][1]))
+            if tab is None:
+                raise ValueError("JPEG missing Huffman table")
+            if ah == 0:
+                eobrun = _ac_first_block(bits, tab, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(bits, tab, blk, ss, se, al, eobrun)
 
 
 def _decode_jpeg(payload: bytes):
@@ -450,6 +843,8 @@ def _decode_jpeg(payload: bytes):
     h = w = 0
     dri = 0
     scan = None
+    progressive = False
+    coefs = None  # progressive: per-component (bh, bw, 64) zigzag int32
     i = 2
     n = len(payload)
     while i < n:
@@ -500,7 +895,8 @@ def _decode_jpeg(payload: bytes):
                 vals = list(seg[p:p + cnt])
                 p += cnt
                 htabs[(cls, tid)] = _decode_table(bits16, vals)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision")
@@ -508,13 +904,63 @@ def _decode_jpeg(payload: bytes):
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append([cid, hv >> 4, hv & 0x0F, tq, 0, 0])
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}) not supported"
+                f"unsupported JPEG coding process (SOF{marker - 0xC0})"
             )
         elif marker == 0xDD:  # DRI
             dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA and progressive:  # progressive SOS
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            sels = []
+            p = 1
+            for _ in range(ns):
+                cid, tt = seg[p], seg[p + 1]
+                p += 2
+                ci = next(
+                    (j for j, c in enumerate(comps) if c[0] == cid), None
+                )
+                if ci is None:
+                    raise ValueError("JPEG scan references unknown component")
+                sels.append((ci, tt >> 4, tt & 0x0F))
+            ss, se, ahal = seg[p], seg[p + 1], seg[p + 2]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if se > 63 or ss > se or (ss == 0) != (se == 0):
+                raise ValueError("invalid progressive spectral selection")
+            if ss > 0 and ns != 1:
+                raise ValueError("interleaved progressive AC scan")
+            if coefs is None:
+                for comp in comps:
+                    if comp[1] not in (1, 2) or comp[2] not in (1, 2):
+                        raise NotImplementedError(
+                            f"sampling factors {comp[1]}x{comp[2]} "
+                            "not supported"
+                        )
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                total = mcux * mcuy * sum(c[1] * c[2] for c in comps)
+                if h == 0 or w == 0:
+                    raise ValueError("JPEG zero frame dimension")
+                if total > (1 << 20):
+                    raise ValueError(
+                        "progressive JPEG frame too large for the "
+                        "in-memory coefficient buffer"
+                    )
+                coefs = [
+                    np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int32)
+                    for c in comps
+                ]
+            scan, i = _split_scan(payload, i)
+            _decode_prog_scan(
+                scan, sels, ss, se, ah, al, comps, coefs, htabs, dri,
+                mcux, mcuy, w, h, hmax, vmax,
+            )
+            continue
         elif marker == 0xDA:  # SOS
             if comps is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -536,6 +982,30 @@ def _decode_jpeg(payload: bytes):
             scan, i = _split_scan(payload, i)
             break
         # APPn / COM / others: skipped
+    if progressive:
+        if comps is None or coefs is None:
+            raise ValueError("progressive JPEG without a decoded scan")
+        planes = []
+        for ci, comp in enumerate(comps):
+            tq = comp[3]
+            if tq not in qtabs:
+                raise ValueError(f"JPEG missing quant table {tq}")
+            q = qtabs[tq]
+            bh, bw = coefs[ci].shape[:2]
+            plane = np.zeros((bh * 8, bw * 8))
+            for by in range(bh):
+                for bx in range(bw):
+                    flat = np.zeros(64)
+                    blk = coefs[ci][by, bx]
+                    for kk, z in enumerate(ZIGZAG):
+                        flat[z] = blk[kk]
+                    block = flat.reshape(8, 8) * q
+                    plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                        _T.T @ block @ _T + 128.0
+                    )
+            planes.append(plane)
+        return w, h, _planes_to_rgb(comps, planes, hmax, vmax, h, w)
+
     if scan is None or comps is None:
         raise ValueError("JPEG missing SOS/SOF")
     if h == 0 or w == 0:
@@ -623,8 +1093,16 @@ def _decode_jpeg(payload: bytes):
                     x0 = (mx * hi + bx) * 8
                     planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
 
+    return w, h, _planes_to_rgb(comps, planes, hmax, vmax, h, w)
+
+
+def _planes_to_rgb(comps, planes, hmax, vmax, h, w):
+    """Shared decode tail (baseline + progressive): upsample each
+    component plane to full resolution by pixel replication, crop to
+    the frame, and color-convert."""
     full = []
-    for ci, (_cid, hi, vi, _tq, _td, _ta) in enumerate(comps):
+    for ci, comp in enumerate(comps):
+        hi, vi = comp[1], comp[2]
         p = planes[ci]
         if (hi, vi) != (hmax, vmax):
             p = np.repeat(np.repeat(p, vmax // vi, axis=0),
@@ -643,5 +1121,4 @@ def _decode_jpeg(payload: bytes):
         raise NotImplementedError(
             f"{len(full)}-component JPEG not supported"
         )
-    rgb = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
-    return w, h, rgb
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)

@@ -7,11 +7,12 @@ engine keeps the same shape Spark-native: a `binary` column + a metadata
 struct, decoded/feature-extracted inside Arrow batches.
 
 Decode kernels: REAL pure-python/numpy decoders — PPM P6 / BMP 24-bit,
-8-bit RGB(A) PNG (round 3, stdlib zlib), baseline JPEG (round 3,
-jpeg.py — from-scratch Huffman + IDCT codec) and PCM WAV audio (stdlib
+8-bit RGB(A) PNG (round 3, stdlib zlib), baseline AND progressive
+JPEG (jpeg.py — from-scratch Huffman + IDCT codec; SOF2 multi-scan
+successive approximation landed round 4) and PCM WAV audio (stdlib
 `wave`) — produce genuine pixel/sample-derived features through
 `media_features(real_decode=True)`.  Formats that require external
-codecs (progressive JPEG/MP3/video containers) still raise
+codecs (MP3/video containers) still raise
 NotImplementedError at the same documented extension point;
 `deterministic_fake_decode` remains for plumbing tests that want
 payload-seeded reproducible rows.
@@ -331,11 +332,12 @@ def _decode_gif(payload: bytes):
 
 def decode_image(payload: bytes):
     """Pure-python image decode: PPM P6, 24-bit BMP, 8-bit RGB/RGBA
-    PNG, GIF87a/89a (LZW + palette, first frame), and baseline JPEG
-    (jpeg.py — stream-embedded Huffman/quant tables, 4:4:4 / 4:2:0 /
-    grayscale, restart intervals).  Returns
-    (width, height, HxWx3 uint8 array).  Progressive JPEG and other
-    formats raise NotImplementedError — plug PIL/opencv here."""
+    PNG, GIF87a/89a (LZW + palette, first frame), and JPEG — baseline
+    and progressive (jpeg.py — stream-embedded Huffman/quant tables,
+    4:4:4 / 4:2:0 / grayscale, restart intervals, SOF2 spectral
+    selection + successive approximation).  Returns
+    (width, height, HxWx3 uint8 array).  Other formats raise
+    NotImplementedError — plug PIL/opencv here."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -727,9 +729,10 @@ def media_thumbnails(media: DataFrame, out_w: int = 32,
                      out_h: int = 32) -> DataFrame:
     """Decode -> resize -> re-encode thumbnail stage for image rows,
     Arrow-batched.  Real end-to-end for PPM, BMP, 8-bit RGB/RGBA PNG
-    (stdlib-zlib decoder) and baseline JPEG (jpeg.py) payloads; rows
-    whose format still needs an external codec (progressive JPEG /
-    video stills) or arrive malformed are dropped per-row rather than
+    (stdlib-zlib decoder) and baseline/progressive JPEG (jpeg.py)
+    payloads; rows whose format still needs an external codec (video
+    stills / compressed audio) or arrive malformed are dropped per-row
+    rather than
     failing the stage (the reference's per-engine timeout /
     failure-tolerance discipline, S4)."""
     import pandas as pd

@@ -211,13 +211,98 @@ def test_grayscale_with_221_sampling_decodes_non_interleaved():
     assert np.array_equal(out, base)
 
 
-def test_progressive_raises_not_implemented():
+def test_baseline_scan_under_sof2_marker_is_malformed():
+    """A baseline stream whose SOF0 marker is flipped to SOF2 is NOT a
+    valid progressive file (its single scan declares Ss=0, Se=63 —
+    illegal progressive spectral selection) — round 4's progressive
+    decoder rejects it as ValueError so the per-row media tolerance
+    catches it, where round 3 raised NotImplementedError."""
     good = bytearray(_fixture("tiny.jpg"))
     i = good.find(b"\xff\xc0")
     assert i > 0
     good[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(good))
+
+
+# ------------------------------------------------------------- progressive
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """THE progressive invariant: encode_jpeg_progressive emits the
+    same quantized coefficients as encode_jpeg in a six-phase scan
+    script (DC Al=1, per-component AC bands at Al=2, two AC refinement
+    passes, DC refinement), so both decode to bit-identical pixels —
+    every successive-approximation bit must land exactly."""
+    from medical_ocr_pipeline_spark.jpeg import encode_jpeg_progressive
+
+    cases = [
+        ((24, 33), "444"), ((21, 18), "420"), ((16, 16), "gray"),
+        ((8, 8), "444"), ((40, 25), "420"), ((13, 7), "444"),
+    ]
+    for (h, w), sub in cases:
+        img = _synth(h, w, h + w)
+        for q in (85, 50):
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=q, subsampling=sub))
+            assert base[0] == prog[0] and base[1] == prog[1]
+            assert np.array_equal(base[2], prog[2]), (h, w, sub, q)
+
+
+def test_progressive_eobn_runs_roundtrip():
+    """A constant image zeroes every AC band, so each AC scan is one
+    EOBn run covering all blocks — the run-length decode path the
+    standard Annex-K tables can never produce (they lack EOBn symbols;
+    the progressive encoder ships a flat stream-embedded table)."""
+    from medical_ocr_pipeline_spark.jpeg import encode_jpeg_progressive
+
+    img = np.full((96, 144, 3), 137, dtype=np.uint8)
+    p = encode_jpeg_progressive(img, quality=85)
+    b = encode_jpeg(img, quality=85)
+    assert np.array_equal(decode_jpeg(p)[2], decode_jpeg(b)[2])
+    # all-zero AC blocks collapse into EOBn runs: at a size where the
+    # fixed header overhead (flat DHT + 6 scan headers) is amortized,
+    # the progressive stream undercuts baseline's one-EOB-per-block cost
+    assert len(p) < len(b)
+
+
+def test_progressive_fixture_goldens():
+    """Committed progressive fixture pins BOTH directions — and its
+    decoded pixels hash-match the baseline tiny_420.jpg golden (same
+    source, quality, and subsampling => same pixels by the invariant)."""
+    from medical_ocr_pipeline_spark.jpeg import encode_jpeg_progressive
+
+    assert encode_jpeg_progressive(
+        _synth(14, 20, 2), quality=85, subsampling="420"
+    ) == _fixture("tiny_prog.jpg")
+    w, h, rgb = decode_jpeg(_fixture("tiny_prog.jpg"))
+    assert (w, h) == (20, 14)
+    assert hashlib.sha256(rgb.tobytes()).hexdigest()[:16] == \
+        "fbee3e617efbc4c6"  # == tiny_420.jpg's pinned decode golden
+
+
+def test_progressive_truncation_prefix_fuzz():
+    """Every strict prefix of the progressive fixture either raises
+    ValueError or (when it ends on a complete scan boundary) decodes a
+    partial-precision image of the right shape — never crashes, never
+    returns garbage shapes (the per-row tolerance contract)."""
+    full = _fixture("tiny_prog.jpg")
+    for cut in range(2, len(full) - 1, 7):
+        try:
+            w, h, rgb = decode_jpeg(full[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        # a prefix ending exactly after a full scan is a legal
+        # progressive stream at reduced precision
+        assert (w, h) == (20, 14) and rgb.shape == (14, 20, 3)
+
+
+def test_progressive_decode_image_dispatch():
+    from medical_ocr_pipeline_spark.multimodal import decode_image
+
+    w, h, rgb = decode_image(_fixture("tiny_prog.jpg"))
+    assert (w, h) == (20, 14) and rgb.shape == (14, 20, 3)
 
 
 def test_decode_image_dispatches_jpeg():
