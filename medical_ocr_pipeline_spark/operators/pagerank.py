@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 
 def pagerank(edges: DataFrame, n_iters: int = 10,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85, checkpoint_every: int = 1,
+             aqe: str = "auto") -> DataFrame:
     """edges: (src, dst) — directed.  Returns (vertex, rank) for every
     vertex appearing as src or dst; ranks sum to 1.
 
@@ -33,7 +34,20 @@ def pagerank(edges: DataFrame, n_iters: int = 10,
     noise (the registry query rounds to 8 decimals, ~5e5 margin, and
     tie-breaks sorts by vertex id; 10 decimals was too tight for a
     cross-engine hash).  The structure (which vertex ranks where) is
-    stable far above that noise."""
+    stable far above that noise.
+
+    `aqe` ('auto' | 'on' | 'off'): adaptive execution is the WRONG tool
+    inside a small fixed-point loop — each of AQE's per-query-stage
+    materialize/re-optimize rounds costs real driver latency that a
+    tiny graph pays 10x over (measured at the sf0.01 gate: 50.5 s with
+    AQE on vs 8.6 s off, identical ranks), while on a billion-edge
+    graph the same re-planning (skew split, coalesce) is worth every
+    round.  'auto' disables AQE for the loop when the graph is small
+    (< 1e6 vertices) and leaves the session setting alone otherwise;
+    the conf is restored either way.  `checkpoint_every` keeps lineage
+    truncation per-round by default — deferring it makes the lazy
+    dangling aggregate re-execute the whole chain since the last
+    checkpoint once per round (measured quadratic blow-up, 58 s)."""
     verts = (
         edges.select(F.col("src").alias("vertex"))
         .union(edges.select(F.col("dst").alias("vertex")))
@@ -47,9 +61,15 @@ def pagerank(edges: DataFrame, n_iters: int = 10,
     # (src, dst, deg) — static across iterations; persist once
     flow = edges.join(out_deg, "src").persist()
     flow.count()
+    spark = edges.sparkSession
+    aqe_conf = "spark.sql.adaptive.enabled"
+    old_aqe = spark.conf.get(aqe_conf)
+    turn_off = aqe == "off" or (aqe == "auto" and n < 1_000_000)
+    if turn_off:
+        spark.conf.set(aqe_conf, "false")
     ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     try:
-        for _ in range(n_iters):
+        for it in range(n_iters):
             # dangling mass stays a LAZY 1-row frame folded back in via a
             # broadcast cross join — no per-iteration driver collect(),
             # so each round is exactly one job (the eager localCheckpoint
@@ -81,10 +101,13 @@ def pagerank(edges: DataFrame, n_iters: int = 10,
                         + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                     ).alias("rank"),
                 )
-                .localCheckpoint()
             )
+            if (it + 1) % checkpoint_every == 0 or it + 1 == n_iters:
+                nxt = nxt.localCheckpoint()
             ranks = nxt
     finally:
+        if turn_off:
+            spark.conf.set(aqe_conf, old_aqe)
         flow.unpersist()
         out_deg.unpersist()
         verts.unpersist()

@@ -497,10 +497,12 @@ def _pagerank_oracle_sql(n_iters: int = 10) -> str:
     per-host inflow SUM, whose error (~1e-14 after 10 iterations) sits
     five orders of magnitude below the 8-decimal output rounding, so
     the hash compare is stable (see base.py's rounding-boundary note)."""
-    # AS MATERIALIZED: without it DuckDB inlines each CTE at every one
-    # of its ~3 x n_iters reference sites, re-opening the parquet file
-    # per inlined scan (EMFILE at 10 iterations) and re-deriving the
-    # edge graph dozens of times.
+    # AS MATERIALIZED on EVERY CTE, the iteration triple included:
+    # without it DuckDB inlines each CTE at every reference site —
+    # r{i} is referenced twice (d{i+1} and inf{i+1}), so the chain
+    # inlines EXPONENTIALLY (measured 2x per iteration: 1.8 s at 8
+    # iterations, 30 s at 10) and the base CTEs additionally re-open
+    # the parquet file per inlined scan (EMFILE).
     parts = [
         """
     WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
@@ -521,19 +523,19 @@ def _pagerank_oracle_sql(n_iters: int = 10) -> str:
     ]
     for i in range(1, n_iters + 1):
         parts.append(f""",
-    d{i} AS (
+    d{i} AS MATERIALIZED (
       SELECT COALESCE(SUM(r.rank), 0.0) AS m
       FROM r{i - 1} r LEFT JOIN outdeg o ON r.vertex = o.src
       WHERE o.deg IS NULL
     ),
-    inf{i} AS (
+    inf{i} AS MATERIALIZED (
       SELECT e.dst AS vertex, SUM(r.rank / o.deg) AS inflow
       FROM edges e
       JOIN outdeg o ON e.src = o.src
       JOIN r{i - 1} r ON r.vertex = e.src
       GROUP BY e.dst
     ),
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT v.vertex,
              ((1.0 - 0.85) / nv.n + 0.85 * d{i}.m / nv.n)
                + 0.85 * COALESCE(inf{i}.inflow, 0.0) AS rank
