@@ -444,16 +444,58 @@ def audio_features(payload: bytes) -> list[float]:
     return [float(np.float32(v)) for v in out]
 
 
+def video_features(payload: bytes) -> list[float]:
+    """16 frame-derived floats from a native video container (animated
+    GIF, decode_gif_frames): canvas dims, frame count, duration, mean
+    luminance / luminance spread across frames, an 8-point
+    mean-luminance-over-time profile (resampled to fixed length like
+    audio_features' energy profile), and mean inter-frame absolute
+    difference — the motion statistic a sampling curator filters on."""
+    import numpy as np
+
+    w, h, frames = decode_gif_frames(payload, max_frames=64)
+    lum = [
+        0.299 * f[:, :, 0].astype(np.float64)
+        + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        for _d, f in frames
+    ]
+    means = np.array([x.mean() for x in lum])
+    duration_cs = sum(d for d, _f in frames)
+    profile = np.interp(
+        np.linspace(0, len(means) - 1, 8), np.arange(len(means)), means
+    ) / 255.0
+    motion = (
+        float(np.mean([np.abs(a - b).mean() for a, b in zip(lum, lum[1:])]))
+        if len(lum) > 1 else 0.0
+    )
+    out = [
+        w / 4096.0,
+        h / 4096.0,
+        len(frames) / 256.0,
+        duration_cs / 6000.0,  # minutes
+        float(means.mean()) / 255.0,
+        float(np.mean([x.std() for x in lum])) / 255.0,
+        *profile.tolist(),
+        motion / 255.0,
+        float(means.std()) / 255.0,
+    ]
+    return [float(np.float32(v)) for v in out]
+
+
 def real_decode_features(kind: str, payload: bytes) -> list[float]:
     """Per-kind dispatch for media_features(real_decode=True).  Video
-    remains the documented stub: frame extraction needs a codec."""
+    decodes natively when the container is an animated GIF; other
+    containers (MP4/webm) remain the documented external-codec
+    extension point."""
     if kind == "image":
         return image_features(payload)
     if kind == "audio":
         return audio_features(payload)
+    if kind == "video" and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return video_features(payload)
     raise NotImplementedError(
-        f"no native decoder for kind={kind!r}; video frame decode needs "
-        "an external codec wired here"
+        f"no native decoder for kind={kind!r}; non-GIF video frame "
+        "decode needs an external codec wired here"
     )
 
 
@@ -630,29 +672,22 @@ def encode_png(arr) -> bytes:
     )
 
 
-def encode_gif(arr) -> bytes:
-    """HxWx3 uint8 -> single-frame GIF89a bytes with a REAL growing-
-    dictionary LZW encoder (the inverse of _decode_gif).  Exact-palette
-    only: the image must use <= 256 distinct colors (true for the
-    committed fixtures and synthetic media); richer images raise
-    ValueError — quantization belongs to a real imaging library."""
+def _gif_palette(flat):
+    """distinct-color palette for exact-palette encoding: returns
+    (palette array, index array, palette bit depth)."""
     import numpy as np
 
-    h, w = arr.shape[:2]
-    flat = arr.reshape(-1, 3)
     pal, idx = np.unique(flat, axis=0, return_inverse=True)
     if len(pal) > 256:
         raise ValueError("encode_gif needs <= 256 distinct colors")
-    # palette size: power of two >= max(2, len(pal))
     bits = max(2, (len(pal) - 1).bit_length() if len(pal) > 1 else 1)
-    n_pal = 1 << bits
-    pal_bytes = pal.astype(np.uint8).tobytes() + b"\x00" * (
-        3 * (n_pal - len(pal))
-    )
-    min_code = bits
-    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    return pal, idx, bits
 
-    # LZW encode with LSB-first variable-width bit packing
+
+def _gif_lzw_encode(idx_bytes: bytes, min_code: int) -> bytes:
+    """Growing-dictionary LZW encode (the inverse of _gif_lzw_decode):
+    LSB-first variable-width bit packing, clear at 12-bit exhaustion."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
     out_bits = bytearray()
     acc = 0
     nbits = 0
@@ -673,7 +708,7 @@ def encode_gif(arr) -> bytes:
     next_code = eoi + 1
     emit(clear, width)
     seq = b""
-    for px in idx.astype(np.uint8).tobytes():
+    for px in idx_bytes:
         cand = seq + bytes([px])
         if cand in table:
             seq = cand
@@ -698,23 +733,232 @@ def encode_gif(arr) -> bytes:
     emit(eoi, width)
     if nbits:
         out_bits.append(acc & 0xFF)
+    return bytes(out_bits)
 
+
+def _gif_subblocks(data: bytes) -> bytes:
     body = bytearray()
-    for off in range(0, len(out_bits), 255):
-        chunk = out_bits[off : off + 255]
+    for off in range(0, len(data), 255):
+        chunk = data[off:off + 255]
         body.append(len(chunk))
         body += chunk
     body.append(0)
+    return bytes(body)
 
+
+def encode_gif(arr) -> bytes:
+    """HxWx3 uint8 -> single-frame GIF89a bytes with a REAL growing-
+    dictionary LZW encoder (the inverse of _decode_gif).  Exact-palette
+    only: the image must use <= 256 distinct colors (true for the
+    committed fixtures and synthetic media); richer images raise
+    ValueError — quantization belongs to a real imaging library."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    pal, idx, bits = _gif_palette(arr.reshape(-1, 3))
+    n_pal = 1 << bits
+    pal_bytes = pal.astype(np.uint8).tobytes() + b"\x00" * (
+        3 * (n_pal - len(pal))
+    )
+    min_code = bits
+    body = _gif_subblocks(
+        _gif_lzw_encode(idx.astype(np.uint8).tobytes(), min_code)
+    )
     return (
         b"GIF89a"
         + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
         + pal_bytes
         + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
         + bytes([min_code])
-        + bytes(body)
+        + body
         + b"\x3b"
     )
+
+
+def encode_gif_animated(frames, delays_cs=None, disposals=None,
+                        rects=None, canvas=None) -> bytes:
+    """Multi-frame GIF89a (the one video container a pure-stdlib
+    pipeline can author): per-frame LOCAL color tables, Graphic Control
+    Extension carrying delay + disposal, NETSCAPE2.0 loop block, and
+    sub-rectangle frame placement — the full composition surface
+    decode_gif_frames has to honor.
+
+    frames: list of HxWx3 uint8 patch arrays (exact-palette).
+    delays_cs: per-frame delay in centiseconds (default 10).
+    disposals: per-frame disposal method (0/1 leave, 2 restore to
+      background, 3 restore to previous).
+    rects: per-frame (left, top) placement (default (0, 0)).
+    canvas: (width, height); default = frame 0's size."""
+    import numpy as np
+
+    n = len(frames)
+    if n == 0:
+        raise ValueError("animated GIF needs at least one frame")
+    delays_cs = list(delays_cs or [10] * n)
+    disposals = list(disposals or [1] * n)
+    rects = list(rects or [(0, 0)] * n)
+    ch, cw = frames[0].shape[:2]
+    if canvas is not None:
+        cw, ch = canvas
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", cw, ch, 0, 0, 0)  # no global table
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f, (arr, delay, disp, (lx, ty)) in enumerate(
+            zip(frames, delays_cs, disposals, rects)):
+        fh, fw = arr.shape[:2]
+        if lx + fw > cw or ty + fh > ch:
+            raise ValueError(f"frame {f} exceeds the canvas")
+        pal, idx, bits = _gif_palette(np.asarray(arr).reshape(-1, 3))
+        n_pal = 1 << bits
+        pal_bytes = pal.astype(np.uint8).tobytes() + b"\x00" * (
+            3 * (n_pal - len(pal))
+        )
+        # GCE: disposal in bits 2-4, no transparency
+        out += b"\x21\xf9\x04" + bytes([disp << 2]) + struct.pack(
+            "<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", lx, ty, fw, fh, 0x80 | (bits - 1))
+        out += pal_bytes
+        out += bytes([bits])
+        out += _gif_subblocks(
+            _gif_lzw_encode(idx.astype(np.uint8).tobytes(), bits))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes, max_frames: int | None = None):
+    """Animated GIF89a decode with full canvas composition: every frame
+    is rendered onto the logical screen honoring its placement
+    rectangle, transparency index, and the PREVIOUS frame's disposal
+    method (1 leave, 2 restore-to-background, 3 restore-to-previous —
+    GIF89a spec 23).  Returns (canvas_w, canvas_h,
+    [(delay_cs, HxWx3 uint8 canvas snapshot), ...]).
+
+    This is the engine's native video-container decode path: an
+    animated GIF is a real timed frame sequence, so frame sampling and
+    video features run end-to-end without an external codec (MP4/webm
+    still need one — the documented extension point)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    cw, ch = struct.unpack_from("<HH", payload, 6)
+    if cw == 0 or ch == 0:
+        raise ValueError("empty GIF canvas")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        npal = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * npal]
+        if len(gct) < 3 * npal:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * npal
+    canvas = np.zeros((ch, cw, 3), dtype=np.uint8)
+    frames: list[tuple[int, "np.ndarray"]] = []
+    # pending GCE state for the NEXT image descriptor
+    delay_cs = 0
+    disposal = 0
+    transparent = -1
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos + 1]
+            pos += 2
+            blocks = []
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                blocks.append(payload[pos + 1:pos + 1 + ln])
+                if len(blocks[-1]) < ln:
+                    raise ValueError("truncated GIF data sub-block")
+                pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("GIF extension missing terminator")
+            pos += 1
+            if label == 0xF9 and blocks and len(blocks[0]) >= 4:
+                gce = blocks[0]
+                disposal = (gce[0] >> 2) & 0x07
+                delay_cs = struct.unpack_from("<H", gce, 1)[0]
+                transparent = gce[3] if gce[0] & 0x01 else -1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            lx, ty, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                npal = 2 << (ipacked & 0x07)
+                ct = payload[pos:pos + 3 * npal]
+                if len(ct) < 3 * npal:
+                    raise ValueError("truncated GIF local color table")
+                pos += 3 * npal
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            if fw == 0 or fh == 0 or lx + fw > cw or ty + fh > ch:
+                raise ValueError("GIF frame rect outside the canvas")
+            if pos >= len(payload):
+                raise ValueError("GIF truncated before LZW code size")
+            min_code = payload[pos]
+            if not 2 <= min_code <= 11:
+                raise ValueError("invalid GIF LZW minimum code size")
+            pos += 1
+            chunks = []
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + ln])
+                if len(chunks[-1]) < ln:
+                    raise ValueError("truncated GIF data sub-block")
+                pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("GIF image missing block terminator")
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(b"".join(chunks), min_code, fw * fh),
+                dtype=np.uint8,
+            )
+            if int(idx.max()) * 3 + 3 > len(ct):
+                raise ValueError("GIF pixel index beyond color table")
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            patch = pal[idx].reshape(fh, fw, 3)
+            if ipacked & 0x40:  # 4-pass interlace
+                order = (
+                    list(range(0, fh, 8)) + list(range(4, fh, 8))
+                    + list(range(2, fh, 4)) + list(range(1, fh, 2))
+                )
+                de = np.empty_like(patch)
+                de[order] = patch
+                patch = de
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[ty:ty + fh, lx:lx + fw]
+            if transparent >= 0:
+                mask = idx.reshape(fh, fw) != transparent
+                region[mask] = patch[mask]
+            else:
+                region[:] = patch
+            frames.append((delay_cs, canvas.copy()))
+            if max_frames is not None and len(frames) >= max_frames:
+                return cw, ch, frames
+            # apply THIS frame's disposal before the next composes
+            if disposal == 2:
+                canvas[ty:ty + fh, lx:lx + fw] = 0
+            elif disposal == 3 and before is not None:
+                canvas = before
+            delay_cs = 0
+            disposal = 0
+            transparent = -1
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return cw, ch, frames
 
 
 THUMB_SCHEMA = T.StructType([

@@ -245,3 +245,137 @@ def test_every_truncation_raises_valueerror():
             raise AssertionError(
                 f"prefix of length {cut} raised {type(e).__name__}"
             ) from e
+
+
+# ---------------------------------------------------------- animated frames
+
+
+def _patches():
+    f0 = np.zeros((8, 10, 3), dtype=np.uint8)
+    f0[:, :, 0] = 200  # red canvas
+    f1 = np.zeros((4, 5, 3), dtype=np.uint8)
+    f1[:, :, 1] = 150  # green patch
+    f2 = np.zeros((2, 3, 3), dtype=np.uint8)
+    f2[:, :, 2] = 90  # blue patch
+    return f0, f1, f2
+
+
+def test_animated_roundtrip_composition():
+    """Three frames with placement rects and disposal 'leave': each
+    decoded snapshot is the composition of everything drawn so far."""
+    from medical_ocr_pipeline_spark.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    f0, f1, f2 = _patches()
+    payload = encode_gif_animated(
+        [f0, f1, f2], delays_cs=[5, 10, 15],
+        disposals=[1, 1, 1], rects=[(0, 0), (2, 3), (6, 1)],
+    )
+    w, h, frames = decode_gif_frames(payload)
+    assert (w, h) == (10, 8)
+    assert [d for d, _ in frames] == [5, 10, 15]
+    want = f0.copy()
+    assert np.array_equal(frames[0][1], want)
+    want[3:7, 2:7] = f1
+    assert np.array_equal(frames[1][1], want)
+    want[1:3, 6:9] = f2
+    assert np.array_equal(frames[2][1], want)
+
+
+def test_animated_disposal_background_and_previous():
+    """Disposal 2 clears the frame rect to background before the next
+    frame; disposal 3 restores the pre-frame canvas."""
+    from medical_ocr_pipeline_spark.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    f0, f1, f2 = _patches()
+    payload = encode_gif_animated(
+        [f0, f1, f2], disposals=[1, 2, 3], rects=[(0, 0), (2, 3), (6, 1)],
+    )
+    _w, _h, frames = decode_gif_frames(payload)
+    base = f0.copy()
+    # frame 1 visible while shown...
+    shown1 = base.copy()
+    shown1[3:7, 2:7] = f1
+    assert np.array_equal(frames[1][1], shown1)
+    # ...but disposal 2 wipes its rect to background (black) afterwards
+    after1 = base.copy()
+    after1[3:7, 2:7] = 0
+    shown2 = after1.copy()
+    shown2[1:3, 6:9] = f2
+    assert np.array_equal(frames[2][1], shown2)
+
+
+def test_animated_first_frame_matches_single_decoder():
+    """decode_gif_frames(max_frames=1) agrees with the single-frame
+    _decode_gif path on a full-canvas first frame."""
+    from medical_ocr_pipeline_spark.multimodal import (
+        decode_gif_frames,
+        decode_image,
+        encode_gif_animated,
+    )
+
+    f0, f1, _f2 = _patches()
+    payload = encode_gif_animated([f0, f1], rects=[(0, 0), (2, 3)])
+    w, h, frames = decode_gif_frames(payload, max_frames=1)
+    w1, h1, px1 = decode_image(payload)
+    assert (w, h) == (w1, h1) == (10, 8)
+    assert np.array_equal(frames[0][1], px1)
+
+
+def test_animated_truncation_raises():
+    from medical_ocr_pipeline_spark.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    f0, f1, f2 = _patches()
+    full = encode_gif_animated([f0, f1, f2], rects=[(0, 0), (2, 3), (6, 1)])
+    for cut in range(2, len(full) - 1, 3):
+        try:
+            _w, _h, frames = decode_gif_frames(full[:cut])
+        except ValueError:
+            continue
+        # a prefix ending on a clean frame boundary is a shorter video
+        assert 1 <= len(frames) <= 3
+
+
+def test_video_features_via_media_kernel(spark):
+    """kind='video' with an animated-GIF payload decodes natively end
+    to end through media_features(real_decode=True); a non-GIF video
+    payload still costs one row (None features), never the task."""
+    from pyspark.sql import Row
+
+    from medical_ocr_pipeline_spark.multimodal import (
+        FEATURE_DIM,
+        encode_gif_animated,
+        media_features,
+        video_features,
+    )
+
+    f0, f1, f2 = _patches()
+    gif = encode_gif_animated(
+        [f0, f1, f2], delays_cs=[10, 20, 30], rects=[(0, 0), (2, 3), (6, 1)]
+    )
+    feats = video_features(gif)
+    assert len(feats) == FEATURE_DIM
+    assert feats[2] == pytest.approx(3 / 256.0)      # frame count
+    assert feats[3] == pytest.approx(60 / 6000.0)    # duration (cs)
+    assert feats[14] > 0.0                           # motion present
+
+    rows = [
+        Row(media_id="v1", kind="video", payload=bytearray(gif)),
+        Row(media_id="v2", kind="video", payload=bytearray(b"\x00mp4junk")),
+    ]
+    out = {
+        r["media_id"]: r["features"]
+        for r in media_features(
+            spark.createDataFrame(rows), real_decode=True
+        ).collect()
+    }
+    assert out["v2"] is None
+    assert [pytest.approx(x) for x in out["v1"]] == feats
