@@ -42,6 +42,7 @@ from medical_ocr_pipeline_spark.queries.base import REGISTRY  # noqa: F401
 # through base.fanout().  Entries pushed out past slot 50 are all green
 # in CORRECTNESS_r03/r02/r01.json with unchanged code (audited).
 _PROMOTE_TO_WINDOW = [
+    "kmeans_embeddings",
     "dedup_ngram_jaccard",
     "bpe_train_merges",
     "bpe_encode_stats",

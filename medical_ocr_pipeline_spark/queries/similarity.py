@@ -802,3 +802,111 @@ def bm25_topk(spark, sf_dir):
         .select("query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank"))
         .orderBy("query_id", "rank")
     )
+
+
+# --- k-means centroid training ------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def _kmeans_oracle_sql(k: int, iters: int, dim: int = 64) -> str:
+    """Unrolled fixed-iteration Lloyd's k-means as chained MATERIALIZED
+    DuckDB CTEs — per iteration an (assign, per-dim mean, centroids)
+    triple replicating the operator's exact dataflow (the host_pagerank
+    oracle pattern; MATERIALIZED because a{i}/c{i} are referenced twice
+    and DuckDB would otherwise inline the chain exponentially).
+    Cross-engine exactness: centroids are integer-exact means
+    (floor(v*1e8) BIGINT sums, one double division — base.py's
+    discipline), distances fold in index order on both sides, argmin
+    tie-breaks on cluster id."""
+    dist = (
+        "list_aggregate(list_transform(range(1, {top}), "
+        "j -> (v.e[j] - c.c[j]) * (v.e[j] - c.c[j])), 'sum')"
+    ).format(top=dim + 1)
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (
+               ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) - 1 AS cid, e AS c
+      FROM (SELECT vec_id, e FROM e
+            ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {k})
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, e, cid FROM (
+        SELECT s.*, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT v.vec_id, v.e, c.cid, {dist} AS d
+              FROM e v, c{i - 1} c) s
+      ) WHERE rn = 1
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT cid, pos,
+             CAST(SUM(CAST(FLOOR(val * 100000000) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100000000 AS v
+      FROM (SELECT cid, generate_subscripts(e, 1) AS pos,
+                   unnest(e) AS val FROM a{i})
+      GROUP BY cid, pos
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT p.cid, COALESCE(n.c, p.c) AS c
+      FROM c{i - 1} p LEFT JOIN (
+        SELECT cid, list(v ORDER BY pos) AS c FROM m{i} GROUP BY cid
+      ) n ON p.cid = n.cid
+    )""")
+    parts.append(f""",
+    fin AS (
+      SELECT vec_id, label, cid, d FROM (
+        SELECT s.*, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT v.vec_id, v.label, c.cid, {dist} AS d
+              FROM e v, c{iters} c) s
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, label, cid AS cluster_id, ROUND(d, 6) AS dist
+    FROM fin ORDER BY vec_id""")
+    return "".join(parts)
+
+
+@register(
+    "kmeans_embeddings", sql=_kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS)
+)
+def kmeans_embeddings(spark, sf_dir):
+    """Distributed Lloyd's k-means over the corpus embeddings — the
+    centroid TRAINING step behind SemDeDup's clusters and IVF's coarse
+    quantizer (both registry queries seed deterministically so their
+    oracles replay; a production pipeline trains, and this is the
+    trainer: operators/kmeans.py).  Per iteration: map-only assignment
+    (centroids ride the plan as a literal array), combinable
+    (cluster, dim) BIGINT-sum groupBy, bounded k x dim collect — the
+    MLlib KMeans dataflow.  Full DuckDB oracle: the 4 Lloyd iterations
+    unroll into chained materialized CTEs; integer-exact centroid
+    means + in-order distance folds make every iteration bit-identical
+    across engines (see _kmeans_oracle_sql).  Output: every vector's
+    final cluster and squared-L2 distance to its trained centroid.
+    Reference analogue: none (brute-force per-pair similarity only) —
+    this exists for the 100 TB corpus."""
+    from medical_ocr_pipeline_spark.operators.kmeans import lloyd_kmeans
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    assigned, _cents = lloyd_kmeans(emb, KMEANS_K, KMEANS_ITERS)
+    return assigned.select(
+        "vec_id",
+        "label",
+        "cluster_id",
+        F.round("dist", 6).alias("dist"),
+    ).orderBy("vec_id")

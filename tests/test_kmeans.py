@@ -1,0 +1,121 @@
+"""Distributed Lloyd's k-means (operators/kmeans.py).
+
+The registry query kmeans_embeddings carries a full unrolled DuckDB
+oracle (checked at all three SFs by scripts/check_oracle.py); these
+tests pin the operator's MATH and its distribution discipline:
+well-separated recovery, SSE monotonicity, empty-cluster carry,
+partition invariance (the integer-exact mean makes assignments exactly
+reproducible across partitionings), and that training actually
+improves the quantizer over its seeds.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from medical_ocr_pipeline_spark.operators.kmeans import (
+    assign_clusters,
+    lloyd_kmeans,
+)
+
+
+def _frame(spark, pts, n_partitions=4):
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, e array<double>"
+    ).repartition(n_partitions)
+
+
+WELL_SEPARATED = (
+    [[0.0 + d, 0.1 * i] for i in range(5) for d in (0.0,)]
+    + [[10.0, 0.1 * i] for i in range(5)]
+    + [[0.0, 20.0 + 0.1 * i] for i in range(5)]
+)
+
+
+def test_recovers_well_separated_clusters(spark):
+    emb = _frame(spark, WELL_SEPARATED)
+    assigned, cents = lloyd_kmeans(emb, k=3, n_iters=5)
+    rows = assigned.select("vec_id", "cluster_id").collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    parts = sorted(tuple(sorted(g)) for g in groups.values())
+    assert parts == [
+        tuple(range(0, 5)),
+        tuple(range(5, 10)),
+        tuple(range(10, 15)),
+    ]
+    # each trained centroid sits at its cluster's true mean
+    means = {
+        tuple(range(0, 5)): [0.0, 0.2],
+        tuple(range(5, 10)): [10.0, 0.2],
+        tuple(range(10, 15)): [0.0, 20.2],
+    }
+    for cid, members in groups.items():
+        want = means[tuple(sorted(members))]
+        got = cents[cid]
+        assert got == pytest.approx(want, abs=1e-7)
+
+
+def _sse(emb, cents):
+    return (
+        assign_clusters(emb, cents)
+        .agg(F.sum("dist").alias("s"))
+        .collect()[0]["s"]
+    )
+
+
+def test_sse_non_increasing_per_iteration(spark):
+    pts = [
+        [((i * 7919) % 101) / 10.0, ((i * 104729) % 97) / 10.0]
+        for i in range(60)
+    ]
+    emb = _frame(spark, pts).persist()
+    sses = []
+    for iters in range(0, 5):
+        _, cents = lloyd_kmeans(emb, k=4, n_iters=iters)
+        sses.append(_sse(emb, cents))
+    emb.unpersist()
+    for a, b in zip(sses, sses[1:]):
+        assert b <= a + 1e-9
+    assert sses[-1] < sses[0]  # training actually improved the seeds
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # two seeds are IDENTICAL points, so the argmin's cid tie-break
+    # sends every member to the lower cid and the other cluster goes
+    # empty each iteration — it must carry its previous centroid
+    # (LEFT-join-coalesce semantics) instead of vanishing or NaN-ing
+    pts = [[0.0, 0.0], [0.0, 0.0], [5.0, 5.0]]
+    emb = _frame(spark, pts, n_partitions=1)
+    assigned, cents = lloyd_kmeans(emb, k=3, n_iters=3)
+    assert len(cents) == 3
+    assert sorted(cents.values()) == [[0.0, 0.0], [0.0, 0.0], [5.0, 5.0]]
+    assert all(
+        all(v == v for v in c) for c in cents.values()  # no NaN
+    )
+    assert assigned.count() == 3
+
+
+def test_partition_invariance(spark):
+    pts = [
+        [((i * 31) % 17) / 3.0, ((i * 57) % 23) / 5.0, float(i % 7)]
+        for i in range(200)
+    ]
+    outs = []
+    for n_parts in (1, 8, 32):
+        assigned, cents = lloyd_kmeans(
+            _frame(spark, pts, n_partitions=n_parts), k=6, n_iters=4
+        )
+        outs.append(
+            (
+                sorted(
+                    (r["vec_id"], r["cluster_id"], r["dist"])
+                    for r in assigned.collect()
+                ),
+                cents,
+            )
+        )
+    # integer-exact means -> bit-identical centroids AND distances at
+    # every partitioning, not merely approximately equal
+    assert outs[0] == outs[1] == outs[2]
