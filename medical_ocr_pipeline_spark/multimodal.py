@@ -9,10 +9,12 @@ struct, decoded/feature-extracted inside Arrow batches.
 Decode kernels: REAL pure-python/numpy decoders — PPM P6 / BMP 24-bit,
 8-bit RGB(A) PNG (round 3, stdlib zlib), baseline AND progressive
 JPEG (jpeg.py — from-scratch Huffman + IDCT codec; SOF2 multi-scan
-successive approximation landed round 4) and PCM WAV audio (stdlib
-`wave`) — produce genuine pixel/sample-derived features through
+successive approximation landed round 4), PCM WAV audio (stdlib
+`wave`) and compressed WAV audio — G.711 mu-law / A-law and IMA ADPCM
+via the from-scratch codecs in audio.py (round 4) — produce genuine
+pixel/sample-derived features through
 `media_features(real_decode=True)`.  Formats that require external
-codecs (MP3/video containers) still raise
+codecs (MP3/OGG/FLAC, non-GIF video) still raise
 NotImplementedError at the same documented extension point;
 `deterministic_fake_decode` remains for plumbing tests that want
 payload-seeded reproducible rows.
@@ -358,9 +360,12 @@ def decode_image(payload: bytes):
 
 
 def decode_audio(payload: bytes):
-    """Pure-python PCM WAV decode via stdlib `wave`.  Returns
-    (sample_rate, n_channels, int16 sample array, n_frames).  Compressed
-    audio raises — plug soundfile/librosa here for MP3/OGG/FLAC."""
+    """Pure-python WAV decode: PCM via stdlib `wave`; G.711 mu-law /
+    A-law and IMA ADPCM via the from-scratch codecs in audio.py (round
+    4 — stdlib wave only speaks PCM, so compressed tags fall through to
+    the manual RIFF walker).  Returns (sample_rate, n_channels, int16
+    sample array, n_frames).  MP3/OGG/FLAC remain the external-codec
+    extension point."""
     import numpy as np
 
     try:
@@ -371,9 +376,15 @@ def decode_audio(payload: bytes):
             n = wf.getnframes()
             raw = wf.readframes(n)
     except wave.Error as e:
+        if payload[:4] == b"RIFF":
+            from medical_ocr_pipeline_spark.audio import (
+                decode_wav_compressed,
+            )
+
+            return decode_wav_compressed(payload)
         raise NotImplementedError(
-            f"only PCM WAV decodes natively ({e}); plug soundfile/librosa "
-            "into decode_audio() for compressed formats"
+            f"only WAV containers decode natively ({e}); plug "
+            "soundfile/librosa into decode_audio() for other formats"
         ) from e
     except (EOFError, struct.error) as e:
         # stdlib wave raises EOFError on a truncated header (e.g. bare

@@ -72,6 +72,24 @@ def media_features_real(spark, sf_dir):
                 {"mime": "audio/wav", "width": 0, "height": 0,
                  "duration_ms": (160 + 16 * i) // 8},
             ))
+    # compressed-audio rows (round 4): the same deterministic waveform
+    # re-containered through the from-scratch G.711 / IMA ADPCM codecs,
+    # plus a truncated compressed payload that must cost one row (null
+    # features), never the task
+    from medical_ocr_pipeline_spark.audio import encode_wav
+
+    xs = [((13 * 5 + 7 * k) % 24000) - 12000 for k in range(320)]
+    for codec in ("ulaw", "alaw", "ima_adpcm"):
+        rows.append((
+            f"aud_{codec}", "audio", encode_wav(xs, 8000, 1, codec=codec),
+            {"mime": "audio/wav", "width": 0, "height": 0,
+             "duration_ms": 40},
+        ))
+    rows.append((
+        "aud_truncated", "audio",
+        encode_wav(xs, 8000, 1, codec="ulaw")[:24],
+        {"mime": "audio/wav", "width": 0, "height": 0, "duration_ms": 0},
+    ))
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     feats = media_features(media, real_decode=True)
     return feats.select(
