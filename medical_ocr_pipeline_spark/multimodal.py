@@ -495,18 +495,24 @@ def video_features(payload: bytes) -> list[float]:
 
 def real_decode_features(kind: str, payload: bytes) -> list[float]:
     """Per-kind dispatch for media_features(real_decode=True).  Video
-    decodes natively when the container is an animated GIF; other
-    containers (MP4/webm) remain the documented external-codec
-    extension point."""
+    decodes natively when the container is an animated GIF; MP4/ISO-BMFF
+    yields CONTAINER-derived triage features (mp4.py parses the real
+    box tree and sample tables — duration/fps/bitrate/keyframe shape —
+    no pixel decode); webm and the codec payloads inside mdat remain
+    the documented external-codec extension point."""
     if kind == "image":
         return image_features(payload)
     if kind == "audio":
         return audio_features(payload)
     if kind == "video" and payload[:6] in (b"GIF87a", b"GIF89a"):
         return video_features(payload)
+    if kind == "video" and len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from medical_ocr_pipeline_spark.mp4 import mp4_container_features
+
+        return mp4_container_features(payload)
     raise NotImplementedError(
-        f"no native decoder for kind={kind!r}; non-GIF video frame "
-        "decode needs an external codec wired here"
+        f"no native decoder for kind={kind!r}; non-GIF/MP4 video needs "
+        "an external codec wired here"
     )
 
 

@@ -90,6 +90,33 @@ def media_features_real(spark, sf_dir):
         encode_wav(xs, 8000, 1, codec="ulaw")[:24],
         {"mime": "audio/wav", "width": 0, "height": 0, "duration_ms": 0},
     ))
+    # video rows (round 4): an animated GIF decodes frames natively;
+    # an MP4 skeleton exercises the ISO-BMFF container triage path
+    # (real box/sample-table parse, no codec)
+    import numpy as np
+
+    from medical_ocr_pipeline_spark.multimodal import encode_gif_animated
+    from medical_ocr_pipeline_spark.mp4 import encode_mp4_skeleton
+
+    frames = [
+        np.fromfunction(
+            lambda y, x, c: (23 * f + 13 * y + 7 * x + 3 * c) % 256,
+            (6, 8, 3),
+        ).astype(np.uint8)
+        for f in range(4)
+    ]
+    rows.append((
+        "vid_gif", "video", encode_gif_animated(frames, delays_cs=[10] * 4),
+        {"mime": "image/gif", "width": 8, "height": 6, "duration_ms": 400},
+    ))
+    rows.append((
+        "vid_mp4", "video",
+        encode_mp4_skeleton(
+            320, 240, [400 + (37 * i) % 300 for i in range(20)], fps=10
+        ),
+        {"mime": "video/mp4", "width": 320, "height": 240,
+         "duration_ms": 2000},
+    ))
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     feats = media_features(media, real_decode=True)
     return feats.select(
