@@ -346,21 +346,44 @@ def _assignments(emb, centroids, nprobe: int = IVF_NPROBE):
     )
 
 
-def ivf_topk(spark, sf_dir, nprobe: int = IVF_NPROBE):
+def ivf_topk(spark, sf_dir, nprobe: int = IVF_NPROBE,
+             centroids: str = "stride"):
     """IVF coarse-quantizer ANN core with the nprobe dial exposed: the
     recall/cost trade is nprobe/n_lists (each query scans ~nprobe/17 of
     the corpus — stride-31 over 500 vectors seeds 17 lists, not 16).
     Measured recall-vs-nprobe curve lives in BENCH.md;
     tests pin recall >= 0.8 at the stated operating point (nprobe=8)
-    so a regression fails instead of passing silently (VERDICT r02)."""
+    so a regression fails instead of passing silently (VERDICT r02).
+
+    `centroids`: 'stride' (deterministic seeding — the oracle-replayable
+    registry default) or 'kmeans' (train the quantizer with
+    operators/kmeans.py at the same list count — the production path;
+    recall at the operating point is pinned >= the stride baseline in
+    tests/test_kmeans.py)."""
     emb = load(spark, sf_dir, "embeddings")
-    centroids = (
-        emb.where(F.col("vec_id") % IVF_SEED_STRIDE == 0)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("ce"),
+    if centroids == "kmeans":
+        from medical_ocr_pipeline_spark.operators.kmeans import lloyd_kmeans
+
+        n = emb.count()
+        k = (n + IVF_SEED_STRIDE - 1) // IVF_SEED_STRIDE
+        _assigned, cents = lloyd_kmeans(
+            emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            ),
+            k=k,
+            n_iters=4,
         )
-    )
+        centroids = spark.createDataFrame(
+            sorted(cents.items()), "centroid_id bigint, ce array<double>"
+        )
+    else:
+        centroids = (
+            emb.where(F.col("vec_id") % IVF_SEED_STRIDE == 0)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("ce"),
+            )
+        )
     # inverted lists: corpus vectors keyed by their single nearest list
     corpus_assign = _assignments(
         emb.where(F.col("vec_id") >= N_QUERIES), centroids

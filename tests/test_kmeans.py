@@ -119,3 +119,30 @@ def test_partition_invariance(spark):
     # integer-exact means -> bit-identical centroids AND distances at
     # every partitioning, not merely approximately equal
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_trained_centroids_beat_stride_ivf_recall(spark):
+    """The point of training the quantizer: ivf_topk(centroids='kmeans')
+    at the stated operating point (nprobe=8) reaches at least the
+    stride-seeded recall, and holds the 0.85 floor (measured 0.92 at
+    sf0.001 and 0.88 at sf0.01 vs stride's 0.88 / 0.80)."""
+    import os
+
+    from medical_ocr_pipeline_spark.queries.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    truth = cosine_topk(spark, sf_dir).toPandas()
+    t = set(zip(truth["query_id"], truth["neighbor_id"]))
+
+    def recall(mode):
+        got = ivf_topk(spark, sf_dir, nprobe=8, centroids=mode).toPandas()
+        return len(t & set(zip(got["query_id"], got["neighbor_id"]))) / len(t)
+
+    r_stride, r_kmeans = recall("stride"), recall("kmeans")
+    assert r_kmeans >= 0.85
+    assert r_kmeans >= r_stride - 1e-9
