@@ -115,7 +115,8 @@ def assign_clusters(emb: DataFrame, cents: dict[int, list[float]],
 
 
 def lloyd_kmeans(emb: DataFrame, k: int, n_iters: int = 4,
-                 id_col: str = "vec_id", vec_col: str = "e"):
+                 id_col: str = "vec_id", vec_col: str = "e",
+                 aqe: str = "auto"):
     """Run `n_iters` Lloyd iterations over emb(id_col, vec_col:
     array<double>).  Returns (assignments DataFrame with cluster_id +
     dist columns, final centroid dict {cid: [double]*dim}).
@@ -126,8 +127,22 @@ def lloyd_kmeans(emb: DataFrame, k: int, n_iters: int = 4,
     (LEFT-join-coalesce semantics, mirrored in the oracle).  For k
     beyond a few thousand, swap the literal for an explicit
     F.broadcast join — the literal keeps the toy-scale plan join-free
-    and the oracle replay trivial."""
+    and the oracle replay trivial.
+
+    `aqe` ('auto' | 'on' | 'off'): same policy as operators/pagerank.py
+    — AQE's per-query-stage re-optimization is pure driver latency
+    inside a small fixed-iteration loop (the plan is one map + one
+    combinable agg; there is nothing to re-plan), while on a
+    billion-row corpus its coalescing is worth keeping.  'auto'
+    disables AQE for the loop when the input is small (< 1e6 rows) and
+    restores the conf either way."""
     emb = emb.persist()
+    spark = emb.sparkSession
+    aqe_conf = "spark.sql.adaptive.enabled"
+    old_aqe = spark.conf.get(aqe_conf)
+    turn_off = aqe == "off" or (aqe == "auto" and emb.count() < 1_000_000)
+    if turn_off:
+        spark.conf.set(aqe_conf, "false")
     cents = _seed_centroids(emb, k, id_col, vec_col)
     try:
         for _ in range(n_iters):
@@ -166,4 +181,6 @@ def lloyd_kmeans(emb: DataFrame, k: int, n_iters: int = 4,
             }
         return assign_clusters(emb, cents, id_col, vec_col), cents
     finally:
+        if turn_off:
+            spark.conf.set(aqe_conf, old_aqe)
         emb.unpersist()
