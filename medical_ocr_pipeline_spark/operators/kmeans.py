@@ -94,11 +94,52 @@ def _centroid_literal(cents: dict[int, list[float]]):
 
 
 def assign_clusters(emb: DataFrame, cents: dict[int, list[float]],
-                    id_col: str = "vec_id", vec_col: str = "e") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "e",
+                    via: str = "auto") -> DataFrame:
     """Nearest-centroid assignment: adds (cluster_id, dist) to `emb`.
-    Pure map — per row, transform the literal centroid array into
-    (dist, cid) structs and take the lexicographic array_min, which IS
-    argmin-with-cid-tie-break.  No shuffle, no join, no window."""
+
+    Two physically different plans with identical results (pinned equal
+    by test):
+      * 'literal' — the k centroids ride the plan as a literal array;
+        per row, transform into (dist, cid) structs and take the
+        lexicographic array_min, which IS argmin-with-cid-tie-break.
+        Pure map: no shuffle, no join, no window.  The plan itself
+        grows with k*dim, so this is the small-k path.
+      * 'join' — centroids become a real broadcast frame; assignment is
+        a broadcast crossJoin (k-way row fanout) + a combinable
+        min(struct(dist, cid)) groupBy on the vector id.  The plan is
+        O(1) in k; the fanout is the standard price of a big quantizer
+        (MLlib pays the same).  This is the path for SemDeDup-scale k
+        (tens of thousands of lists).
+    'auto' switches to 'join' past ~64k literal cells (k * dim)."""
+    if via == "auto":
+        dim = len(next(iter(cents.values()))) if cents else 0
+        via = "join" if len(cents) * dim > 65536 else "literal"
+    if via == "join":
+        spark = emb.sparkSession
+        cent_df = spark.createDataFrame(
+            sorted(cents.items()), "cid int, c array<double>"
+        )
+        scored = emb.crossJoin(F.broadcast(cent_df)).select(
+            *emb.columns,
+            F.struct(
+                _sq_dist(F.col(vec_col), F.col("c")).alias("d"),
+                F.col("cid").alias("cid"),
+            ).alias("cand"),
+        )
+        other = [c for c in emb.columns if c != id_col]
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                *[F.first(c).alias(c) for c in other],
+                F.min("cand").alias("best"),
+            )
+            .select(
+                *emb.columns,
+                F.col("best")["cid"].alias("cluster_id"),
+                F.col("best")["d"].alias("dist"),
+            )
+        )
     scored = F.transform(
         _centroid_literal(cents),
         lambda c: F.struct(
@@ -116,7 +157,7 @@ def assign_clusters(emb: DataFrame, cents: dict[int, list[float]],
 
 def lloyd_kmeans(emb: DataFrame, k: int, n_iters: int = 4,
                  id_col: str = "vec_id", vec_col: str = "e",
-                 aqe: str = "auto"):
+                 aqe: str = "auto", assign_via: str = "auto"):
     """Run `n_iters` Lloyd iterations over emb(id_col, vec_col:
     array<double>).  Returns (assignments DataFrame with cluster_id +
     dist columns, final centroid dict {cid: [double]*dim}).
@@ -146,7 +187,8 @@ def lloyd_kmeans(emb: DataFrame, k: int, n_iters: int = 4,
     cents = _seed_centroids(emb, k, id_col, vec_col)
     try:
         for _ in range(n_iters):
-            assigned = assign_clusters(emb, cents, id_col, vec_col)
+            assigned = assign_clusters(emb, cents, id_col, vec_col,
+                                       via=assign_via)
             # integer-exact per-(cluster, dim) mean: BIGINT sum of
             # floor(v * 1e8), ONE double division — partial-aggregation
             # order cannot move a bit, so the collected centroids are
@@ -179,7 +221,10 @@ def lloyd_kmeans(emb: DataFrame, k: int, n_iters: int = 4,
                 )
                 for cid, prev in cents.items()
             }
-        return assign_clusters(emb, cents, id_col, vec_col), cents
+        return (
+            assign_clusters(emb, cents, id_col, vec_col, via=assign_via),
+            cents,
+        )
     finally:
         if turn_off:
             spark.conf.set(aqe_conf, old_aqe)

@@ -146,3 +146,24 @@ def test_trained_centroids_beat_stride_ivf_recall(spark):
     r_stride, r_kmeans = recall("stride"), recall("kmeans")
     assert r_kmeans >= 0.85
     assert r_kmeans >= r_stride - 1e-9
+
+
+def test_join_assignment_path_matches_literal(spark):
+    """The broadcast-join assignment (the large-k plan, O(1) plan size)
+    produces bit-identical clusters, distances, and centroids to the
+    literal-array map plan."""
+    pts = [
+        [((i * 13) % 29) / 7.0, ((i * 17) % 31) / 11.0] for i in range(120)
+    ]
+    lit = lloyd_kmeans(_frame(spark, pts), k=5, n_iters=3,
+                       assign_via="literal")
+    jn = lloyd_kmeans(_frame(spark, pts), k=5, n_iters=3,
+                      assign_via="join")
+    assert lit[1] == jn[1]
+    rows_l = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist"]) for r in lit[0].collect()
+    )
+    rows_j = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist"]) for r in jn[0].collect()
+    )
+    assert rows_l == rows_j
