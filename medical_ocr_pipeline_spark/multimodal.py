@@ -10,11 +10,12 @@ Decode kernels: REAL pure-python/numpy decoders — PPM P6 / BMP 24-bit,
 8-bit RGB(A) PNG (round 3, stdlib zlib), baseline AND progressive
 JPEG (jpeg.py — from-scratch Huffman + IDCT codec; SOF2 multi-scan
 successive approximation landed round 4), PCM WAV audio (stdlib
-`wave`) and compressed WAV audio — G.711 mu-law / A-law and IMA ADPCM
-via the from-scratch codecs in audio.py (round 4) — produce genuine
+`wave`), compressed WAV audio — G.711 mu-law / A-law and IMA ADPCM via
+the from-scratch codecs in audio.py (round 4) — and FLAC (flac.py, a
+full from-scratch lossless decoder+encoder, round 4) produce genuine
 pixel/sample-derived features through
 `media_features(real_decode=True)`.  Formats that require external
-codecs (MP3/OGG/FLAC, non-GIF video) still raise
+codecs (MP3/OGG lossy audio, non-GIF video) still raise
 NotImplementedError at the same documented extension point;
 `deterministic_fake_decode` remains for plumbing tests that want
 payload-seeded reproducible rows.
@@ -368,6 +369,10 @@ def decode_audio(payload: bytes):
     extension point."""
     import numpy as np
 
+    if payload[:4] == b"fLaC":
+        from medical_ocr_pipeline_spark.flac import decode_flac
+
+        return decode_flac(payload)
     try:
         with wave.open(io.BytesIO(payload)) as wf:
             sr = wf.getframerate()
@@ -383,7 +388,7 @@ def decode_audio(payload: bytes):
 
             return decode_wav_compressed(payload)
         raise NotImplementedError(
-            f"only WAV containers decode natively ({e}); plug "
+            f"only WAV and FLAC containers decode natively ({e}); plug "
             "soundfile/librosa into decode_audio() for other formats"
         ) from e
     except (EOFError, struct.error) as e:

@@ -85,6 +85,13 @@ def media_features_real(spark, sf_dir):
             {"mime": "audio/wav", "width": 0, "height": 0,
              "duration_ms": 40},
         ))
+    from medical_ocr_pipeline_spark.flac import encode_flac
+
+    rows.append((
+        "aud_flac", "audio", encode_flac(xs, 8000, 1),
+        {"mime": "audio/flac", "width": 0, "height": 0,
+         "duration_ms": 40},
+    ))
     rows.append((
         "aud_truncated", "audio",
         encode_wav(xs, 8000, 1, codec="ulaw")[:24],
