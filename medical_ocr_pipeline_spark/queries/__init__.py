@@ -43,6 +43,7 @@ from medical_ocr_pipeline_spark.queries.base import REGISTRY  # noqa: F401
 # in CORRECTNESS_r03/r02/r01.json with unchanged code (audited).
 _PROMOTE_TO_WINDOW = [
     "kmeans_embeddings",
+    "lm_kneser_ney",
     "dedup_ngram_jaccard",
     "bpe_train_merges",
     "bpe_encode_stats",

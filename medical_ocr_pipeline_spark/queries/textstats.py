@@ -1286,3 +1286,145 @@ def lm_perplexity_buckets(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- interpolated Kneser-Ney bigram LM ---------------------------------------
+#
+# The published smoothing CCNet's KenLM actually ships (Kneser-Ney with
+# absolute discounting) on top of the corpus-trained bigram LM above:
+#
+#   P_KN(w | u) = max(c(uw) - D, 0) / c(u.)  +  lambda(u) * P_cont(w)
+#   lambda(u)   = D * N1+(u.) / c(u.)
+#   P_cont(w)   = N1+(.w) / N1+(..)
+#
+# With D = 3/4 every quantity is rational with denominator 4, so the
+# whole formula stays in exact BIGINT ppm (the ngram_lm_score
+# discipline — no transcendental log(), no float division whose
+# JVM-vs-libm last-ulp drift would break the cross-engine hash).  The
+# two interpolation terms floor-divide SEPARATELY (documented: keeps
+# every intermediate under 4e12 * N1+ ~ well inside int64 even at a
+# 1e6-type vocabulary; the combined-fraction form would need
+# 1e6 * 4*c * Ntypes, which overflows at web scale).
+
+_KN_SQL = f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_WORD_SPLIT}'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    bo AS (
+      SELECT doc_id,
+             unnest([ words[i] FOR i IN range(1, len(words)) ]) AS w1,
+             unnest([ words[i+1] FOR i IN range(1, len(words)) ]) AS w2
+      FROM w
+    ),
+    bc AS ( SELECT w1, w2, COUNT(*) AS cb FROM bo GROUP BY w1, w2 ),
+    ctx AS ( SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw,
+                    COUNT(*) AS n1f
+             FROM bc GROUP BY w1 ),
+    rev AS ( SELECT w2, COUNT(*) AS n1r FROM bc GROUP BY w2 ),
+    nt AS ( SELECT COUNT(*) AS ntypes FROM bc ),
+    sc AS (
+      SELECT bo.doc_id,
+             (1000000 * greatest(4 * cb - 3, 0)) // (4 * cw)
+             + (1000000 * 3 * n1f * n1r) // (4 * cw * ntypes) AS p_ppm
+      FROM bo JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+              JOIN rev USING (w2) CROSS JOIN nt
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(p_ppm) AS BIGINT) AS s
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0
+                ELSE s // n_bigrams END AS BIGINT) AS kn_score_ppm
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@register("lm_kneser_ney", sql=_KN_SQL)
+def lm_kneser_ney(spark, sf_dir):
+    """Per-document mean interpolated Kneser-Ney bigram probability
+    (ppm, D=3/4) under the corpus's own LM — the smoothing KenLM uses
+    in the CCNet pipeline, vs ngram_lm_score's unsmoothed MLE.  The
+    continuation term rewards words seen after MANY distinct contexts
+    (the classic "san francisco" correction: "francisco" is frequent
+    but follows only "san", so its continuation probability is low).
+
+    Scale shape: the LM tables are three combinable groupBys over the
+    one-row-per-token bigram frame (bigram types, per-context totals +
+    distinct-continuation counts, distinct-left-context counts) plus a
+    1-row type-count frame; scoring equi-joins those tables back on
+    real keys (w1, w2) and cross-joins the 1-row frame (broadcast).
+    Nothing is collected; at 100 TB the LM tables are distributed
+    tables exactly like ngram_lm_score's, and a production variant
+    frequency-floors bc like KenLM pruning.  Exact integer ppm end to
+    end; reference analogue: the reference scores extraction quality
+    per page (qa_pipeline_evaluator.py) — this is the corpus-level
+    form a training pipeline gates on."""
+    return kn_doc_scores(
+        load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def kn_doc_scores(docs):
+    """Shared core: (doc_id, n_bigrams, kn_score_ppm) under the
+    interpolated Kneser-Ney bigram LM trained on `docs` itself."""
+    words = words_expr()
+    bo = (
+        fanout(docs, "doc_id")
+        .select("doc_id", words.alias("words"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("words") >= 2,
+                    F.expr(
+                        """transform(sequence(0, size(words) - 2),
+                             i -> struct(words[i] AS w1,
+                                         words[i+1] AS w2))"""
+                    ),
+                ).otherwise(
+                    F.expr(
+                        "cast(array() as array<struct<w1:string,w2:string>>)")
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    bc = bo.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("cb").alias("cw"), F.count("*").alias("n1f"))
+    rev = bc.groupBy("w2").agg(F.count("*").alias("n1r"))
+    nt = bc.agg(F.count("*").alias("ntypes"))
+    sc = (
+        bo.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(rev, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "doc_id",
+            F.expr(
+                "(1000000 * greatest(4 * cb - 3, 0L)) div (4 * cw)"
+                " + (1000000 * 3 * n1f * n1r) div (4 * cw * ntypes)"
+            ).alias("p_ppm"),
+        )
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("p_ppm").alias("s"))
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0,
+                   F.lit(0).cast("long"))
+            .otherwise(F.expr("s div n_bigrams"))
+            .alias("kn_score_ppm"),
+        )
+    )

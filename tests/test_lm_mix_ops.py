@@ -168,3 +168,72 @@ def test_dsir_matches_python_reference(spark, tmp_path):
     # the verbatim target copy must outrank the disjoint doc
     rank = {doc_id: i for i, (doc_id, _, _) in enumerate(got)}
     assert rank[0] < rank[1]
+
+
+# --- interpolated Kneser-Ney bigram LM ---------------------------------------
+
+
+def test_kn_single_bigram_type_is_certainty(spark, tmp_path):
+    """A corpus whose LM has one bigram type: discounted mass + the
+    continuation term reassemble to exactly 1.0 (250k + 750k at cb=1);
+    'x y x y x y' hand-computes to 850_000 ppm."""
+    from medical_ocr_pipeline_spark.queries.textstats import lm_kneser_ney
+
+    sf = _write_docs(spark, tmp_path, ["x y"])
+    [r] = lm_kneser_ney(spark, sf).collect()
+    assert r.n_bigrams == 1 and r.kn_score_ppm == 1_000_000
+
+    sf2 = _write_docs(spark, tmp_path / "b", ["x y x y x y"])
+    [r2] = lm_kneser_ney(spark, sf2).collect()
+    # (x,y): cb=3,cw=3,n1f=1,n1r=1; (y,x): cb=2,cw=2; ntypes=2
+    # p(x,y)=9e6//12 + 3e6//24 = 875_000; p(y,x)=5e6//8 + 3e6//16 = 812_500
+    # doc = (3*875000 + 2*812500)//5
+    assert r2.n_bigrams == 5 and r2.kn_score_ppm == 850_000
+
+
+def test_kn_hand_computed_split_context(spark, tmp_path):
+    """'a b a c': ctx a splits two ways (cw=2, n1f=2), ntypes=3.
+    p(a,b)=p(a,c)=125k+250k=375k, p(b,a)=250k+250k=500k ->
+    (375k+500k+375k)//3 = 416_666."""
+    from medical_ocr_pipeline_spark.queries.textstats import lm_kneser_ney
+
+    sf = _write_docs(spark, tmp_path, ["a b a c"])
+    [r] = lm_kneser_ney(spark, sf).collect()
+    assert r.n_bigrams == 3 and r.kn_score_ppm == 416_666
+
+
+def test_kn_continuation_term_rewards_diverse_contexts(spark, tmp_path):
+    """The 'san francisco' correction: bigrams (a,t) and (c,u) have
+    IDENTICAL counts (cb=1, cw=1) but 't' continues two distinct
+    contexts while 'u' continues one -> 750k vs 500k ppm.  The
+    unsmoothed MLE scores both 1_000_000 (can't tell them apart)."""
+    from medical_ocr_pipeline_spark.queries.textstats import (
+        lm_kneser_ney, ngram_lm_score)
+
+    sf = _write_docs(spark, tmp_path, ["a t", "b t", "c u"])
+    kn = {r.doc_id: r.kn_score_ppm
+          for r in lm_kneser_ney(spark, sf).collect()}
+    assert kn[0] == 750_000 and kn[1] == 750_000 and kn[2] == 500_000
+    mle = {r.doc_id: r.lm_score_ppm
+           for r in ngram_lm_score(spark, sf).collect()}
+    assert mle[0] == mle[2] == 1_000_000
+
+
+def test_kn_degenerate_docs_score_zero(spark, tmp_path):
+    """One-word and null-text docs carry zero bigrams and score 0 (the
+    words_expr null guard: F.size(NULL)=-1 must never reach the div)."""
+    from pyspark.sql import Row
+
+    from medical_ocr_pipeline_spark.queries.textstats import lm_kneser_ney
+
+    rows = [
+        Row(doc_id=0, text="p q", lang="en", source="s", n_chars=3),
+        Row(doc_id=1, text="solo", lang="en", source="s", n_chars=4),
+        Row(doc_id=2, text=None, lang="en", source="s", n_chars=0),
+    ]
+    spark.createDataFrame(rows).write.parquet(
+        f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in lm_kneser_ney(spark, str(tmp_path)).collect()}
+    assert got[1].n_bigrams == 0 and got[1].kn_score_ppm == 0
+    assert got[2].n_bigrams == 0 and got[2].kn_score_ppm == 0
+    assert got[0].kn_score_ppm == 1_000_000
