@@ -44,6 +44,8 @@ from medical_ocr_pipeline_spark.queries.base import REGISTRY  # noqa: F401
 _PROMOTE_TO_WINDOW = [
     "kmeans_embeddings",
     "lm_kneser_ney",
+    "unigram_train_pieces",
+    "unigram_encode_stats",
     "dedup_ngram_jaccard",
     "bpe_train_merges",
     "bpe_encode_stats",

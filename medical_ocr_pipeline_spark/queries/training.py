@@ -1342,3 +1342,64 @@ def bpe_encode_stats(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- unigram-LM (SentencePiece) tokenizer ------------------------------------
+
+UNIGRAM_VOCAB = 192
+UNIGRAM_SEED = 768
+UNIGRAM_EM_ITERS = 4
+
+
+@register("unigram_train_pieces")
+def unigram_train_pieces(spark, sf_dir):
+    """Top pieces of the unigram-LM tokenizer trained on the corpus
+    (operators/unigram.unigram_train: Kudo 2018 EM with the vocabulary
+    as bounded driver state — the second tokenizer family next to BPE).
+    Rows-only BY DESIGN: the E-step is forward-backward over every
+    word's segmentation lattice, a float fixed-point iteration no SQL
+    engine replays; exactness is pinned instead by the sequential-
+    reference equality + partitioning-invariance tests in
+    test_unigram.py (the integer micro-unit reduction makes the
+    distributed trainer bit-equal to the single-process one)."""
+    from medical_ocr_pipeline_spark.operators.unigram import unigram_train
+
+    vocab = unigram_train(
+        load(spark, sf_dir, "documents"),
+        vocab_size=UNIGRAM_VOCAB, seed_size=UNIGRAM_SEED,
+        em_iters=UNIGRAM_EM_ITERS,
+    )
+    return spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(vocab)],
+        "rank int, piece string, cost_micronat long",
+    ).orderBy("rank")
+
+
+@register("unigram_encode_stats")
+def unigram_encode_stats(spark, sf_dir):
+    """Per-source token statistics of the corpus Viterbi-encoded under
+    its own trained unigram-LM vocabulary (integer micro-nat min-plus
+    DP, Arrow batches).  Rows-only BY DESIGN (the vocabulary comes from
+    the EM trainer above); encoding itself is pinned by Viterbi-vs-
+    brute-force optimality and bounds tests in test_unigram.py."""
+    from medical_ocr_pipeline_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        docs, vocab_size=UNIGRAM_VOCAB, seed_size=UNIGRAM_SEED,
+        em_iters=UNIGRAM_EM_ITERS,
+    )
+    enc = unigram_encode(docs, vocab)
+    return (
+        enc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
