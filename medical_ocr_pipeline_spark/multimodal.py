@@ -14,8 +14,10 @@ successive approximation landed round 4), PCM WAV audio (stdlib
 the from-scratch codecs in audio.py (round 4) — and FLAC (flac.py, a
 full from-scratch lossless decoder+encoder, round 4) produce genuine
 pixel/sample-derived features through
-`media_features(real_decode=True)`.  Formats that require external
-codecs (MP3/OGG lossy audio, non-GIF video) still raise
+`media_features(real_decode=True)`.  MP4 and Matroska/WebM video get
+CONTAINER-level triage features (mp4.py / webm.py — no pixel decode);
+formats whose features require an external codec (MP3/OGG lossy
+audio, the codec payloads inside video containers) still raise
 NotImplementedError at the same documented extension point;
 `deterministic_fake_decode` remains for plumbing tests that want
 payload-seeded reproducible rows.
@@ -501,10 +503,11 @@ def video_features(payload: bytes) -> list[float]:
 def real_decode_features(kind: str, payload: bytes) -> list[float]:
     """Per-kind dispatch for media_features(real_decode=True).  Video
     decodes natively when the container is an animated GIF; MP4/ISO-BMFF
-    yields CONTAINER-derived triage features (mp4.py parses the real
-    box tree and sample tables — duration/fps/bitrate/keyframe shape —
-    no pixel decode); webm and the codec payloads inside mdat remain
-    the documented external-codec extension point."""
+    and Matroska/WebM yield CONTAINER-derived triage features (mp4.py /
+    webm.py parse the real box/element trees — duration/fps/bitrate/
+    keyframe shape — no pixel decode); the codec payloads inside
+    mdat/SimpleBlocks remain the documented external-codec extension
+    point."""
     if kind == "image":
         return image_features(payload)
     if kind == "audio":
@@ -515,9 +518,13 @@ def real_decode_features(kind: str, payload: bytes) -> list[float]:
         from medical_ocr_pipeline_spark.mp4 import mp4_container_features
 
         return mp4_container_features(payload)
+    if kind == "video" and payload[:4] == b"\x1aE\xdf\xa3":
+        from medical_ocr_pipeline_spark.webm import webm_container_features
+
+        return webm_container_features(payload)
     raise NotImplementedError(
-        f"no native decoder for kind={kind!r}; non-GIF/MP4 video needs "
-        "an external codec wired here"
+        f"no native decoder for kind={kind!r}; non-GIF/MP4/WebM video "
+        "needs an external codec wired here"
     )
 
 
@@ -859,8 +866,9 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
 
     This is the engine's native video-container decode path: an
     animated GIF is a real timed frame sequence, so frame sampling and
-    video features run end-to-end without an external codec (MP4/webm
-    still need one — the documented extension point)."""
+    video features run end-to-end without an external codec (MP4 and
+    Matroska/WebM get container-level triage via mp4.py / webm.py;
+    their codec payloads remain the documented extension point)."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):

@@ -124,6 +124,17 @@ def media_features_real(spark, sf_dir):
         {"mime": "video/mp4", "width": 320, "height": 240,
          "duration_ms": 2000},
     ))
+    # Matroska/WebM skeleton: the EBML container triage path (webm.py)
+    from medical_ocr_pipeline_spark.webm import encode_webm_skeleton
+
+    rows.append((
+        "vid_webm", "video",
+        encode_webm_skeleton(
+            640, 360, [500 + (41 * i) % 250 for i in range(24)], fps=12
+        ),
+        {"mime": "video/webm", "width": 640, "height": 360,
+         "duration_ms": 2000},
+    ))
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     feats = media_features(media, real_decode=True)
     return feats.select(
