@@ -11,6 +11,7 @@ rows-only) are the next to overflow as new operators join the window.
 """
 
 from medical_ocr_pipeline_spark.queries import (  # noqa: F401
+    sketches,
     similarity,
     temporal,
     textstats,
@@ -42,6 +43,9 @@ from medical_ocr_pipeline_spark.queries.base import REGISTRY  # noqa: F401
 # through base.fanout().  Entries pushed out past slot 50 are all green
 # in CORRECTNESS_r03/r02/r01.json with unchanged code (audited).
 _PROMOTE_TO_WINDOW = [
+    "sketch_hll_distinct",
+    "sketch_cms_heavy",
+    "bloom_prefilter_join",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",
