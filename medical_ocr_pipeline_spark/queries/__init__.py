@@ -46,6 +46,9 @@ _PROMOTE_TO_WINDOW = [
     "sketch_hll_distinct",
     "sketch_cms_heavy",
     "bloom_prefilter_join",
+    "chunk_overlap",
+    "pmi_bigrams",
+    "qa_edit_distance",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",

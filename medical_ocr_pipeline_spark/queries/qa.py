@@ -315,3 +315,65 @@ def j7_layout_preservation(spark, sf_dir):
         .mapInPandas(run, schema=_J7_SCHEMA)
         .orderBy("conv_id", "turn_idx")
     )
+
+
+# --- exact edit-distance QA ---------------------------------------------------
+
+
+@register(
+    "qa_edit_distance",
+    sql="""
+    WITH a AS (
+      SELECT doc_id AS doc_a, text AS text_a
+      FROM documents WHERE doc_id < 250
+    ), b AS (
+      SELECT doc_id - 250 AS doc_a, doc_id AS doc_b, text AS text_b
+      FROM documents WHERE doc_id >= 250 AND doc_id < 500
+    )
+    SELECT a.doc_a, b.doc_b,
+           length(a.text_a) AS len_a, length(b.text_b) AS len_b,
+           levenshtein(a.text_a, b.text_b) AS lev,
+           CAST(levenshtein(a.text_a, b.text_b) AS BIGINT) * 1000000
+             // GREATEST(length(a.text_a), 1) AS cer_ppm
+    FROM a JOIN b ON a.doc_a = b.doc_a
+    ORDER BY a.doc_a
+    """,
+)
+def qa_edit_distance(spark, sf_dir):
+    """True Levenshtein edit distance between the deterministically
+    paired documents (i, i+250) — the exact-metric twin of f15's
+    difflib-ratio CER (reference qa_pipeline_evaluator.py:490-509): both
+    engines run the classic unit-cost DP natively, so unlike f15 this
+    carries a full cross-engine oracle.  cer_ppm = distance / reference
+    length in exact integer ppm.
+
+    100 TB shape: the pairing is an equi-join on the derived pair key
+    (here doc_id mod the pairing offset); levenshtein is a per-row
+    JVM-side expression inside whole-stage codegen — no UDF, no
+    shuffle beyond the pair join.  Cost is O(len_a * len_b) per pair —
+    at production lengths, gate it behind a length cap or switch to the
+    banded variant."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    a = docs.where(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    b = docs.where(F.col("doc_id") >= 250).select(
+        (F.col("doc_id") - 250).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+    )
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.length("text_a").cast("long").alias("len_a"),
+            F.length("text_b").cast("long").alias("len_b"),
+            F.levenshtein("text_a", "text_b").cast("long").alias("lev"),
+            F.expr(
+                "cast(levenshtein(text_a, text_b) as bigint) * 1000000"
+                " div greatest(length(text_a), 1)"
+            ).alias("cer_ppm"),
+        )
+        .orderBy("doc_a")
+    )

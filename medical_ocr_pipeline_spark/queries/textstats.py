@@ -1428,3 +1428,109 @@ def kn_doc_scores(docs):
             .alias("kn_score_ppm"),
         )
     )
+
+
+# --- PMI collocations ---------------------------------------------------------
+# Pointwise-mutual-information bigram extraction (the collocation pass a
+# tokenizer/vocab pipeline runs to find multi-word units worth merging):
+#   PMI(a,b) = log P(ab) / (P(a) P(b))
+#            = log c_ab * N_uni^2 / (c_a * c_b * N_bi)
+# Ranking needs only the RATIO, so the score is the log-free integer
+#   pmi_ratio_x1e6 = ((c_ab*1000 div c_a) * N_uni div c_b) * 1000 div N_bi
+# — three chained BIGINT floor-divisions, identical in both engines, with
+# every intermediate bounded by 1e6 * N_uni (safe to ~9e12 total tokens;
+# past that, scale the two 1000 factors down).  Truncation changes the
+# absolute score, not the engine agreement; ties break on the bigram.
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 30
+
+
+@register(
+    "pmi_bigrams",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+               x -> x <> '') AS words
+      FROM documents
+    ), uni AS (
+      SELECT unnest(words) AS w FROM w
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), bi AS (
+      SELECT unnest([words[i + 1] || ' ' || words[i + 2]
+                     FOR i IN range(0, len(words) - 1)]) AS bg
+      FROM w WHERE len(words) >= 2
+    ), bcnt AS (
+      SELECT bg, COUNT(*) AS c_ab FROM bi GROUP BY bg
+    ), tot AS (
+      SELECT (SELECT SUM(c) FROM ucnt) AS n_uni,
+             (SELECT SUM(c_ab) FROM bcnt) AS n_bi
+    )
+    SELECT b.bg AS bigram, b.c_ab, a.c AS c_a, c.c AS c_b,
+           ((b.c_ab * 1000 // a.c) * CAST(t.n_uni AS BIGINT) // c.c) * 1000
+             // CAST(t.n_bi AS BIGINT) AS pmi_ratio_x1e6
+    FROM bcnt b
+    JOIN ucnt a ON a.w = string_split(b.bg, ' ')[1]
+    JOIN ucnt c ON c.w = string_split(b.bg, ' ')[2]
+    CROSS JOIN tot t
+    WHERE b.c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi_ratio_x1e6 DESC, bigram
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def pmi_bigrams(spark, sf_dir):
+    """Top-30 PMI-ranked bigram collocations over the corpus word stream
+    (min count 5), with the log-free exact-integer ratio score above.
+
+    100 TB shape: unigram and bigram counts are combinable groupBys over
+    the exploded streams; the two totals are 1-row aggregates broadcast
+    back; the c_a/c_b lookups are joins of the K surviving bigrams (after
+    the min-count filter, a tiny fraction) against the unigram count
+    table — never a join of the raw token stream against itself."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", words_expr().alias("words")
+    )
+    uni = docs.select(F.explode("words").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    bi = docs.where(F.size("words") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("words") - 2),
+                lambda i: F.concat(
+                    F.element_at("words", i + 1),
+                    F.lit(" "),
+                    F.element_at("words", i + 2),
+                ),
+            )
+        ).alias("bg")
+    )
+    bcnt = (
+        bi.groupBy("bg")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    tot = uni.agg(F.count("*").alias("n_uni")).crossJoin(
+        bi.agg(F.count("*").alias("n_bi"))
+    )
+    left = F.split(F.col("bg"), " ").getItem(0)
+    right = F.split(F.col("bg"), " ").getItem(1)
+    keyed = bcnt.withColumn("w_a", left).withColumn("w_b", right)
+    scored = (
+        keyed.join(ucnt.select(F.col("w").alias("w_a"), F.col("c").alias("c_a")), "w_a")
+        .join(ucnt.select(F.col("w").alias("w_b"), F.col("c").alias("c_b")), "w_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        scored.select(
+            F.col("bg").alias("bigram"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "((c_ab * 1000 div c_a) * n_uni div c_b) * 1000 div n_bi"
+            ).alias("pmi_ratio_x1e6"),
+        )
+        .orderBy(F.desc("pmi_ratio_x1e6"), "bigram")
+        .limit(_PMI_TOPK)
+    )

@@ -1403,3 +1403,71 @@ def unigram_encode_stats(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- sliding-window chunking -------------------------------------------------
+# RAG/long-context training prep: each document is cut into fixed-width
+# token windows with overlap (window W, stride S < W), so every token
+# appears in at least one chunk and boundary context is preserved in the
+# W - S token overlap.  Chunk starts are 0, S, 2S, ... < n_tokens; the
+# last chunk may be short (the alternative — back-shifting the final
+# window — duplicates variable amounts of text and is harder to audit).
+CHUNK_W = 128
+CHUNK_STRIDE = 96
+
+
+@register(
+    "chunk_overlap",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+               x -> x <> '') AS words
+      FROM documents
+    ), n AS (
+      SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) > 0
+    ), s AS (
+      SELECT doc_id, words, n,
+             unnest(range(0, n, {CHUNK_STRIDE})) AS start_tok
+      FROM n
+    )
+    SELECT doc_id, start_tok // {CHUNK_STRIDE} AS chunk_idx, start_tok,
+           LEAST({CHUNK_W}, n - start_tok) AS chunk_len,
+           words[start_tok + 1] AS first_word,
+           words[start_tok + LEAST({CHUNK_W}, n - start_tok)] AS last_word
+    FROM s
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_overlap(spark, sf_dir):
+    """Sliding-window document chunking (W=128 tokens, stride 96): one
+    row per chunk with its global token offset, length, and boundary
+    words — the shard-prep step for RAG indexing / long-context packing.
+
+    100 TB shape: sequence+posexplode is a per-row array expansion with
+    NO shuffle at all (the chunk rows inherit the scan partitioning);
+    the ~4/3 row blowup from the 32-token overlap is the documented
+    storage cost of overlap chunking, not a plan artifact."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", words_expr().alias("words"))
+        .withColumn("n", F.size("words"))
+        .where(F.col("n") > 0)
+    )
+    chunks = docs.select(
+        "doc_id",
+        "words",
+        "n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_idx", "start_tok"),
+    )
+    chunk_len = F.least(F.lit(CHUNK_W), F.col("n") - F.col("start_tok"))
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        chunk_len.cast("long").alias("chunk_len"),
+        F.element_at("words", F.col("start_tok") + 1).alias("first_word"),
+        F.element_at("words", F.col("start_tok") + chunk_len).alias("last_word"),
+    ).orderBy("doc_id", "chunk_idx")
