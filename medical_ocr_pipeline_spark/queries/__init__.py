@@ -49,6 +49,7 @@ _PROMOTE_TO_WINDOW = [
     "chunk_overlap",
     "pmi_bigrams",
     "qa_edit_distance",
+    "pq_codebook_assign",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",

@@ -933,3 +933,151 @@ def kmeans_embeddings(spark, sf_dir):
         "cluster_id",
         F.round("dist", 6).alias("dist"),
     ).orderBy("vec_id")
+
+
+# --- product quantization -----------------------------------------------------
+# PQ (Jegou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search"): split each 64-dim embedding into M=4 contiguous 16-dim
+# subvectors, train an independent k=8 k-means codebook per subspace,
+# and store each vector as 4 x 3-bit codes (packed: 12 bits vs 256
+# bytes of float64 — the memory step that makes billion-vector ANN
+# serving possible; IVF-PQ = the registry's ann_ivf_topk coarse stage
+# plus this fine stage).
+PQ_M = 4
+PQ_SUB = 16
+PQ_K = 8
+PQ_ITERS = 2
+
+
+def _pq_oracle_sql(m_sub: int, sub_dim: int, k: int, iters: int) -> str:
+    """M independent unrolled Lloyd chains (the _kmeans_oracle_sql
+    triple per iteration, suffixed per subspace) over the sliced
+    embedding, joined back on vec_id; same integer-exact centroid
+    means, in-order distance folds, and cid tie-breaks."""
+    dist = (
+        "list_aggregate(list_transform(range(1, {top}), "
+        "j -> (v.e[j] - c.c[j]) * (v.e[j] - c.c[j])), 'sum')"
+    ).format(top=sub_dim + 1)
+    parts = ["""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )"""]
+    for m in range(m_sub):
+        lo, hi = sub_dim * m + 1, sub_dim * (m + 1)
+        parts.append(f""",
+    e_s{m} AS MATERIALIZED (
+      SELECT vec_id, e[{lo}:{hi}] AS e FROM e
+    ),
+    c0_s{m} AS MATERIALIZED (
+      SELECT row_number() OVER (
+               ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) - 1 AS cid, e AS c
+      FROM (SELECT vec_id, e FROM e_s{m}
+            ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {k})
+    )""")
+        for i in range(1, iters + 1):
+            parts.append(f""",
+    a{i}_s{m} AS MATERIALIZED (
+      SELECT vec_id, e, cid FROM (
+        SELECT s.*, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT v.vec_id, v.e, c.cid, {dist} AS d
+              FROM e_s{m} v, c{i - 1}_s{m} c) s
+      ) WHERE rn = 1
+    ),
+    m{i}_s{m} AS MATERIALIZED (
+      SELECT cid, pos,
+             CAST(SUM(CAST(FLOOR(val * 100000000) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100000000 AS v
+      FROM (SELECT cid, generate_subscripts(e, 1) AS pos,
+                   unnest(e) AS val FROM a{i}_s{m})
+      GROUP BY cid, pos
+    ),
+    c{i}_s{m} AS MATERIALIZED (
+      SELECT p.cid, COALESCE(n.c, p.c) AS c
+      FROM c{i - 1}_s{m} p LEFT JOIN (
+        SELECT cid, list(v ORDER BY pos) AS c FROM m{i}_s{m} GROUP BY cid
+      ) n ON p.cid = n.cid
+    )""")
+        parts.append(f""",
+    fin_s{m} AS MATERIALIZED (
+      SELECT vec_id, cid AS code_{m}, d AS d_{m} FROM (
+        SELECT s.*, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT v.vec_id, c.cid, {dist} AS d
+              FROM e_s{m} v, c{iters}_s{m} c) s
+      ) WHERE rn = 1
+    )""")
+    joins = " ".join(
+        f"JOIN fin_s{m} f{m} ON e.vec_id = f{m}.vec_id"
+        for m in range(m_sub)
+    )
+    code_cols = ", ".join(f"f{m}.code_{m}" for m in range(m_sub))
+    packed = " + ".join(f"f{m}.code_{m} * {k ** m}" for m in range(m_sub))
+    qerr = " + ".join(f"f{m}.d_{m}" for m in range(m_sub))
+    parts.append(f"""
+    SELECT e.vec_id, e.label, {code_cols},
+           CAST({packed} AS BIGINT) AS pq_code,
+           ROUND({qerr}, 6) AS qerr
+    FROM e {joins}
+    ORDER BY e.vec_id""")
+    return "".join(parts)
+
+
+@register(
+    "pq_codebook_assign",
+    sql=_pq_oracle_sql(PQ_M, PQ_SUB, PQ_K, PQ_ITERS),
+)
+def pq_codebook_assign(spark, sf_dir):
+    """Product quantization of the corpus embeddings: per 16-dim
+    subspace an independently trained k=8 Lloyd codebook
+    (operators/kmeans.py, 2 iterations), each vector emitted with its 4
+    subspace codes, the packed 12-bit PQ code, and the total squared
+    quantization error.
+
+    100 TB shape: each subspace training is the kmeans operator's
+    map + combinable-agg + bounded k x sub_dim collect per iteration;
+    assignment is map-only (codebooks ride the plan as literals — at
+    M=4, k=8 that is 512 literal doubles); the M assignment frames join
+    back on vec_id, which at scale is M-1 co-partitioned joins of
+    already-hash-distributed narrow frames.  Storage: 12 bits/vector vs
+    2048 — the 170x compression IVF-PQ serving rests on.  Full DuckDB
+    oracle: M unrolled Lloyd chains joined on vec_id."""
+    from medical_ocr_pipeline_spark.operators.kmeans import lloyd_kmeans
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    out = emb.select("vec_id", "label")
+    for m in range(PQ_M):
+        sub = emb.select(
+            "vec_id", F.slice("e", PQ_SUB * m + 1, PQ_SUB).alias("e")
+        )
+        assigned, _cents = lloyd_kmeans(sub, PQ_K, PQ_ITERS)
+        out = out.join(
+            assigned.select(
+                "vec_id",
+                F.col("cluster_id").alias(f"code_{m}"),
+                F.col("dist").alias(f"d_{m}"),
+            ),
+            "vec_id",
+        )
+    packed = sum(
+        (F.col(f"code_{m}") * (PQ_K ** m) for m in range(1, PQ_M)),
+        F.col("code_0"),
+    )
+    qerr = sum(
+        (F.col(f"d_{m}") for m in range(1, PQ_M)), F.col("d_0")
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        *[f"code_{m}" for m in range(PQ_M)],
+        packed.cast("long").alias("pq_code"),
+        F.round(qerr, 6).alias("qerr"),
+    ).orderBy("vec_id")
