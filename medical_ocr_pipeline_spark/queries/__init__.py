@@ -50,6 +50,7 @@ _PROMOTE_TO_WINDOW = [
     "pmi_bigrams",
     "qa_edit_distance",
     "pq_codebook_assign",
+    "ann_pq_topk",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",

@@ -67,3 +67,34 @@ def test_pq_codes_are_in_range_and_packing_is_bijective(spark):
     # the quantizer must actually use more than one cell per subspace
     for m in range(PQ_M):
         assert len({r[f"code_{m}"] for r in rows}) > 1
+
+
+def test_ann_pq_shortlist_rerank_recall_at_operating_point(spark):
+    """The committed ADC operating point (M=8, k=16, shortlist=100,
+    exact rerank) must keep recall@5 >= 0.8 vs the exact scan at
+    sf0.01 (measured 0.92; raw ADC top-5 without rerank is 0.24 on
+    these near-isotropic embeddings, which is WHY the rerank stage is
+    part of the committed query)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["ann_pq_topk"].fn(spark, sf).collect()
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    emb = {
+        v: np.array(e)
+        for v, e in duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet'"
+        ).fetchall()
+    }
+    recalls = []
+    for q in sorted(got):
+        exact = sorted(
+            (float(((emb[x] - emb[q]) ** 2).sum()), x)
+            for x in emb
+            if x >= 5
+        )[:5]
+        want = {x for _, x in exact}
+        recalls.append(len(want & got[q]) / 5)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
