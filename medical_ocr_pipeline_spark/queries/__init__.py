@@ -51,6 +51,8 @@ _PROMOTE_TO_WINDOW = [
     "qa_edit_distance",
     "pq_codebook_assign",
     "ann_pq_topk",
+    "sketch_hll_union",
+    "host_triangles",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",

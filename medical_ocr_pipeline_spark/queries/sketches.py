@@ -328,3 +328,90 @@ def bloom_prefilter_join(spark, sf_dir):
             ).alias("fpr_ppm"),
         )
     )
+
+
+# --- HLL mergeability ---------------------------------------------------------
+# The property that makes HLL the production cardinality sketch: register
+# tables merge by elementwise MAX, so per-shard / per-source sketches
+# union without rescanning data.  This query materializes the per-source
+# sketches AND their merged union (tagged '__union__'), whose registers
+# are provably identical to a direct whole-corpus sketch (max is
+# associative/commutative) — asserted against the direct sketch in
+# tests/test_sketches.py.
+
+
+@register(
+    "sketch_hll_union",
+    sql=f"""
+    WITH w AS (
+      SELECT source, unnest(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '{WORD_SPLIT}'),
+               x -> x <> '')) AS w
+      FROM documents
+    ), h AS (
+      SELECT source, {MD5_INT48_DUCK.format(x="w")} AS h FROM w
+    ), reg AS (
+      SELECT source, h & 63 AS idx,
+             MAX(43 - length(ltrim(bin(h >> 6), '0'))) AS rho
+      FROM h GROUP BY source, idx
+    ), allreg AS (
+      SELECT source, idx, rho FROM reg
+      UNION ALL
+      SELECT '__union__' AS source, idx, MAX(rho) AS rho
+      FROM reg GROUP BY idx
+    ), summary AS (
+      SELECT source,
+             CAST(64 - COUNT(*) AS BIGINT) AS v_zero,
+             CAST(SUM(CAST(1 AS BIGINT) << (43 - rho)) AS BIGINT)
+               + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 43) AS s_scaled
+      FROM allreg GROUP BY source
+    )
+    SELECT source, v_zero, {_HLL_NUM} // s_scaled AS hll_est
+    FROM summary
+    ORDER BY source
+    """,
+)
+def sketch_hll_union(spark, sf_dir):
+    """Per-source HLL sketches plus their merged union ('__union__'):
+    registers merge by elementwise MAX — the distributive property that
+    lets shards sketch independently and a coordinator union them
+    without a second scan.
+
+    100 TB shape: per-source registers are a (source, idx) combinable
+    max (64 rows per source); the union is a 64-row re-aggregation of
+    the register TABLE, not of the data.  This is the sketch the
+    per-crawl / per-dump dedup-rate dashboards aggregate over."""
+    words = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(words_expr()).alias("w"))
+    )
+    h = F.expr(MD5_INT48_SPARK.format(x="w"))
+    rho = F.lit(43) - F.length(
+        F.regexp_replace(F.bin(F.shiftright(h, 6)), "^0+", "")
+    )
+    reg = (
+        words.select("source", h.bitwiseAND(63).alias("idx"), rho.alias("rho"))
+        .groupBy("source", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = reg.groupBy("idx").agg(F.max("rho").alias("rho")).select(
+        F.lit("__union__").alias("source"), "idx", "rho"
+    )
+    allreg = reg.unionByName(merged)
+    return (
+        allreg.groupBy("source")
+        .agg(
+            (F.lit(64) - F.count("*")).cast("long").alias("v_zero"),
+            (
+                F.sum(F.expr("shiftleft(cast(1 as bigint), 43 - rho)"))
+                + (F.lit(64) - F.count("*")).cast("long")
+                * F.lit(1 << 43).cast("long")
+            ).alias("s_scaled"),
+        )
+        .select(
+            "source",
+            "v_zero",
+            F.expr(f"{_HLL_NUM} div s_scaled").alias("hll_est"),
+        )
+        .orderBy("source")
+    )

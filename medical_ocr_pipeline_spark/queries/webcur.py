@@ -687,3 +687,121 @@ def url_blocklist_filter(spark, sf_dir):
         F.expr("concat(lang, '.', source, '.example.com')").alias("host"),
     )
     return blocklist_verdicts(d, BLOCKLIST_RULES)
+
+
+# --- triangle counting / clustering coefficient -------------------------------
+
+
+@register(
+    "host_triangles",
+    sql="""
+    WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+    nct AS (SELECT COUNT(*) AS n FROM docs),
+    raw AS MATERIALIZED (
+      SELECT a.source AS src, b.source AS dst
+      FROM docs a, nct, docs b
+      WHERE b.doc_id = (a.doc_id * 7 + 1) % nct.n AND a.source <> b.source
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw
+    ),
+    deg AS MATERIALIZED (
+      SELECT v, COUNT(*) AS deg FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pv AS (
+      SELECT v, COUNT(*) AS n_tri FROM (
+        SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+        UNION ALL SELECT c AS v FROM tri
+      ) GROUP BY v
+    )
+    SELECT d.v AS host, d.deg, COALESCE(p.n_tri, 0) AS n_tri,
+           CASE WHEN d.deg >= 2
+                THEN COALESCE(p.n_tri, 0) * 2000000 // (d.deg * (d.deg - 1))
+                ELSE 0 END AS clust_ppm
+    FROM deg d LEFT JOIN pv p ON d.v = p.v
+    ORDER BY host
+    """,
+)
+def host_triangles(spark, sf_dir):
+    """Triangle count and local clustering coefficient per host over the
+    same derived host graph as host_pagerank (doc i cites doc (7i+1)
+    mod n; undirected, deduplicated).  clust_ppm = 2 * triangles /
+    (deg * (deg - 1)) in exact-integer ppm.
+
+    100 TB shape: the canonical a < b < c enumeration joins the
+    undirected edge list with itself twice on equi-keys — each triangle
+    is produced exactly once, no candidate is counted twice, and the
+    join keys (the shared vertex) hash-distribute.  On a power-law web
+    graph the standard refinement is degree-ordering (orient each edge
+    from the lower- to the higher-degree endpoint) so the heavy vertex's
+    adjacency never self-joins — noted here, unnecessary for a 20-host
+    graph but the same plan shape."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    n = docs.count()
+    a = docs.alias("a")
+    b = docs.alias("b")
+    raw = (
+        a.join(b, F.col("b.doc_id") == (F.col("a.doc_id") * 7 + 1) % n)
+        .where(F.col("a.source") != F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src"), F.col("b.source").alias("dst")
+        )
+    )
+    und = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    pv = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.join(pv, "v", "left")
+        .select(
+            F.col("v").alias("host"),
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "coalesce(n_tri, 0) * 2000000"
+                    " div (deg * (deg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("clust_ppm"),
+        )
+        .orderBy("host")
+    )

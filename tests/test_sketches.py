@@ -131,3 +131,56 @@ def test_bloom_no_false_negatives_and_exact_fp_count(spark):
 def test_sketch_plans_have_no_fixed_numpartitions(spark, name):
     plan = REGISTRY[name].fn(spark, SF_DIR)._jdf.queryExecution().toString()
     assert "RoundRobinPartitioning" not in plan
+
+
+def corpus_words_by_source():
+    rows = duckdb.sql(
+        f"SELECT source, lower(coalesce(text, '')) "
+        f"FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    out = []
+    for source, text in rows:
+        out.extend((source, w) for w in WORD_SPLIT.split(text) if w)
+    return out
+
+
+def test_hll_union_is_elementwise_max_and_equals_direct_sketch(spark):
+    got = {
+        r["source"]: r.asDict()
+        for r in REGISTRY["sketch_hll_union"].fn(spark, SF_DIR).collect()
+    }
+    regs: dict[str, dict[int, int]] = {}
+    for source, w in corpus_words_by_source():
+        h = h48(w)
+        idx, rho = h & 63, 43 - (h >> 6).bit_length()
+        regs.setdefault(source, {})
+        regs[source][idx] = max(regs[source].get(idx, 0), rho)
+
+    def summarize(reg):
+        s = sum(1 << (43 - r) for r in reg.values())
+        s += (64 - len(reg)) * (1 << 43)
+        return 64 - len(reg), _HLL_NUM // s
+
+    # per-source rows match the python per-shard sketches
+    assert set(got) == set(regs) | {"__union__"}
+    for source, reg in regs.items():
+        v_zero, est = summarize(reg)
+        assert got[source]["v_zero"] == v_zero
+        assert got[source]["hll_est"] == est
+
+    # the merged row equals (a) the elementwise max of the shard
+    # registers and (b) a direct whole-corpus sketch — the mergeability
+    # property that lets shards sketch independently
+    merged: dict[int, int] = {}
+    for reg in regs.values():
+        for idx, rho in reg.items():
+            merged[idx] = max(merged.get(idx, 0), rho)
+    direct: dict[int, int] = {}
+    for _, w in corpus_words_by_source():
+        h = h48(w)
+        idx, rho = h & 63, 43 - (h >> 6).bit_length()
+        direct[idx] = max(direct.get(idx, 0), rho)
+    assert merged == direct
+    v_zero, est = summarize(merged)
+    assert got["__union__"]["v_zero"] == v_zero
+    assert got["__union__"]["hll_est"] == est

@@ -309,3 +309,47 @@ def test_blocklist_plan_is_broadcast_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------- triangles
+
+
+def test_host_triangles_matches_bruteforce(spark):
+    import itertools
+
+    import duckdb
+
+    from medical_ocr_pipeline_spark.queries.base import REGISTRY
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    src = {d: s for d, s in rows}
+    n = len(rows)
+    edges = set()
+    for d, s in rows:
+        t = src[(d * 7 + 1) % n]
+        if s != t:
+            edges.add((min(s, t), max(s, t)))
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_tri = {v: 0 for v in adj}
+    for v, nbrs in adj.items():
+        for x, y in itertools.combinations(sorted(nbrs), 2):
+            if y in adj.get(x, ()):
+                n_tri[v] += 1
+    got = {
+        r["host"]: r.asDict()
+        for r in REGISTRY["host_triangles"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(adj)
+    for v in adj:
+        deg = len(adj[v])
+        assert got[v]["deg"] == deg
+        assert got[v]["n_tri"] == n_tri[v]
+        want_ppm = (
+            n_tri[v] * 2_000_000 // (deg * (deg - 1)) if deg >= 2 else 0
+        )
+        assert got[v]["clust_ppm"] == want_ppm
