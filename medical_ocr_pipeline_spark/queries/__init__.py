@@ -52,6 +52,7 @@ _PROMOTE_TO_WINDOW = [
     "pq_codebook_assign",
     "ann_pq_topk",
     "sketch_hll_union",
+    "sketch_kmv_distinct",
     "host_triangles",
     "kmeans_embeddings",
     "lm_kneser_ney",

@@ -415,3 +415,106 @@ def sketch_hll_union(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- KMV (k-minimum values) ----------------------------------------------------
+# The order-statistics cardinality sketch (Bar-Yossef et al. 2002):
+# keep the K smallest distinct hash values; if the Kth smallest of a
+# uniform 48-bit hash is h_K, the distinct count is ≈ (K-1) * 2^48 /
+# h_K.  Complements HLL: KMV supports set INTERSECTION estimates (keep
+# the union's K smallest, count how many fall in both sketches), which
+# registers can't, at the cost of K values instead of m 6-bit registers.
+# Pure integer math -> exact cross-engine oracle.
+
+_KMV_K = 32
+_KMV_SALTS = 16  # level-1 salt fanout for the megagroup-safe top-k
+_H48_SPAN = 1 << 48
+
+
+@register(
+    "sketch_kmv_distinct",
+    sql=f"""
+    WITH w AS (
+      SELECT lang, unnest(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '{WORD_SPLIT}'),
+               x -> x <> '')) AS w
+      FROM documents
+    ), h AS (
+      SELECT DISTINCT lang, {MD5_INT48_DUCK.format(x="w")} AS h FROM w
+    ), k1 AS (
+      SELECT lang, h FROM h
+      QUALIFY row_number() OVER (
+        PARTITION BY lang, h % {_KMV_SALTS} ORDER BY h) <= {_KMV_K}
+    ), k2 AS (
+      SELECT lang, h FROM k1
+      QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h) <= {_KMV_K}
+    ), sk AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(MAX(h) AS BIGINT) AS h_k
+      FROM k2 GROUP BY lang
+    ), exact AS (
+      SELECT lang, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
+      FROM w GROUP BY lang
+    )
+    SELECT s.lang, e.n_exact, s.n_kept, s.h_k,
+           CASE WHEN s.n_kept < {_KMV_K} THEN s.n_kept
+                ELSE {(_KMV_K - 1) * _H48_SPAN} // s.h_k END AS kmv_est
+    FROM sk s JOIN exact e ON s.lang = e.lang
+    ORDER BY s.lang
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """Per-language distinct-word cardinality via a from-scratch KMV
+    (k-minimum-values) sketch next to the exact distinct: the K smallest
+    distinct 48-bit hashes per language; estimate (K-1) * 2^48 // h_K
+    (exact count when fewer than K distincts exist).
+
+    100 TB shape: the distinct is a combinable (lang, h) dedup; the
+    top-K is the salted TWO-LEVEL row_number (level 1 partitions by
+    (lang, h % 16) so no single window task ever sees a whole
+    megalanguage; level 2 ranks the ≤ 16*K survivors) — the same
+    megagroup-safe shape as the BM25/ANN top-k.  Unlike HLL the kept
+    values support intersection estimates across sketches, which is why
+    production dedup-rate dashboards carry both."""
+    from pyspark.sql import Window as W
+
+    words = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(words_expr()).alias("w"))
+    )
+    h = (
+        words.select(
+            "lang", F.expr(MD5_INT48_SPARK.format(x="w")).alias("h")
+        )
+        .distinct()
+    )
+    w1 = W.partitionBy("lang", F.expr(f"h % {_KMV_SALTS}")).orderBy("h")
+    w2 = W.partitionBy("lang").orderBy("h")
+    k2 = (
+        h.withColumn("rk1", F.row_number().over(w1))
+        .where(F.col("rk1") <= _KMV_K)
+        .withColumn("rk2", F.row_number().over(w2))
+        .where(F.col("rk2") <= _KMV_K)
+    )
+    sk = k2.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("h").cast("long").alias("h_k"),
+    )
+    exact = words.groupBy("lang").agg(
+        F.countDistinct("w").alias("n_exact")
+    )
+    return (
+        sk.join(exact, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            "n_kept",
+            "h_k",
+            F.when(F.col("n_kept") < _KMV_K, F.col("n_kept"))
+            .otherwise(
+                F.expr(f"{(_KMV_K - 1) * _H48_SPAN} div h_k")
+            )
+            .alias("kmv_est"),
+        )
+        .orderBy("lang")
+    )

@@ -184,3 +184,32 @@ def test_hll_union_is_elementwise_max_and_equals_direct_sketch(spark):
     v_zero, est = summarize(merged)
     assert got["__union__"]["v_zero"] == v_zero
     assert got["__union__"]["hll_est"] == est
+
+
+def test_kmv_kept_set_and_estimate_match_reference(spark):
+    from medical_ocr_pipeline_spark.queries.sketches import _KMV_K
+
+    got = {
+        r["lang"]: r.asDict()
+        for r in REGISTRY["sketch_kmv_distinct"].fn(spark, SF_DIR).collect()
+    }
+    hashes: dict[str, set] = {}
+    exact: dict[str, set] = {}
+    for lang, w in corpus_words():
+        hashes.setdefault(lang, set()).add(h48(w))
+        exact.setdefault(lang, set()).add(w)
+    assert set(got) == set(hashes)
+    for lang, hs in hashes.items():
+        kept = sorted(hs)[:_KMV_K]
+        row = got[lang]
+        assert row["n_exact"] == len(exact[lang])
+        assert row["n_kept"] == len(kept)
+        assert row["h_k"] == max(kept)
+        if len(kept) < _KMV_K:
+            assert row["kmv_est"] == len(kept)  # exact below K
+        else:
+            want = (_KMV_K - 1) * (1 << 48) // max(kept)
+            assert row["kmv_est"] == want
+            # order-statistics bound: relative sd ~ 1/sqrt(K-2) = 18%;
+            # allow 3 sigma
+            assert abs(want - row["n_exact"]) <= 0.55 * row["n_exact"]
