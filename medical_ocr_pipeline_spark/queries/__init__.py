@@ -53,6 +53,7 @@ _PROMOTE_TO_WINDOW = [
     "ann_pq_topk",
     "sketch_hll_union",
     "sketch_kmv_distinct",
+    "qa_rouge_overlap",
     "host_triangles",
     "kmeans_embeddings",
     "lm_kneser_ney",

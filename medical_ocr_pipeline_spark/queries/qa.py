@@ -377,3 +377,116 @@ def qa_edit_distance(spark, sf_dir):
         )
         .orderBy("doc_a")
     )
+
+
+# --- ROUGE-n overlap between paired documents --------------------------------
+
+
+@register(
+    "qa_rouge_overlap",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+               x -> x <> '') AS ws
+      FROM documents WHERE doc_id < 500
+    ), sides AS (
+      SELECT CASE WHEN doc_id < 250 THEN doc_id ELSE doc_id - 250 END
+               AS doc_a,
+             doc_id < 250 AS is_a, ws
+      FROM d
+    ), grams AS (
+      SELECT doc_a, is_a, 1 AS n, unnest(ws) AS g FROM sides
+      UNION ALL
+      SELECT doc_a, is_a, 2 AS n,
+             unnest([ws[i + 1] || ' ' || ws[i + 2]
+                     FOR i IN range(0, greatest(len(ws) - 1, 0))]) AS g
+      FROM sides
+    ), cnt AS (
+      SELECT doc_a, n, g,
+             SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+      FROM grams GROUP BY doc_a, n, g
+    ), agg AS (
+      SELECT doc_a, n,
+             CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b,
+             CAST(SUM(LEAST(ca, cb)) AS BIGINT) AS n_common
+      FROM cnt GROUP BY doc_a, n
+    )
+    SELECT doc_a, doc_a + 250 AS doc_b, n, n_a, n_b, n_common,
+           n_common * 1000000 // GREATEST(n_a, 1) AS rouge_p_ppm,
+           n_common * 1000000 // GREATEST(n_b, 1) AS rouge_r_ppm,
+           2 * n_common * 1000000 // GREATEST(n_a + n_b, 1) AS rouge_f_ppm
+    FROM agg
+    ORDER BY doc_a, n
+    """,
+)
+def qa_rouge_overlap(spark, sf_dir):
+    """ROUGE-1 / ROUGE-2 overlap between the deterministically paired
+    documents (i, i+250): clipped n-gram precision, recall, and F1 in
+    exact-integer ppm (F1 = 2PR/(P+R) = 2*common/(n_a+n_b), so no float
+    ever appears).  The clipped common count is the MULTISET
+    intersection — sum over grams of least(count_a, count_b) — i.e.
+    Lin's ROUGE-n and the per-n term of BLEU's modified precision.
+    Extraction-QA analogue of the reference's similarity scoring
+    (qa_pipeline_evaluator.py:490-509): where f15 uses difflib ratio and
+    qa_edit_distance uses Levenshtein, this is the n-gram-level recall
+    metric used to score extracted text against a gold reference.
+
+    100 TB shape: bigrams are built ARRAY-SIDE from the words array
+    (transform over slice — no window, no self-join, same trick as the
+    repetition stats); gram counts are one combinable
+    (pair, n, gram) groupBy; the final per-pair rollup is combinable
+    too.  Everything keys on the pair id, so pairs hash-distribute and
+    no task ever holds more than one pair's gram table."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    ws = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9]+"),
+        lambda w: w != F.lit(""),
+    )
+    sides = docs.select(
+        F.when(F.col("doc_id") < 250, F.col("doc_id"))
+        .otherwise(F.col("doc_id") - 250)
+        .alias("doc_a"),
+        (F.col("doc_id") < 250).alias("is_a"),
+        ws.alias("ws"),
+    )
+    big = F.expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', ws[i + 1]))"
+    )
+    grams = sides.select(
+        "doc_a", "is_a", F.lit(1).alias("n"), F.explode("ws").alias("g")
+    ).unionByName(
+        sides.select(
+            "doc_a", "is_a", F.lit(2).alias("n"),
+            F.explode(big).alias("g"),
+        )
+    )
+    cnt = grams.groupBy("doc_a", "n", "g").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("cb"),
+    )
+    agg = cnt.groupBy("doc_a", "n").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.least("ca", "cb")).cast("long").alias("n_common"),
+    )
+    return agg.select(
+        "doc_a",
+        (F.col("doc_a") + 250).alias("doc_b"),
+        "n",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.expr("n_common * 1000000 div greatest(n_a, 1)").alias(
+            "rouge_p_ppm"
+        ),
+        F.expr("n_common * 1000000 div greatest(n_b, 1)").alias(
+            "rouge_r_ppm"
+        ),
+        F.expr("2 * n_common * 1000000 div greatest(n_a + n_b, 1)").alias(
+            "rouge_f_ppm"
+        ),
+    ).orderBy("doc_a", "n")
