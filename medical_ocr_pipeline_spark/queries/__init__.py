@@ -54,6 +54,7 @@ _PROMOTE_TO_WINDOW = [
     "sketch_hll_union",
     "sketch_kmv_distinct",
     "qa_rouge_overlap",
+    "ngram_novelty",
     "host_triangles",
     "kmeans_embeddings",
     "lm_kneser_ney",

@@ -587,3 +587,97 @@ def budget_sample_summary(raw_docs):
         )
         .orderBy("lang")
     )
+
+
+# --- n-gram novelty (first-occurrence rate) ----------------------------------
+# Curation metric for incremental crawls: how much of each document's
+# content is NEW relative to everything ingested before it (doc_id is
+# the ingest order here).  Low-novelty tails are what host caps and
+# span dedup exist to drop; this measures them directly.
+
+NOVELTY_N = SPAN_N  # reuse the C4 word-span width
+
+
+@register(
+    "ngram_novelty",
+    sql=f"""
+    WITH wl AS (SELECT doc_id, {_REP_WS_DUCK} AS ws FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest([array_to_string(ws[i + 1 : i + {NOVELTY_N}], ' ')
+                       FOR i IN range(0, greatest(len(ws) - {NOVELTY_N - 1},
+                                                  0))]) AS g
+        FROM wl
+      )
+    ),
+    first AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g),
+    per AS (
+      SELECT a.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CASE WHEN f.first_doc = a.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+      FROM g a JOIN first f USING (g) GROUP BY 1
+    )
+    SELECT w.doc_id,
+           COALESCE(p.n_distinct, 0) AS n_distinct,
+           COALESCE(p.n_novel, 0) AS n_novel,
+           COALESCE(p.n_novel, 0) * 1000000
+             // GREATEST(COALESCE(p.n_distinct, 0), 1) AS novelty_ppm
+    FROM wl w LEFT JOIN per p USING (doc_id)
+    ORDER BY w.doc_id
+    """,
+)
+def ngram_novelty(spark, sf_dir):
+    """Per-document content novelty: the fraction of a document's
+    distinct {NOVELTY_N}-word shingles whose FIRST corpus occurrence
+    (min doc_id — ingest order) is this document, in exact-integer ppm.
+    The direct measurement of "how much new text does each crawl
+    increment add", the quantity incremental-dedup pipelines
+    (dedup_incremental) optimize.
+
+    100 TB shape: distinct (doc, shingle) is a combinable dedup;
+    first-occurrence is a combinable MIN per shingle (never a window
+    over the corpus); the attribution join back to the distinct
+    occurrence table is a shingle-keyed equi-join with no row
+    amplification; the per-doc rollup is combinable.  A mega-hot
+    boilerplate shingle is ONE row on the min side — skew lives only
+    in the occurrence table, where AQE splits it."""
+    wl = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_REP_WS_SPARK).alias("ws")
+    )
+    sh = (
+        wl.select(
+            "doc_id", F.explode(F.expr(_gram_expr(NOVELTY_N))).alias("g")
+        )
+        .distinct()
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        wl.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct", F.lit(0).cast("long")).alias(
+                "n_distinct"
+            ),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+            F.expr(
+                "coalesce(n_novel, 0) * 1000000"
+                " div greatest(coalesce(n_distinct, 0), 1)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -493,3 +493,44 @@ def test_curation_funnel_invariants(spark):
         assert r["docs_dropped"] == kd.get(r["stage"], 0)
     assert rows[-1]["docs_out"] == kd.get("keep", 0)
     assert rows[-1]["tokens_out"] > 0
+
+
+# ------------------------------------------------------------- novelty
+
+
+def test_ngram_novelty_matches_python_reference(spark):
+    import re
+
+    import duckdb
+
+    from medical_ocr_pipeline_spark.queries.base import REGISTRY
+    from medical_ocr_pipeline_spark.queries.curation import NOVELTY_N
+    from tests.conftest import SF_DIR as _SF
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{_SF}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    seen: set = set()
+    want = {}
+    for doc_id, text in rows:
+        ws = [w for w in re.split("[^a-z0-9]+", (text or "").lower()) if w]
+        grams = {
+            " ".join(ws[i : i + NOVELTY_N])
+            for i in range(len(ws) - NOVELTY_N + 1)
+        }
+        novel = len(grams - seen)
+        seen |= grams
+        want[doc_id] = (
+            len(grams),
+            novel,
+            novel * 1_000_000 // max(len(grams), 1),
+        )
+    got = {
+        r["doc_id"]: (r["n_distinct"], r["n_novel"], r["novelty_ppm"])
+        for r in REGISTRY["ngram_novelty"].fn(spark, _SF).collect()
+    }
+    assert got == want
+    # the first document is all-novel by definition (unless empty)
+    first = min(want)
+    if want[first][0] > 0:
+        assert got[first][2] == 1_000_000
