@@ -55,6 +55,7 @@ _PROMOTE_TO_WINDOW = [
     "sketch_kmv_distinct",
     "qa_rouge_overlap",
     "ngram_novelty",
+    "corpus_rebalance",
     "host_triangles",
     "kmeans_embeddings",
     "lm_kneser_ney",

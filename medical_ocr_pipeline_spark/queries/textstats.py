@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from medical_ocr_pipeline_spark.queries.base import (
+    MD5_INT48_DUCK,
+    MD5_INT48_SPARK,
     ROUND_DIGITS,
     fanout,
     load,
@@ -711,30 +713,80 @@ def tfidf_top_terms(spark, sf_dir):
 
 # --- stratified corpus rebalancing ------------------------------------------
 
-REBALANCE_SEED = 42
+REBALANCE_SALT = "rebal"  # hash-domain separator vs token_budget_sample
 REBALANCE_CAP = 80  # target max docs per language
 
+_REBAL_H_SPARK = (
+    MD5_INT48_SPARK.format(
+        x=f"concat('{REBALANCE_SALT}:', cast(doc_id as string))"
+    )
+    + " % 1000000"
+)
+_REBAL_H_DUCK = (
+    MD5_INT48_DUCK.format(
+        x=f"'{REBALANCE_SALT}:' || CAST(doc_id AS VARCHAR)"
+    )
+    + " % 1000000"
+)
 
-@register("corpus_rebalance")
+
+@register(
+    "corpus_rebalance",
+    sql=f"""
+    WITH d AS (
+      SELECT lang, doc_id, {_REBAL_H_DUCK} AS h FROM documents
+    ),
+    tot AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before FROM d GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, n_before,
+             LEAST(CAST(1000000 AS BIGINT),
+                   {REBALANCE_CAP} * 1000000 // n_before) AS rate_ppm
+      FROM tot
+    )
+    SELECT d.lang, r.n_before, r.rate_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM d JOIN r USING (lang)
+    WHERE d.h < r.rate_ppm
+    GROUP BY d.lang, r.n_before, r.rate_ppm
+    ORDER BY d.lang
+    """,
+)
 def corpus_rebalance(spark, sf_dir):
     """Stratified downsampling of over-represented languages: languages
-    above REBALANCE_CAP docs are sampled down to ~the cap with a seeded
-    per-stratum Bernoulli sample (`sampleBy`), under-represented ones
-    kept whole.  Rows-only: Bernoulli sampling has no cross-engine
-    oracle; determinism (same seed -> identical sample) and per-stratum
-    rates are asserted in tests/test_rebalance.py.  At 100 TB this is
-    the per-language mixture-weight pass of a training-data pipeline —
-    one scan for the histogram (tiny, collected), one sampled scan."""
+    above REBALANCE_CAP docs are sampled down to ~the cap, under-
+    represented ones kept whole.  The keep decision is a DETERMINISTIC
+    hash threshold — md5int48('rebal:' || doc_id) % 1e6 <
+    floor(CAP * 1e6 / n_lang) — not an RNG sampleBy: the sample is
+    identical across engines, runs, retries, and cluster sizes, which
+    is what a resumable production pipeline needs (a task retry must
+    not change the corpus), and it gives this query the full
+    cross-engine oracle that seeded Bernoulli sampling (per-partition
+    RNG streams, partitioning-dependent) can never have.  The salt
+    makes the keep-set independent of token_budget_sample's sampler.
+
+    100 TB shape: one combinable per-lang histogram (tiny — lang
+    cardinality rows after map-side partial agg), broadcast back as the
+    per-lang rate; the keep pass is then a shuffle-free per-row filter.
+    No driver collect anywhere."""
     docs = load(spark, sf_dir, "documents")
-    counts = {r["lang"]: r["n"] for r in
-              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
-    fractions = {
-        lang: min(1.0, REBALANCE_CAP / n) for lang, n in counts.items()
-    }
-    sampled = docs.sampleBy("lang", fractions, seed=REBALANCE_SEED)
+    d = docs.select("lang", "doc_id", F.expr(_REBAL_H_SPARK).alias("h"))
+    tot = d.groupBy("lang").agg(F.count("*").alias("n_before"))
+    r = tot.select(
+        "lang",
+        "n_before",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr(f"{REBALANCE_CAP} * 1000000 div n_before"),
+        ).alias("rate_ppm"),
+    )
     return (
-        sampled.groupBy("lang")
-        .agg(F.count("*").alias("n_docs"))
+        d.join(F.broadcast(r), "lang")
+        .where(F.col("h") < F.col("rate_ppm"))
+        .groupBy("lang", "n_before", "rate_ppm")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select("lang", "n_before", "rate_ppm", "n_docs")
         .orderBy("lang")
     )
 
