@@ -1,0 +1,73 @@
+"""Distributed multi-round BFS (hop distance from a seed vertex) over an
+edge frame — the shortest-path primitive next to pagerank (quality
+prior) and connected components (dedup clusters): crawl pipelines use
+hop-from-seed as a frontier/depth feature and link-spam heuristic.
+
+Shape per round: one equi-join (current frontier rank flows along
+edges, shuffled on src) + one combinable groupBy MIN — no windows, no
+cartesian.  Per-round lineage truncation and the small-graph AQE policy
+follow operators/pagerank.py (AQE's per-stage re-plan rounds cost a
+tiny graph far more than they save; on a billion-edge graph they're
+worth it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_hops(edges: DataFrame, seed: DataFrame, max_hops: int = 8,
+             aqe: str = "auto") -> DataFrame:
+    """edges: (src, dst), directed — pass a symmetrized frame for
+    undirected semantics.  seed: 1-column 1-row frame (vertex) holding
+    the start vertex.  Returns (vertex, hops:long) for every vertex
+    reached within max_hops; callers left-join their full vertex
+    universe to tag unreachable vertices.
+
+    BFS is layered-monotone: a vertex's hop count is final the round it
+    first appears, so the loop early-exits as soon as a round adds no
+    new vertex — the result is the fixpoint whether or not max_hops was
+    exhausted, which is what lets a bounded recursive-CTE oracle
+    replay it exactly."""
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    spark = edges.sparkSession
+    aqe_conf = "spark.sql.adaptive.enabled"
+    old_aqe = spark.conf.get(aqe_conf)
+    if aqe == "off" or (aqe == "auto" and n < 1_000_000):
+        spark.conf.set(aqe_conf, "false")
+    dist = (
+        seed.select(F.col(seed.columns[0]).alias("vertex"))
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    try:
+        n_reached = dist.count()
+        for _ in range(max_hops):
+            nxt = (
+                dist.join(edges, dist["vertex"] == edges["src"])
+                .select(
+                    edges["dst"].alias("vertex"),
+                    (dist["hops"] + 1).alias("hops"),
+                )
+            )
+            dist = (
+                dist.unionByName(nxt)
+                .groupBy("vertex")
+                .agg(F.min("hops").alias("hops"))
+                .localCheckpoint()  # eager: truncates per-round lineage
+            )
+            now = dist.count()
+            if now == n_reached:  # frontier empty -> fixpoint
+                break
+            n_reached = now
+    finally:
+        spark.conf.set(aqe_conf, old_aqe)
+        verts.unpersist()
+    return dist

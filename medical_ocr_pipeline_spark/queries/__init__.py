@@ -57,6 +57,7 @@ _PROMOTE_TO_WINDOW = [
     "ngram_novelty",
     "corpus_rebalance",
     "host_triangles",
+    "host_bfs_hops",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",

@@ -805,3 +805,88 @@ def host_triangles(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+# --- BFS hop distance ---------------------------------------------------------
+
+BFS_MAX_HOPS = 8
+
+
+@register(
+    "host_bfs_hops",
+    sql=f"""
+    WITH RECURSIVE
+    docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+    nct AS (SELECT COUNT(*) AS n FROM docs),
+    raw AS MATERIALIZED (
+      SELECT a.source AS src, b.source AS dst
+      FROM docs a, nct, docs b
+      WHERE b.doc_id = (a.doc_id * 7 + 1) % nct.n AND a.source <> b.source
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw
+    ),
+    bidir AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b AS src, a AS dst FROM und
+    ),
+    seed AS (SELECT MIN(source) AS v FROM docs),
+    bfs AS (
+      SELECT v, 0 AS d FROM seed
+      UNION
+      SELECT e.dst AS v, b.d + 1 AS d
+      FROM bfs b JOIN bidir e ON e.src = b.v
+      WHERE b.d < {BFS_MAX_HOPS}
+    ),
+    dist AS (SELECT v, CAST(MIN(d) AS BIGINT) AS hops FROM bfs GROUP BY v)
+    SELECT h.source AS host,
+           COALESCE(d.hops, CAST(-1 AS BIGINT)) AS hops
+    FROM (SELECT DISTINCT source FROM docs) h
+    LEFT JOIN dist d ON d.v = h.source
+    ORDER BY host
+    """,
+)
+def host_bfs_hops(spark, sf_dir):
+    """Hop distance from the lexicographically smallest host over the
+    same derived undirected host graph as host_pagerank/host_triangles
+    (doc i cites doc (7i+1) mod n).  Hosts unreachable within
+    BFS_MAX_HOPS rounds report -1.  The shortest-path primitive of the
+    graph family — crawl pipelines use hop-from-seed as a
+    frontier-depth feature and link-spam heuristic.
+
+    100 TB shape: each BFS round is one frontier-to-edges equi-join
+    (shuffled on the src key) plus a combinable MIN groupBy — never a
+    window, never a cartesian; lineage is truncated per round and the
+    loop early-exits at the fixpoint (operators/bfs.py).  The DuckDB
+    oracle replays it as a bounded recursive CTE — exact because BFS
+    hop counts are final the round a vertex first appears."""
+    from medical_ocr_pipeline_spark.operators.bfs import bfs_hops
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    n = docs.count()
+    a = docs.alias("a")
+    b = docs.alias("b")
+    raw = (
+        a.join(b, F.col("b.doc_id") == (F.col("a.doc_id") * 7 + 1) % n)
+        .where(F.col("a.source") != F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src"), F.col("b.source").alias("dst")
+        )
+    )
+    und = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    bidir = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    seed = docs.agg(F.min("source").alias("vertex"))
+    dist = bfs_hops(bidir, seed, max_hops=BFS_MAX_HOPS)
+    hosts = docs.select("source").distinct()
+    return (
+        hosts.join(dist, hosts["source"] == dist["vertex"], "left")
+        .select(
+            F.col("source").alias("host"),
+            F.coalesce("hops", F.lit(-1).cast("long")).alias("hops"),
+        )
+        .orderBy("host")
+    )
