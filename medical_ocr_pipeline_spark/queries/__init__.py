@@ -58,6 +58,7 @@ _PROMOTE_TO_WINDOW = [
     "corpus_rebalance",
     "host_triangles",
     "host_bfs_hops",
+    "length_quantile_sketch",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",

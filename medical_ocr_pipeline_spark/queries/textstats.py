@@ -1586,3 +1586,144 @@ def pmi_bigrams(spark, sf_dir):
         .orderBy(F.desc("pmi_ratio_x1e6"), "bigram")
         .limit(_PMI_TOPK)
     )
+
+
+# --- length-distribution quantile sketch -------------------------------------
+# The histogram-sketch replacement for "sort 100 TB to get P99": doc
+# lengths bucket into log2 bins (a combinable (lang, bin) count), and
+# quantiles read off the cumulative bin table (≤ ~48 rows per lang).
+# The exact rank-selected quantiles ride along for error inspection,
+# the same exact-next-to-sketch discipline as sketch_hll_distinct.
+
+QSKETCH_QS = (50, 90, 99)
+
+
+@register(
+    "length_quantile_sketch",
+    sql=f"""
+    WITH d AS (
+      SELECT lang,
+             CAST(len(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '{_WORD_SPLIT}'),
+               x -> x <> '')) AS BIGINT) AS nt
+      FROM documents
+    ), b AS (
+      SELECT lang, CAST(length(ltrim(bin(nt), '0')) AS BIGINT) AS bin,
+             COUNT(*) AS c
+      FROM d GROUP BY lang, bin
+    ), cum AS (
+      SELECT lang, bin, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n_docs
+      FROM b
+    ), sk AS (
+      SELECT lang, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+             {", ".join(
+                 f'''CAST(MIN(CASE WHEN cum * 100 >= {q} * n_docs
+                       THEN bin END) AS BIGINT) AS p{q}_bin'''
+                 for q in QSKETCH_QS)}
+      FROM cum GROUP BY lang
+    ), ranked AS (
+      SELECT lang, nt,
+             row_number() OVER (PARTITION BY lang ORDER BY nt) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM d
+    ), exact AS (
+      SELECT lang,
+             {", ".join(
+                 f'''CAST(MIN(CASE WHEN rk * 100 >= {q} * n
+                       THEN nt END) AS BIGINT) AS p{q}_exact'''
+                 for q in QSKETCH_QS)}
+      FROM ranked GROUP BY lang
+    )
+    SELECT s.lang, s.n_docs,
+           {", ".join(
+               f"s.p{q}_bin, "
+               f"(CAST(1 AS BIGINT) << p{q}_bin) - 1 AS p{q}_hi, "
+               f"e.p{q}_exact"
+               for q in QSKETCH_QS)}
+    FROM sk s JOIN exact e ON s.lang = e.lang
+    ORDER BY s.lang
+    """,
+)
+def length_quantile_sketch(spark, sf_dir):
+    """Per-language P50/P90/P99 of document word counts, twice: the
+    log2-bin HISTOGRAM SKETCH (quantile = first bin whose cumulative
+    count crosses the rank; upper bound 2^bin - 1) and the EXACT
+    rank-selected value for error inspection.  Pure integer math ->
+    exact cross-engine oracle (the crossing test is cum*100 >= q*n,
+    never a float quantile function, whose interpolation rules differ
+    between engines).
+
+    100 TB shape: the sketch path is ONE combinable (lang, bin) count —
+    the bin table is ≤ ~48 rows per language, so the cumulative window
+    runs over the aggregate, not the data; this is how length
+    dashboards avoid sorting the corpus.  The exact path's per-lang
+    row_number IS the full sort (megalanguage window) — it rides along
+    here as the sketch's error oracle, exactly like n_exact in
+    sketch_hll_distinct, and is the thing you'd drop first at scale."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang", F.size(words_expr()).cast("long").alias("nt")
+    )
+    bin_expr = F.length(
+        F.regexp_replace(F.bin(F.col("nt")), "^0+", "")
+    ).cast("long")
+    b = (
+        d.select("lang", bin_expr.alias("bin"))
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    wcum = W.partitionBy("lang").orderBy("bin")
+    wall = W.partitionBy("lang")
+    cum = b.select(
+        "lang",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n_docs"),
+    )
+    sk = cum.groupBy("lang").agg(
+        F.max("n_docs").cast("long").alias("n_docs"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(q) * F.col("n_docs"),
+                    F.col("bin"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{q}_bin")
+            for q in QSKETCH_QS
+        ],
+    )
+    wrk = W.partitionBy("lang").orderBy("nt")
+    ranked = d.select(
+        "lang",
+        "nt",
+        F.row_number().over(wrk).alias("rk"),
+        F.count("*").over(wall).alias("n"),
+    )
+    exact = ranked.groupBy("lang").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rk") * 100 >= F.lit(q) * F.col("n"), F.col("nt")
+                )
+            )
+            .cast("long")
+            .alias(f"p{q}_exact")
+            for q in QSKETCH_QS
+        ]
+    )
+    cols = ["lang", "n_docs"]
+    sel = [F.col("lang"), F.col("n_docs")]
+    for q in QSKETCH_QS:
+        sel.append(F.col(f"p{q}_bin"))
+        sel.append(
+            F.expr(f"shiftleft(cast(1 as bigint), p{q}_bin) - 1").alias(
+                f"p{q}_hi"
+            )
+        )
+        sel.append(F.col(f"p{q}_exact"))
+    return sk.join(exact, "lang").select(*sel).orderBy("lang")

@@ -213,3 +213,35 @@ def test_kmv_kept_set_and_estimate_match_reference(spark):
             # order-statistics bound: relative sd ~ 1/sqrt(K-2) = 18%;
             # allow 3 sigma
             assert abs(want - row["n_exact"]) <= 0.55 * row["n_exact"]
+
+
+def test_length_quantile_sketch_matches_reference(spark):
+    rows = duckdb.sql(
+        f"SELECT lang, lower(coalesce(text, '')) "
+        f"FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    by_lang: dict[str, list] = {}
+    for lang, text in rows:
+        nt = len([w for w in WORD_SPLIT.split(text) if w])
+        by_lang.setdefault(lang, []).append(nt)
+    got = {
+        r["lang"]: r.asDict()
+        for r in REGISTRY["length_quantile_sketch"].fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(got) == set(by_lang)
+    for lang, nts in by_lang.items():
+        nts.sort()
+        n = len(nts)
+        row = got[lang]
+        assert row["n_docs"] == n
+        for q in (50, 90, 99):
+            # exact: smallest value whose rank crosses ceil(q*n/100)
+            exact = nts[(q * n + 99) // 100 - 1]
+            assert row[f"p{q}_exact"] == exact
+            # sketch: the log2 bin of that exact value (the crossing
+            # bin is the bin the rank falls in)
+            want_bin = exact.bit_length()
+            assert row[f"p{q}_bin"] == want_bin
+            assert row[f"p{q}_hi"] == (1 << want_bin) - 1
+            assert exact <= row[f"p{q}_hi"]  # sketch upper-bounds exact
