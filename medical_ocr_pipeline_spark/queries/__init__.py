@@ -59,6 +59,7 @@ _PROMOTE_TO_WINDOW = [
     "host_triangles",
     "host_bfs_hops",
     "length_quantile_sketch",
+    "crawl_diff",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",

@@ -890,3 +890,87 @@ def host_bfs_hops(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+# --- crawl snapshot diff ------------------------------------------------------
+# Incremental-crawl bookkeeping: given two corpus snapshots keyed by a
+# stable document key, classify every key as added / removed /
+# modified / unchanged by content hash.  dedup_incremental answers
+# "which NEW docs survive dedup against the old corpus"; this answers
+# the upstream inventory question "what did the new crawl change".
+# Snapshots are derived deterministically from the one documents table:
+# A = doc_id < 400, B = doc_id >= 100, and B re-hashes every 10th doc
+# with a version salt so the modified class is non-empty.
+
+CRAWL_A_END = 400
+CRAWL_B_START = 100
+CRAWL_MOD_EVERY = 10
+
+
+@register(
+    "crawl_diff",
+    sql=f"""
+    WITH a AS (
+      SELECT doc_id, source, md5(text) AS h
+      FROM documents WHERE doc_id < {CRAWL_A_END}
+    ), b AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % {CRAWL_MOD_EVERY} = 0
+                  THEN md5(text || ':v2') ELSE md5(text) END AS h
+      FROM documents WHERE doc_id >= {CRAWL_B_START}
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           COALESCE(a.source, b.source) AS source,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.h <> b.h THEN 'modified'
+                ELSE 'unchanged' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    ORDER BY doc_id
+    """,
+)
+def crawl_diff(spark, sf_dir):
+    """Snapshot diff between two derived crawl versions of the corpus:
+    per document key, added / removed / modified (content hash
+    changed) / unchanged.  The inventory pass an incremental pipeline
+    runs before dedup_incremental decides what to keep.
+
+    100 TB shape: ONE full-outer equi-join on the stable document key —
+    keys are unique per side, so there is no row amplification and no
+    skew; the content comparison is a per-row md5 inside codegen.  In a
+    real lakehouse this is the MERGE-source computation, and on Iceberg
+    the same classification falls out of a snapshot-to-snapshot changelog
+    scan without touching unchanged files — this operator is the
+    format-agnostic form."""
+    docs = load(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") < CRAWL_A_END).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    b = docs.where(F.col("doc_id") >= CRAWL_B_START).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % CRAWL_MOD_EVERY == 0,
+            F.md5(F.concat(F.col("text"), F.lit(":v2"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("h"),
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    return (
+        aa.join(bb, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias(
+                "doc_id"
+            ),
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias(
+                "source"
+            ),
+            F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+            .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+            .when(F.col("a.h") != F.col("b.h"), F.lit("modified"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )

@@ -353,3 +353,50 @@ def test_host_triangles_matches_bruteforce(spark):
             n_tri[v] * 2_000_000 // (deg * (deg - 1)) if deg >= 2 else 0
         )
         assert got[v]["clust_ppm"] == want_ppm
+
+
+# ------------------------------------------------------------- crawl diff
+
+
+def test_crawl_diff_matches_python_reference(spark):
+    import hashlib
+
+    import duckdb
+
+    from medical_ocr_pipeline_spark.queries.base import REGISTRY
+    from medical_ocr_pipeline_spark.queries.webcur import (
+        CRAWL_A_END,
+        CRAWL_B_START,
+        CRAWL_MOD_EVERY,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    a = {d: hashlib.md5(t.encode()).hexdigest()
+         for d, _, t in rows if d < CRAWL_A_END}
+    b = {
+        d: hashlib.md5(
+            (t + ":v2" if d % CRAWL_MOD_EVERY == 0 else t).encode()
+        ).hexdigest()
+        for d, _, t in rows
+        if d >= CRAWL_B_START
+    }
+    want = {}
+    for d in set(a) | set(b):
+        if d not in a:
+            want[d] = "added"
+        elif d not in b:
+            want[d] = "removed"
+        elif a[d] != b[d]:
+            want[d] = "modified"
+        else:
+            want[d] = "unchanged"
+    got = {
+        r["doc_id"]: r["status"]
+        for r in REGISTRY["crawl_diff"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # all four classes are exercised by the derived snapshots
+    assert set(want.values()) == {"added", "removed", "modified",
+                                  "unchanged"}
