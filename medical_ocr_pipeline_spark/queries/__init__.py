@@ -11,6 +11,7 @@ rows-only) are the next to overflow as new operators join the window.
 """
 
 from medical_ocr_pipeline_spark.queries import (  # noqa: F401
+    dq,
     sketches,
     similarity,
     temporal,
@@ -60,6 +61,7 @@ _PROMOTE_TO_WINDOW = [
     "host_bfs_hops",
     "length_quantile_sketch",
     "crawl_diff",
+    "dq_profile",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",
