@@ -62,6 +62,7 @@ _PROMOTE_TO_WINDOW = [
     "length_quantile_sketch",
     "crawl_diff",
     "dq_profile",
+    "zorder_layout",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",

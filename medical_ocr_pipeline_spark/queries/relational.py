@@ -874,3 +874,136 @@ def q_below_avg_parts(spark, sf_dir):
         .where(F.col("n_small_lines") >= 2)
         .orderBy("partkey")
     )
+
+
+# --- Z-order (Morton) layout clustering ---------------------------------------
+# The data-layout optimization behind Delta OPTIMIZE ZORDER / Iceberg
+# sort orders: interleave the bits of two filter columns so a range-
+# partitioned rewrite co-locates rows that are close in BOTH dimensions,
+# and per-file min/max stats prune scans on either column.  This query
+# computes the layout and MEASURES it: the same file-bucket assignment
+# under (a) natural o_orderkey order and (b) Morton order, with each
+# bucket's min/max envelope on both dimensions — the stats a format's
+# pruning index would hold.  tests/test_zorder.py asserts the Morton
+# layout's mean envelope area is strictly smaller (that's the point).
+
+ZORDER_BUCKETS = 16
+_Z_BITS = 16
+
+# sum_i ((x>>i & 1) << 2i) + ((y>>i & 1) << (2i+1)) as an engine-shared
+# integer fold — Spark aggregate() over a sequence, DuckDB a list
+# comprehension sum; both pure BIGINT.
+_MORTON_SPARK = (
+    "aggregate(sequence(0, {b} - 1), cast(0 as bigint), (acc, i) -> acc"
+    " + shiftleft(shiftright(x, i) & 1, 2 * i)"
+    " + shiftleft(shiftright(y, i) & 1, 2 * i + 1))"
+).format(b=_Z_BITS)
+# NB: SQL's << binds LOOSER than +, so every shift term is fully
+# parenthesized — a bare `a << b + c` parses as a << (b + c).
+_MORTON_DUCK = (
+    "list_aggregate([ (((x >> i) & 1) << (2 * i))"
+    " + (((y >> i) & 1) << (2 * i + 1))"
+    " FOR i IN range(0, {b}) ], 'sum')"
+).format(b=_Z_BITS)
+
+
+@register(
+    "zorder_layout",
+    sql=f"""
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(o_custkey & 65535 AS BIGINT) AS x,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                  & 65535 AS BIGINT) AS y
+      FROM orders
+    ), m AS (
+      SELECT o_orderkey, x, y,
+             CAST({_MORTON_DUCK} AS BIGINT) AS morton
+      FROM d
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY o_orderkey) AS rn_nat,
+             row_number() OVER (ORDER BY morton, o_orderkey) AS rn_z,
+             COUNT(*) OVER () AS n
+      FROM m
+    ), assigned AS (
+      SELECT 'natural' AS layout,
+             (rn_nat - 1) * {ZORDER_BUCKETS} // n AS bucket, x, y
+      FROM ranked
+      UNION ALL
+      SELECT 'zorder' AS layout,
+             (rn_z - 1) * {ZORDER_BUCKETS} // n AS bucket, x, y
+      FROM ranked
+    )
+    SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS x_lo, CAST(MAX(x) AS BIGINT) AS x_hi,
+           CAST(MIN(y) AS BIGINT) AS y_lo, CAST(MAX(y) AS BIGINT) AS y_hi,
+           CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT)
+             AS envelope_area
+    FROM assigned
+    GROUP BY layout, bucket
+    ORDER BY layout, bucket
+    """,
+)
+def zorder_layout(spark, sf_dir):
+    """Morton-interleaved (Z-order) file layout over orders
+    (o_custkey x o_orderdate), measured against natural insert order:
+    each layout splits the table into ZORDER_BUCKETS equal rank ranges
+    and reports every bucket's min/max envelope on both dimensions —
+    exactly the per-file stats min/max pruning reads.  A query filtering
+    on either column skips every bucket whose envelope misses the
+    predicate; Z-order shrinks envelope AREAS, so it prunes on BOTH
+    columns at once where natural order only prunes the insert key.
+
+    100 TB shape: the Morton key is a per-row integer fold inside
+    codegen; the rank-range assignment IS a global range partition —
+    in production you write it with repartitionByRange(morton) +
+    sortWithinPartitions, which samples ranges instead of running the
+    full-table window used here for the oracle's exact determinism;
+    the per-bucket envelope agg is combinable."""
+    d = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(o_custkey & 65535 as bigint)").alias("x"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .bitwiseAND(F.lit(65535))
+        ).alias("y"),
+    )
+    m = d.withColumn("morton", F.expr(_MORTON_SPARK).cast("long"))
+    w_nat = W.orderBy("o_orderkey")
+    w_z = W.orderBy("morton", "o_orderkey")
+    ranked = (
+        m.withColumn("rn_nat", F.row_number().over(w_nat))
+        .withColumn("rn_z", F.row_number().over(w_z))
+        .withColumn("n", F.count("*").over(W.partitionBy()))
+    )
+    nat = ranked.select(
+        F.lit("natural").alias("layout"),
+        F.expr(f"(rn_nat - 1) * {ZORDER_BUCKETS} div n").alias("bucket"),
+        "x",
+        "y",
+    )
+    zo = ranked.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(f"(rn_z - 1) * {ZORDER_BUCKETS} div n").alias("bucket"),
+        "x",
+        "y",
+    )
+    return (
+        nat.unionByName(zo)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+            F.expr(
+                "cast((max(x) - min(x) + 1) * (max(y) - min(y) + 1)"
+                " as bigint)"
+            ).alias("envelope_area"),
+        )
+        .orderBy("layout", "bucket")
+    )
