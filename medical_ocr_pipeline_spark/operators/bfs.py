@@ -71,3 +71,61 @@ def bfs_hops(edges: DataFrame, seed: DataFrame, max_hops: int = 8,
         spark.conf.set(aqe_conf, old_aqe)
         verts.unpersist()
     return dist
+
+
+def multi_source_bfs_hops(edges: DataFrame, seeds: DataFrame,
+                          max_hops: int = 8,
+                          aqe: str = "auto") -> DataFrame:
+    """All-sources BFS: seeds is a 1-column frame of start vertices and
+    the result is (seed, vertex, hops) for every (seed, vertex) pair
+    reachable within max_hops.  The state frame carries the seed as a
+    key column, so ALL searches advance in the same per-round
+    join+MIN — one Spark job per round regardless of seed count, the
+    shape that computes harmonic/closeness centrality over a host
+    graph without |V| separate traversals.
+
+    At web scale the state is O(reached pairs); full all-pairs is only
+    run on the contracted host graph (millions of vertices), while
+    sampled-seed variants bound it on the page graph."""
+    spark = edges.sparkSession
+    aqe_conf = "spark.sql.adaptive.enabled"
+    old_aqe = spark.conf.get(aqe_conf)
+    n_verts = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
+    if aqe == "off" or (aqe == "auto" and n_verts < 1_000_000):
+        spark.conf.set(aqe_conf, "false")
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("vertex"),
+                F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint()
+    )
+    try:
+        n_pairs = dist.count()
+        for _ in range(max_hops):
+            nxt = (
+                dist.join(edges, dist["vertex"] == edges["src"])
+                .select(
+                    dist["seed"].alias("seed"),
+                    edges["dst"].alias("vertex"),
+                    (dist["hops"] + 1).alias("hops"),
+                )
+            )
+            dist = (
+                dist.unionByName(nxt)
+                .groupBy("seed", "vertex")
+                .agg(F.min("hops").alias("hops"))
+                .localCheckpoint()
+            )
+            now = dist.count()
+            if now == n_pairs:
+                break
+            n_pairs = now
+    finally:
+        spark.conf.set(aqe_conf, old_aqe)
+    return dist

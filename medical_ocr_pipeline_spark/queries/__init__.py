@@ -59,6 +59,7 @@ _PROMOTE_TO_WINDOW = [
     "corpus_rebalance",
     "host_triangles",
     "host_bfs_hops",
+    "host_harmonic_centrality",
     "length_quantile_sketch",
     "crawl_diff",
     "dq_profile",

@@ -974,3 +974,102 @@ def crawl_diff(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- harmonic centrality --------------------------------------------------------
+
+
+@register(
+    "host_harmonic_centrality",
+    sql=f"""
+    WITH RECURSIVE
+    docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+    nct AS (SELECT COUNT(*) AS n FROM docs),
+    raw AS MATERIALIZED (
+      SELECT a.source AS src, b.source AS dst
+      FROM docs a, nct, docs b
+      WHERE b.doc_id = (a.doc_id * 7 + 1) % nct.n AND a.source <> b.source
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw
+    ),
+    bidir AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b AS src, a AS dst FROM und
+    ),
+    hosts AS MATERIALIZED (SELECT DISTINCT source FROM docs),
+    bfs AS (
+      SELECT source AS seed, source AS v, 0 AS d FROM hosts
+      UNION
+      SELECT b.seed, e.dst AS v, b.d + 1 AS d
+      FROM bfs b JOIN bidir e ON e.src = b.v
+      WHERE b.d < {BFS_MAX_HOPS}
+    ),
+    dist AS (SELECT seed, v, MIN(d) AS d FROM bfs GROUP BY seed, v)
+    SELECT seed AS host,
+           CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reached,
+           CAST(SUM(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END)
+             AS BIGINT) AS harmonic_ppm
+    FROM dist GROUP BY seed
+    ORDER BY harmonic_ppm DESC, host
+    """,
+)
+def host_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality per host — sum over reachable vertices of
+    1/hops, in exact-integer ppm (1000000 // d) — over the derived
+    undirected host graph.  THE ranking Common Crawl actually publishes
+    for hosts (the pagerank docstring's companion artifact): robust on
+    disconnected graphs because unreachable vertices contribute 0
+    instead of breaking a closeness average.
+
+    100 TB shape: all |V| searches advance together in ONE multi-source
+    BFS state frame keyed (seed, vertex) — each round is one equi-join
+    + one combinable MIN, one Spark job, regardless of seed count
+    (operators/bfs.py::multi_source_bfs_hops); the centrality rollup is
+    a combinable per-seed sum.  Run on the contracted host graph, state
+    is O(host pairs within the hop radius); on a page graph you sample
+    seeds instead."""
+    from medical_ocr_pipeline_spark.operators.bfs import (
+        multi_source_bfs_hops,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    n = docs.count()
+    a = docs.alias("a")
+    b = docs.alias("b")
+    raw = (
+        a.join(b, F.col("b.doc_id") == (F.col("a.doc_id") * 7 + 1) % n)
+        .where(F.col("a.source") != F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src"), F.col("b.source").alias("dst")
+        )
+    )
+    und = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    bidir = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    hosts = docs.select("source").distinct()
+    dist = multi_source_bfs_hops(bidir, hosts, max_hops=BFS_MAX_HOPS)
+    return (
+        dist.groupBy("seed")
+        .agg(
+            F.sum(F.when(F.col("hops") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_reached"),
+            F.sum(
+                F.when(
+                    F.col("hops") > 0,
+                    F.expr("1000000 div hops"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("harmonic_ppm"),
+        )
+        .select(
+            F.col("seed").alias("host"), "n_reached", "harmonic_ppm"
+        )
+        .orderBy(F.desc("harmonic_ppm"), "host")
+    )
