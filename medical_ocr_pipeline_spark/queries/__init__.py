@@ -60,6 +60,7 @@ _PROMOTE_TO_WINDOW = [
     "host_triangles",
     "host_bfs_hops",
     "host_harmonic_centrality",
+    "host_hits",
     "length_quantile_sketch",
     "crawl_diff",
     "dq_profile",

@@ -1073,3 +1073,96 @@ def host_harmonic_centrality(spark, sf_dir):
         )
         .orderBy(F.desc("harmonic_ppm"), "host")
     )
+
+
+# --- HITS hubs & authorities ---------------------------------------------------
+
+
+def _hits_oracle_sql(n_iters: int = 8) -> str:
+    """Unrolled fixed-iteration HITS as chained DuckDB CTEs — one
+    (a_raw, a_norm, a, h_raw, h_norm, h) sextuple per iteration, the
+    exact dataflow operators/hits.py runs.  AS MATERIALIZED everywhere
+    for the same exponential-inlining reason as _pagerank_oracle_sql."""
+    parts = [
+        """
+    WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+    nct AS (SELECT COUNT(*) AS n FROM docs),
+    edges AS MATERIALIZED (
+      SELECT a.source AS src, b.source AS dst
+      FROM docs a, nct, docs b
+      WHERE b.doc_id = (a.doc_id * 7 + 1) % nct.n AND a.source <> b.source
+    ),
+    verts AS MATERIALIZED (
+      SELECT src AS vertex FROM edges UNION SELECT dst FROM edges
+    ),
+    nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+    h0 AS (SELECT vertex, 1.0 / nv.n AS hub FROM verts, nv)"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+    ar{i} AS MATERIALIZED (
+      SELECT v.vertex, COALESCE(s.s, 0.0) AS s
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS vertex, SUM(h.hub) AS s
+        FROM edges e JOIN h{i - 1} h ON h.vertex = e.src
+        GROUP BY e.dst
+      ) s ON v.vertex = s.vertex
+    ),
+    an{i} AS MATERIALIZED (SELECT SUM(s) AS norm FROM ar{i}),
+    a{i} AS MATERIALIZED (
+      SELECT vertex, s / an{i}.norm AS auth FROM ar{i}, an{i}
+    ),
+    hr{i} AS MATERIALIZED (
+      SELECT v.vertex, COALESCE(s.s, 0.0) AS s
+      FROM verts v LEFT JOIN (
+        SELECT e.src AS vertex, SUM(a.auth) AS s
+        FROM edges e JOIN a{i} a ON a.vertex = e.dst
+        GROUP BY e.src
+      ) s ON v.vertex = s.vertex
+    ),
+    hn{i} AS MATERIALIZED (SELECT SUM(s) AS norm FROM hr{i}),
+    h{i} AS MATERIALIZED (
+      SELECT vertex, s / hn{i}.norm AS hub FROM hr{i}, hn{i}
+    )""")
+    parts.append(f"""
+    SELECT a.vertex AS host, ROUND(a.auth, 8) AS auth,
+           ROUND(h.hub, 8) AS hub
+    FROM a{n_iters} a JOIN h{n_iters} h ON a.vertex = h.vertex
+    ORDER BY auth DESC, host""")
+    return "".join(parts)
+
+
+@register("host_hits", sql=_hits_oracle_sql())
+def host_hits(spark, sf_dir):
+    """HITS hubs & authorities over the derived DIRECTED host citation
+    graph (doc i cites doc (7i+1) mod n) — the second classic
+    link-analysis prior next to host_pagerank: authority separates
+    content hosts from the link directories that point at them, which
+    a single PageRank eigenvector conflates.  Full unrolled-CTE DuckDB
+    oracle replaying the operator's per-iteration dataflow; the math is
+    additionally pinned by closed-form and sequential-reference tests
+    in tests/test_hits.py.  Scores rounded to 8 decimals (same
+    cross-engine double-summation margin argument as host_pagerank)
+    with a host tie-break."""
+    from medical_ocr_pipeline_spark.operators.hits import hits
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    n = docs.count()
+    a = docs.alias("a")
+    b = docs.alias("b")
+    edges = (
+        a.join(b, F.col("b.doc_id") == (F.col("a.doc_id") * 7 + 1) % n)
+        .where(F.col("a.source") != F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src"), F.col("b.source").alias("dst")
+        )
+    )
+    return (
+        hits(edges, n_iters=8)
+        .select(
+            F.col("vertex").alias("host"),
+            F.round("auth", 8).alias("auth"),
+            F.round("hub", 8).alias("hub"),
+        )
+        .orderBy(F.desc("auth"), F.asc("host"))
+    )
