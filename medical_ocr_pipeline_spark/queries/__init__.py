@@ -65,6 +65,7 @@ _PROMOTE_TO_WINDOW = [
     "crawl_diff",
     "dq_profile",
     "zorder_layout",
+    "dedup_containment",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",

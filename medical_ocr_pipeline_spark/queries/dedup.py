@@ -178,7 +178,8 @@ def _auto_join_hint(docs) -> str | None:
 
 
 def ngram_jaccard_pairs(docs, freq_cap: int | None = None,
-                        join_hint: str | None = "auto"):
+                        join_hint: str | None = "auto",
+                        raw_counts: bool = False):
     """Exact n-gram Jaccard near-dup pairs via a POSTING-LIST inverted
     index (no O(n^2) cross join).  THE shared core: the registry query
     and job_corpus both call this, so the production job cannot drift
@@ -314,6 +315,24 @@ def ngram_jaccard_pairs(docs, freq_cap: int | None = None,
             )
         ).cast("double"),
     ).otherwise(jac_raw)
+    if raw_counts:
+        # counts frame for alternative scorers (containment etc.);
+        # the collision tripwire rides along on the common column
+        guarded = F.when(
+            F.col("common") > F.least("na", "nb"),
+            F.raise_error(
+                F.concat_ws(
+                    " ",
+                    F.lit("xxhash64 shingle collision:"
+                          " common > least(na, nb) for pair"),
+                    F.col("doc_a"),
+                    F.col("doc_b"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("common").cast("long"))
+        return pairs.select(
+            "doc_a", "doc_b", guarded.alias("common"), "na", "nb"
+        )
     return (
         pairs.where(jac >= JACCARD_THR)
         .select("doc_a", "doc_b", F.round(jac_raw, R).alias("jaccard"))
@@ -1912,4 +1931,74 @@ def split_leakage_check(spark, sf_dir):
             F.sum(F.col("near_dup").cast("long")).alias("n_near_leaks"),
         )
         .orderBy("split")
+    )
+
+
+# --- asymmetric containment near-dup -------------------------------------------
+# The dup class symmetric Jaccard under-scores: a short document wholly
+# embedded in a long one (quote expansion, article + comment thread,
+# syndication with added boilerplate).  containment(A in B) =
+# |A ∩ B| / |A| stays ~1 while Jaccard collapses toward |A| / |B|.
+# Lee et al. 2022 and RefinedWeb both treat this as its own dedup tier.
+
+CONTAIN_THR_BP = 8000  # containment >= 0.80
+
+
+@register(
+    "dedup_containment",
+    sql=f"""
+    WITH {_JACCARD_PAIRS_DUCK}
+    SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc,
+           CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS container_doc,
+           CAST(LEAST(na, nb) AS BIGINT) AS n_small,
+           CAST(common AS BIGINT) AS n_common,
+           CAST(common * 10000 // LEAST(na, nb) AS BIGINT)
+             AS containment_bp,
+           ROUND(CAST(common AS DOUBLE) / (na + nb - common), {R})
+             AS jaccard
+    FROM pairs
+    WHERE common * 10000 >= {CONTAIN_THR_BP} * LEAST(na, nb)
+    ORDER BY contained_doc, container_doc
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Shingle-containment near-dup pairs: the smaller document's
+    shingle set must be >= CONTAIN_THR_BP/10000 contained in the
+    larger's, reported with both ids oriented (contained, container),
+    the exact-integer containment in basis points, and the symmetric
+    Jaccard alongside to show what it would have missed.
+
+    100 TB shape: IDENTICAL to the Jaccard tier — same persisted
+    shingle index, same xxhash64-keyed scale-conditional self-join,
+    same combinable pair agg (ngram_jaccard_pairs(raw_counts=True), so
+    this tier can never drift from the oracle-checked core); only the
+    final per-pair scoring expression differs.  freq_cap applies
+    unchanged when enabled."""
+    counts = ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), raw_counts=True
+    )
+    small = F.least("na", "nb")
+    return (
+        counts.where(
+            F.col("common") * 10000 >= F.lit(CONTAIN_THR_BP) * small
+        )
+        .select(
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("container_doc"),
+            small.cast("long").alias("n_small"),
+            F.col("common").cast("long").alias("n_common"),
+            F.expr("common * 10000 div least(na, nb)")
+            .cast("long")
+            .alias("containment_bp"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                R,
+            ).alias("jaccard"),
+        )
+        .orderBy("contained_doc", "container_doc")
     )

@@ -605,3 +605,43 @@ def test_rewrite_frames_null_text(spark):
         assert got[1]["n_removed"] == 0
         assert got[1]["clean_text"] == ""
         assert got[2]["n_removed"] == 0 and got[2]["n_tokens"] == 7
+
+
+# ---------------------------------------------------------- containment
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    from pyspark.sql import Row
+
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        JACCARD_THR,
+        ngram_jaccard_pairs,
+    )
+
+    short = " ".join(f"w{i}" for i in range(10))
+    long = short + " " + " ".join(f"x{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=short), Row(doc_id=2, text=long)]
+    )
+    row = ngram_jaccard_pairs(docs, raw_counts=True).collect()[0]
+    assert row.common == row.na  # every short-doc shingle is contained
+    containment = row.common / min(row.na, row.nb)
+    jaccard = row.common / (row.na + row.nb - row.common)
+    assert containment == 1.0
+    assert jaccard < JACCARD_THR  # the Jaccard tier would NOT pair these
+    # and the symmetric tier indeed emits nothing
+    assert ngram_jaccard_pairs(docs).count() == 0
+
+
+def test_containment_registry_rows_are_oriented_and_thresholded(spark):
+    from medical_ocr_pipeline_spark.queries.base import REGISTRY
+    from medical_ocr_pipeline_spark.queries.dedup import CONTAIN_THR_BP
+
+    rows = REGISTRY["dedup_containment"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.containment_bp >= CONTAIN_THR_BP
+        assert r.n_common <= r.n_small
+        assert r.containment_bp == r.n_common * 10000 // r.n_small
