@@ -66,6 +66,7 @@ _PROMOTE_TO_WINDOW = [
     "dq_profile",
     "zorder_layout",
     "dedup_containment",
+    "kmeans_silhouette",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",

@@ -833,10 +833,11 @@ KMEANS_K = 8
 KMEANS_ITERS = 4
 
 
-def _kmeans_oracle_sql(k: int, iters: int, dim: int = 64) -> str:
-    """Unrolled fixed-iteration Lloyd's k-means as chained MATERIALIZED
-    DuckDB CTEs — per iteration an (assign, per-dim mean, centroids)
-    triple replicating the operator's exact dataflow (the host_pagerank
+def _kmeans_chain_sql(k: int, iters: int, dim: int = 64) -> tuple[str, str]:
+    """The unrolled Lloyd training chain (shared by the k-means oracle
+    and the silhouette oracle) — returns (with_chain, dist_expr).
+    Per iteration an (assign, per-dim mean, centroids) triple
+    replicating the operator's exact dataflow (the host_pagerank
     oracle pattern; MATERIALIZED because a{i}/c{i} are referenced twice
     and DuckDB would otherwise inline the chain exponentially).
     Cross-engine exactness: centroids are integer-exact means
@@ -887,7 +888,12 @@ def _kmeans_oracle_sql(k: int, iters: int, dim: int = 64) -> str:
         SELECT cid, list(v ORDER BY pos) AS c FROM m{i} GROUP BY cid
       ) n ON p.cid = n.cid
     )""")
-    parts.append(f""",
+    return "".join(parts), dist
+
+
+def _kmeans_oracle_sql(k: int, iters: int, dim: int = 64) -> str:
+    chain, dist = _kmeans_chain_sql(k, iters, dim)
+    return chain + f""",
     fin AS (
       SELECT vec_id, label, cid, d FROM (
         SELECT s.*, row_number() OVER (
@@ -897,8 +903,7 @@ def _kmeans_oracle_sql(k: int, iters: int, dim: int = 64) -> str:
       ) WHERE rn = 1
     )
     SELECT vec_id, label, cid AS cluster_id, ROUND(d, 6) AS dist
-    FROM fin ORDER BY vec_id""")
-    return "".join(parts)
+    FROM fin ORDER BY vec_id"""
 
 
 @register(
@@ -1249,4 +1254,115 @@ def ann_pq_topk(spark, sf_dir):
         .where(F.col("rn") <= TOP_K)
         .drop("rn")
         .orderBy("query_id", "dist", "neighbor_id")
+    )
+
+
+# --- cluster quality: simplified silhouette -------------------------------------
+
+
+def _silhouette_oracle_sql(k: int, iters: int, dim: int = 64) -> str:
+    """Silhouette oracle = the shared Lloyd training chain + a rank-2
+    pivot (own-centroid distance a is rank 1 by assignment definition,
+    nearest-other-centroid distance b is rank 2 overall) + the exact
+    integer-ppm silhouette rollup."""
+    chain, dist = _kmeans_chain_sql(k, iters, dim)
+    return chain + f""",
+    two AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rn = 1 THEN cid END) AS cid,
+             MAX(CASE WHEN rn = 1 THEN d END) AS a,
+             MAX(CASE WHEN rn = 2 THEN d END) AS b
+      FROM (
+        SELECT s.*, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT v.vec_id, c.cid, {dist} AS d
+              FROM e v, c{iters} c) s
+      ) WHERE rn <= 2 GROUP BY vec_id
+    ),
+    sil AS (
+      SELECT cid,
+             CASE WHEN GREATEST(a, b) > 0
+                  THEN CAST(FLOOR((b - a) * 1000000 / GREATEST(a, b))
+                            AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS s_ppm
+      FROM two
+    )
+    SELECT cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_s_ppm,
+           CAST(MIN(s_ppm) AS BIGINT) AS min_s_ppm,
+           CAST(MAX(s_ppm) AS BIGINT) AS max_s_ppm
+    FROM sil GROUP BY cid ORDER BY cid"""
+
+
+@register(
+    "kmeans_silhouette",
+    sql=_silhouette_oracle_sql(KMEANS_K, KMEANS_ITERS),
+)
+def kmeans_silhouette(spark, sf_dir):
+    """Per-cluster SIMPLIFIED silhouette over the trained k-means
+    clustering: per vector, a = squared distance to its own centroid,
+    b = squared distance to the nearest OTHER centroid, s = (b - a) /
+    max(a, b) in exact-integer ppm (floor of one double division of
+    bit-identical operands — no transcendental, no float aggregate).
+    The centroid-based simplification (Hamerly/Elkan's a-vs-b bound)
+    is the standard at-scale substitute for the O(n^2) pairwise
+    silhouette, and the metric a pipeline watches to pick k for
+    SemDeDup/IVF quantizers.
+
+    100 TB shape: scoring is a PURE MAP — the trained centroids ride
+    the plan as a literal array; per row one array_sort of k
+    (dist, cid) structs yields rank 1 (own, by assignment definition)
+    and rank 2 (nearest other) without any window or join; the rollup
+    is one combinable per-cluster groupBy.  Nothing beyond the Lloyd
+    training loop shuffles at all."""
+    from medical_ocr_pipeline_spark.operators.kmeans import (
+        _centroid_literal,
+        _sq_dist,
+        lloyd_kmeans,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    _assigned, cents = lloyd_kmeans(emb, KMEANS_K, KMEANS_ITERS)
+    ds = F.array_sort(
+        F.transform(
+            _centroid_literal(cents),
+            lambda c: F.struct(
+                _sq_dist(F.col("e"), c["c"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    two = emb.select(
+        "vec_id",
+        ds[0]["cid"].alias("cid"),
+        ds[0]["d"].alias("a"),
+        ds[1]["d"].alias("b"),
+    )
+    s_ppm = F.when(
+        F.greatest("a", "b") > 0,
+        F.floor(
+            (F.col("b") - F.col("a")) * 1000000 / F.greatest("a", "b")
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        two.select("cid", s_ppm.alias("s_ppm"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.expr("sum(s_ppm) div count(*)").alias("mean_s_ppm"),
+            F.min("s_ppm").alias("min_s_ppm"),
+            F.max("s_ppm").alias("max_s_ppm"),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vecs",
+            "mean_s_ppm",
+            "min_s_ppm",
+            "max_s_ppm",
+        )
+        .orderBy("cluster_id")
     )

@@ -167,3 +167,55 @@ def test_join_assignment_path_matches_literal(spark):
         (r["vec_id"], r["cluster_id"], r["dist"]) for r in jn[0].collect()
     )
     assert rows_l == rows_j
+
+
+def test_silhouette_matches_python_recompute_from_trained_centroids(spark):
+    """Recompute per-vector a (own-centroid sqdist), b (nearest-other)
+    and the integer-ppm silhouette in pure Python from the SAME trained
+    centroids, and match the registry rollup exactly."""
+    import math
+
+    import duckdb
+
+    from medical_ocr_pipeline_spark.operators.kmeans import lloyd_kmeans
+    from medical_ocr_pipeline_spark.queries.base import REGISTRY
+    from medical_ocr_pipeline_spark.queries.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    _a, cents = lloyd_kmeans(emb, KMEANS_K, KMEANS_ITERS)
+    vecs = duckdb.sql(
+        f"SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        f" FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    per_cluster: dict[int, list] = {}
+    for vec_id, v in vecs:
+        ds = sorted(
+            (sum((x - c) * (x - c) for x, c in zip(v, cvec)), cid)
+            for cid, cvec in cents.items()
+        )
+        (a, cid), (b, _) = ds[0], ds[1]
+        s = math.floor((b - a) * 1_000_000 / max(a, b)) if max(a, b) > 0 else 0
+        per_cluster.setdefault(cid, []).append(s)
+    got = {
+        r["cluster_id"]: r.asDict()
+        for r in REGISTRY["kmeans_silhouette"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per_cluster)
+    for cid, ss in per_cluster.items():
+        row = got[cid]
+        assert row["n_vecs"] == len(ss)
+        assert row["mean_s_ppm"] == sum(ss) // len(ss)
+        assert row["min_s_ppm"] == min(ss)
+        assert row["max_s_ppm"] == max(ss)
+        # a is the min by assignment definition, so s >= 0 everywhere
+        assert row["min_s_ppm"] >= 0
