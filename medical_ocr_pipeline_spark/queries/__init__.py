@@ -67,6 +67,7 @@ _PROMOTE_TO_WINDOW = [
     "zorder_layout",
     "dedup_containment",
     "kmeans_silhouette",
+    "iqr_outliers",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",

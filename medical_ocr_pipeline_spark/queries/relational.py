@@ -1007,3 +1007,123 @@ def zorder_layout(spark, sf_dir):
         )
         .orderBy("layout", "bucket")
     )
+
+
+# --- IQR / Tukey-fence outlier detection ---------------------------------------
+# The robust anomaly gate a metrics pipeline runs on every numeric
+# stream: quartiles by exact rank selection (value-identical in any
+# engine — never an interpolating quantile function, see base.py's
+# float discipline), fences at Q1/Q3 -/+ 1.5*IQR, and per-group outlier
+# counts.  Complements length_quantile_sketch (which trades exactness
+# for a combinable histogram); this is the exact tier.
+
+IQR_K_X10 = 15  # Tukey's 1.5, held as an integer tenth
+
+
+@register(
+    "iqr_outliers",
+    sql=f"""
+    WITH e AS (
+      SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events
+    ), ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ), q AS (
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN rk * 4 >= n THEN v END) AS q1,
+             MIN(CASE WHEN rk * 4 >= 3 * n THEN v END) AS q3
+      FROM ranked GROUP BY event_type
+    ), f AS (
+      SELECT event_type, n, q1, q3, q3 - q1 AS iqr,
+             10 * q1 - {IQR_K_X10} * (q3 - q1) AS lo_x10,
+             10 * q3 + {IQR_K_X10} * (q3 - q1) AS hi_x10
+      FROM q
+    )
+    SELECT f.event_type,
+           CAST(f.n AS BIGINT) AS n,
+           CAST(f.q1 AS BIGINT) AS q1_cents,
+           CAST(f.q3 AS BIGINT) AS q3_cents,
+           CAST(f.iqr AS BIGINT) AS iqr_cents,
+           CAST(SUM(CASE WHEN 10 * e.v < f.lo_x10
+                         OR 10 * e.v > f.hi_x10
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM e JOIN f USING (event_type)
+    GROUP BY f.event_type, f.n, f.q1, f.q3, f.iqr
+    ORDER BY f.event_type
+    """,
+)
+def iqr_outliers(spark, sf_dir):
+    """Per-event-type Tukey-fence outlier counts over `value`: exact
+    rank-selected quartiles (smallest value whose rank crosses n/4 and
+    3n/4), fences at Q1/Q3 -/+ 1.5*IQR, everything in integer cents
+    (floor(value*100)) and integer tenths for the 1.5 factor — zero
+    float comparisons, so the oracle matches bit-for-bit.
+
+    100 TB shape: quartiles need a per-group rank — the per-group
+    window here is the exact tier and is how you'd run it per
+    bounded-cardinality group (event types); for unbounded groups swap
+    in the length_quantile_sketch histogram and keep the fence/count
+    join, which is a broadcast of one tiny per-group fence row against
+    a combinable filtered count.  The outlier count itself never
+    shuffles more than (group, count) rows."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    wr = W.partitionBy("event_type").orderBy("v")
+    wn = W.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "v",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    q = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("rk") * 4 >= F.col("n"), F.col("v"))).alias(
+            "q1"
+        ),
+        F.min(
+            F.when(F.col("rk") * 4 >= 3 * F.col("n"), F.col("v"))
+        ).alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        (
+            10 * F.col("q1") - IQR_K_X10 * (F.col("q3") - F.col("q1"))
+        ).alias("lo_x10"),
+        (
+            10 * F.col("q3") + IQR_K_X10 * (F.col("q3") - F.col("q1"))
+        ).alias("hi_x10"),
+    )
+    return (
+        e.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "n", "q1", "q3", "iqr")
+        .agg(
+            F.sum(
+                F.when(
+                    (10 * F.col("v") < F.col("lo_x10"))
+                    | (10 * F.col("v") > F.col("hi_x10")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("q1").alias("q1_cents"),
+            F.col("q3").alias("q3_cents"),
+            F.col("iqr").alias("iqr_cents"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
