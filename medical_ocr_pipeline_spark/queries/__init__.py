@@ -68,6 +68,7 @@ _PROMOTE_TO_WINDOW = [
     "dedup_containment",
     "kmeans_silhouette",
     "iqr_outliers",
+    "ols_chars_vs_words",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "unigram_train_pieces",

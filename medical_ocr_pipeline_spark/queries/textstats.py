@@ -1727,3 +1727,105 @@ def length_quantile_sketch(spark, sf_dir):
         )
         sel.append(F.col(f"p{q}_exact"))
     return sk.join(exact, "lang").select(*sel).orderBy("lang")
+
+
+# --- closed-form OLS from combinable sums -------------------------------------
+# The "ML-lite" aggregate every metrics pipeline wants (trend lines,
+# drift monitors): simple linear regression computed EXACTLY from five
+# combinable sums — slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) — no
+# iteration, no solver, one shuffle of a handful of rows per group.
+# Integer inputs keep the sums BIGINT-exact; the two final divisions
+# are single double ops on bit-identical operands, reported in ppm via
+# floor so the oracle hash-matches.
+
+
+@register(
+    "ols_chars_vs_words",
+    sql=f"""
+    WITH d AS (
+      SELECT lang,
+             CAST(len(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '{_WORD_SPLIT}'),
+               x -> x <> '')) AS BIGINT) AS x,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents
+    ), s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM d GROUP BY lang
+    )
+    SELECT lang, n,
+           CAST(FLOOR((n * sxy - sx * sy) * 1000000.0
+                      / (n * sxx - sx * sx)) AS BIGINT) AS slope_ppm,
+           CAST(FLOOR((sy * sxx - sx * sxy) * 1000000.0
+                      / (n * sxx - sx * sx)) AS BIGINT)
+             AS intercept_e6,
+           CAST(FLOOR(
+             CAST((n * sxy - sx * sy) AS DOUBLE)
+             * CAST((n * sxy - sx * sy) AS DOUBLE) * 1000000.0
+             / (CAST((n * sxx - sx * sx) AS DOUBLE)
+                * CAST((n * syy - sy * sy) AS DOUBLE))
+           ) AS BIGINT) AS r2_ppm
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY lang
+    """,
+)
+def ols_chars_vs_words(spark, sf_dir):
+    """Per-language simple linear regression of n_chars on word count,
+    closed-form from five combinable BIGINT sums (n, Sx, Sy, Sxx, Sxy,
+    plus Syy for R^2): slope and intercept in exact floor-ppm, R^2 in
+    ppm.  Degenerate groups (zero variance in x or y) are excluded by
+    the same predicate in both engines.
+
+    100 TB shape: ONE combinable groupBy — the five sums partial-
+    aggregate map-side and reduce to one row per group; the regression
+    itself is arithmetic on that row.  This is how drift/trend monitors
+    fit lines over petabytes without a solver; for multiple regression
+    the same trick ships X'X (k^2 combinable sums) to the driver."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(words_expr()).cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    s = d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.where((vx > 0) & (vy > 0))
+        .select(
+            "lang",
+            "n",
+            F.floor(cov * 1000000.0 / vx).cast("long").alias("slope_ppm"),
+            F.floor(
+                (
+                    F.col("sy") * F.col("sxx")
+                    - F.col("sx") * F.col("sxy")
+                )
+                * 1000000.0
+                / vx
+            )
+            .cast("long")
+            .alias("intercept_e6"),
+            F.floor(
+                cov.cast("double")
+                * cov.cast("double")
+                * 1000000.0
+                / (vx.cast("double") * vy.cast("double"))
+            )
+            .cast("long")
+            .alias("r2_ppm"),
+        )
+        .orderBy("lang")
+    )
