@@ -12,6 +12,7 @@ rows-only) are the next to overflow as new operators join the window.
 
 from medical_ocr_pipeline_spark.queries import (  # noqa: F401
     dq,
+    stats,
     sketches,
     similarity,
     temporal,
@@ -44,6 +45,12 @@ from medical_ocr_pipeline_spark.queries.base import REGISTRY  # noqa: F401
 # through base.fanout().  Entries pushed out past slot 50 are all green
 # in CORRECTNESS_r03/r02/r01.json with unchanged code (audited).
 _PROMOTE_TO_WINDOW = [
+    "corr_doc_stats",
+    "chi2_lang_source",
+    "gini_doc_lengths",
+    "sample_fixed_k",
+    "split_token_drift",
+    "host_lpa",
     "sketch_hll_distinct",
     "sketch_cms_heavy",
     "bloom_prefilter_join",

@@ -1,0 +1,502 @@
+"""Corpus statistics family: the descriptive-statistics queries a
+training-data pipeline runs as standing monitors — feature correlation,
+categorical independence (lang x source), inequality of the length
+distribution (Gini), fixed-size deterministic samples for human eval,
+and train/test token-distribution drift.
+
+House discipline (base.py): every float-bearing metric is reported as a
+floor-scaled integer computed from identical-operand double expressions
+in both engines, so the driver's order-insensitive value hash is exact;
+every top-k carries a total tie-break.
+
+Reference analogue: the reference's QA evaluator publishes run-level
+descriptive stats and per-engine comparisons
+(qa_pipeline_evaluator.py:819-865); this module is the corpus-level
+generalization of that monitoring surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from medical_ocr_pipeline_spark.queries.base import (
+    MD5_INT48_DUCK,
+    MD5_INT48_SPARK,
+    WORD_SPLIT,
+    load,
+    register,
+    words_expr,
+)
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix from combinable sums
+#
+# The multi-feature sibling of ols_chars_vs_words: every pairwise
+# Pearson r over k per-doc features needs only the k(k+3)/2 combinable
+# sums (Si, Sii, Sij) plus n — ONE map-side-combinable aggregate row
+# for the whole corpus, then pure arithmetic.  This is how feature
+# drift monitors compute correlation matrices over petabytes without
+# MLlib or a second pass.
+
+_CORR_FEATURES_DUCK = f"""
+      SELECT CAST(len(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '{WORD_SPLIT}'),
+               x -> x <> '')) AS BIGINT) AS a,
+             CAST(len(list_distinct(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '{WORD_SPLIT}'),
+               x -> x <> ''))) AS BIGINT) AS b,
+             CAST(n_chars AS BIGINT) AS c
+      FROM documents
+"""
+
+_CORR_PAIRS = [("words~uniq", "a", "b"), ("words~chars", "a", "c"),
+               ("uniq~chars", "b", "c")]
+
+
+def _corr_ppm_duck(x: str, y: str) -> str:
+    cov = f"(n * s{x}{y} - s{x} * s{y})"
+    vx = f"(n * s{x}{x} - s{x} * s{x})"
+    vy = f"(n * s{y}{y} - s{y} * s{y})"
+    return (
+        f"CAST(FLOOR({cov} * 1000000.0 / sqrt(CAST({vx} AS DOUBLE)"
+        f" * CAST({vy} AS DOUBLE))) AS BIGINT)"
+    )
+
+
+@register(
+    "corr_doc_stats",
+    sql=f"""
+    WITH d AS ({_CORR_FEATURES_DUCK}),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc,
+             SUM(a * a) AS saa, SUM(b * b) AS sbb, SUM(c * c) AS scc,
+             SUM(a * b) AS sab, SUM(a * c) AS sac, SUM(b * c) AS sbc
+      FROM d
+    )
+    SELECT * FROM (
+      SELECT 'words~uniq' AS pair, n, {_corr_ppm_duck("a", "b")} AS corr_ppm
+      FROM s
+      UNION ALL
+      SELECT 'words~chars' AS pair, n, {_corr_ppm_duck("a", "c")} AS corr_ppm
+      FROM s
+      UNION ALL
+      SELECT 'uniq~chars' AS pair, n, {_corr_ppm_duck("b", "c")} AS corr_ppm
+      FROM s
+    ) ORDER BY pair
+    """,
+)
+def corr_doc_stats(spark, sf_dir):
+    """Pairwise Pearson correlation (exact floor-ppm) between three
+    per-doc features — word count, distinct-word count, char count —
+    from ONE combinable aggregate of ten BIGINT sums.
+
+    corr = cov / sqrt(vx * vy) with cov/vx/vy the exact integer
+    moment combinations; the variance product is computed as
+    double(vx) * double(vy) (NOT BIGINT vx*vy, which overflows at
+    corpus scale) and both engines evaluate the identical double
+    expression, so the floor-ppm hash-matches.
+
+    100 TB shape: one scan, one map-side-combinable global agg to a
+    single row, then constant-time arithmetic — the k-feature matrix
+    costs k(k+3)/2 sums in the same single pass."""
+    w = words_expr()
+    d = load(spark, sf_dir, "documents").select(
+        F.size(w).cast("long").alias("a"),
+        F.size(F.array_distinct(w)).cast("long").alias("b"),
+        F.col("n_chars").cast("long").alias("c"),
+    )
+    s = d.agg(
+        F.count("*").alias("n"),
+        *[F.sum(x).alias(f"s{x}") for x in "abc"],
+        *[
+            F.sum(F.col(x) * F.col(y)).alias(f"s{x}{y}")
+            for x, y in ("aa", "bb", "cc", "ab", "ac", "bc")
+        ],
+    )
+
+    def corr_ppm(x, y):
+        cov = F.col("n") * F.col(f"s{x}{y}") - F.col(f"s{x}") * F.col(f"s{y}")
+        vx = F.col("n") * F.col(f"s{x}{x}") - F.col(f"s{x}") * F.col(f"s{x}")
+        vy = F.col("n") * F.col(f"s{y}{y}") - F.col(f"s{y}") * F.col(f"s{y}")
+        return F.floor(
+            cov * 1000000.0
+            / F.sqrt(vx.cast("double") * vy.cast("double"))
+        ).cast("long")
+
+    rows = [
+        s.select(
+            F.lit(pair).alias("pair"),
+            F.col("n"),
+            corr_ppm(x, y).alias("corr_ppm"),
+        )
+        for pair, x, y in _CORR_PAIRS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("pair")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence: lang x source contingency
+#
+# "Is language mix independent of crawl source?" — the categorical
+# drift check a multi-source ingest runs before reweighting.  Exact
+# per-cell table: observed, expected (floor-e6), chi-square
+# contribution (floor-ppm); the statistic is the BIGINT-exact sum of
+# the contrib column, so a monitor can threshold it downstream.
+
+
+@register(
+    "chi2_lang_source",
+    sql="""
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, SUM(o) AS r FROM c GROUP BY lang),
+    ct AS (SELECT source, SUM(o) AS cl FROM c GROUP BY source),
+    nt AS (SELECT SUM(o) AS n FROM c),
+    j AS (
+      SELECT c.lang, c.source, c.o,
+             CAST(rt.r AS DOUBLE) * ct.cl / nt.n AS e
+      FROM c JOIN rt USING (lang) JOIN ct USING (source), nt
+    )
+    SELECT lang, source, o,
+           CAST(FLOOR(e * 1000000.0) AS BIGINT) AS expected_e6,
+           CAST(FLOOR((o - e) * (o - e) * 1000000.0 / e) AS BIGINT)
+             AS contrib_ppm
+    FROM j ORDER BY lang, source
+    """,
+)
+def chi2_lang_source(spark, sf_dir):
+    """Chi-square independence test of the lang x source contingency
+    table, reported per cell (observed count, expected count in
+    floor-e6, chi-square contribution in floor-ppm).
+
+    Expected counts go through the identical double expression in both
+    engines — double(row_total) * col_total / n, never the BIGINT
+    product row_total * col_total, which overflows at 10^12 rows.
+
+    100 TB shape: one combinable groupBy to the (langs x sources) cell
+    table — a few hundred rows however big the corpus — then two tiny
+    re-aggregations of THAT table and broadcast joins back.  The scan
+    is the only heavy stage."""
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("o"))
+        .persist()
+    )
+    rt = c.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = c.groupBy("source").agg(F.sum("o").alias("cl"))
+    nt = c.agg(F.sum("o").alias("n"))
+    e = F.col("r").cast("double") * F.col("cl") / F.col("n")
+    j = (
+        c.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(nt))
+        .withColumn("e", e)
+    )
+    d = F.col("o") - F.col("e")
+    return j.select(
+        "lang",
+        "source",
+        "o",
+        F.floor(F.col("e") * 1000000.0).cast("long").alias("expected_e6"),
+        F.floor(d * d * 1000000.0 / F.col("e"))
+        .cast("long")
+        .alias("contrib_ppm"),
+    ).orderBy("lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of the per-language length distribution
+#
+# The inequality summary dataset cards publish ("is the corpus a few
+# megadocs or many small ones?") and token-budget planners consume.
+# Needs a per-group rank over length — computed with the two-phase
+# range-partitioned rank (training.global_running_offset's pattern),
+# NOT a per-lang window: a single language can be 40% of a 100 TB
+# corpus, and Window.partitionBy(lang) would sort all of it in one
+# task.
+
+_GINI_RANK_PARTS = 32
+
+
+def _ranked_by_lang(d):
+    """Append i = 1-based rank of each row within its lang in
+    (x, doc_id) order, without a per-lang window: range-partition by
+    the full order key (so each task holds a contiguous slice), rank
+    locally, then add the per-(partition, lang) prefix counts — one
+    broadcast-sized frame of n_parts x n_langs rows."""
+    ranged = d.repartitionByRange(
+        _GINI_RANK_PARTS, "lang", "x", "doc_id"
+    ).withColumn("_pid", F.spark_partition_id())
+    local_w = Window.partitionBy("_pid", "lang").orderBy("x", "doc_id")
+    local = ranged.withColumn("_lrk", F.row_number().over(local_w))
+    counts = (
+        local.groupBy("_pid", "lang").agg(F.count("*").alias("_cnt"))
+    )
+    a = counts.alias("a")
+    b = counts.alias("b")
+    prefix = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("b._pid") < F.col("a._pid")),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"), F.col("a.lang").alias("lang"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_pre"))
+    )
+    return (
+        local.join(F.broadcast(prefix), ["_pid", "lang"])
+        .withColumn("i", (F.col("_pre") + F.col("_lrk")).cast("long"))
+        .drop("_pid", "_lrk", "_pre")
+    )
+
+
+@register(
+    "gini_doc_lengths",
+    sql="""
+    WITH d AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS x, doc_id FROM documents
+    ),
+    r AS (
+      SELECT lang, x,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY x, doc_id) AS i
+      FROM d
+    ),
+    s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM r GROUP BY lang
+    )
+    SELECT lang, n, sx AS total_chars,
+           CAST(FLOOR((2 * six - (n + 1) * sx) * 1000000.0
+                      / (CAST(n AS DOUBLE) * sx)) AS BIGINT) AS gini_ppm
+    FROM s ORDER BY lang
+    """,
+)
+def gini_doc_lengths(spark, sf_dir):
+    """Per-language Gini coefficient of document length via the sorted
+    formula G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+    with i the 1-based rank in (length, doc_id) order — the moment sums
+    are BIGINT-exact, the single final division is an identical double
+    op in both engines, reported floor-ppm.
+
+    100 TB shape: the rank is the two-phase range-partitioned form
+    (rank locally per contiguous range slice + broadcast per-(slice,
+    lang) prefix counts, the training.global_running_offset pattern),
+    never Window.partitionBy(lang) — one language can dominate a
+    production corpus and a per-group window would sort it in one
+    task.  After ranking: one combinable groupBy of three sums.  The
+    oracle uses the plain window (DuckDB-side scale is the test SF);
+    rank equality between the two forms is exactly what the
+    partition-count invariance test pins."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("x"), "doc_id"
+    )
+    r = _ranked_by_lang(d)
+    s = r.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return s.select(
+        "lang",
+        "n",
+        F.col("sx").alias("total_chars"),
+        F.floor(
+            (2 * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+            * 1000000.0
+            / (F.col("n").cast("double") * F.col("sx"))
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-k deterministic per-group sample
+#
+# Every eval loop wants "exactly k docs per language, the SAME k docs
+# every run / rerun / cluster size" — corpus_rebalance's hash-threshold
+# sampler gives a deterministic RATE; this gives a deterministic COUNT
+# (rank-k of a salted md5 over doc_id = a reproducible uniform draw
+# without replacement).
+
+SAMPLE_K = 20
+_SAMPLE_SALTS = 8
+_SAMP_H_SPARK = MD5_INT48_SPARK.format(
+    x="concat('sample', cast(doc_id as string))"
+)
+_SAMP_H_DUCK = MD5_INT48_DUCK.format(x="'sample' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "sample_fixed_k",
+    sql=f"""
+    WITH h AS (
+      SELECT lang, doc_id, {_SAMP_H_DUCK} AS hv FROM documents
+    ),
+    r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY hv, doc_id) AS rk
+      FROM h
+    )
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {SAMPLE_K} ORDER BY lang, rk
+    """,
+)
+def sample_fixed_k(spark, sf_dir):
+    """Exactly-k-per-language deterministic sample: rank docs by a
+    salted 48-bit md5 of doc_id (independent of every other md5-derived
+    decision in the pipeline) and keep rank <= k — a reproducible
+    uniform-without-replacement draw, stable across reruns, engines and
+    cluster sizes, which seeded sampleBy is not.
+
+    100 TB shape: the salted TWO-LEVEL top-k (host_cap_sample /
+    bm25_topk precedent) — level 1 ranks within (lang, salt buckets)
+    and keeps k per salt, so a language with a billion docs never
+    funnels into one window task; level 2 ranks the <= k * n_salts
+    survivors.  Exact: any global top-k row is a top-k row of its own
+    salt bucket."""
+    h = load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.expr(_SAMP_H_SPARK).alias("hv")
+    )
+    salted = h.withColumn(
+        "salt", F.crc32(F.col("doc_id").cast("string")) % _SAMPLE_SALTS
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy("hv", "doc_id")
+    lvl1 = (
+        salted.withColumn("rk1", F.row_number().over(w1))
+        .where(F.col("rk1") <= SAMPLE_K)
+    )
+    w2 = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        lvl1.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .where(F.col("rk") <= SAMPLE_K)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/test token-distribution drift (chi-square distance)
+#
+# The standing monitor behind "did the split leak a domain?" /
+# "does test look like train?": per shared token with train count a
+# (total A) and test count b (total B), the chi-square distance term
+#   (a/A - b/B)^2 / (a/A + b/B)  =  (a*B - b*A)^2 / (A*B * (a*B + b*A))
+# is a RATIONAL in the integer counts — exact floor-ppb per token, no
+# transcendentals (the reason to prefer it over KL divergence here).
+
+_DRIFT_TOP = 40
+
+
+def _split_duck() -> str:
+    from medical_ocr_pipeline_spark.queries.training import (
+        TRAIN_PPM,
+        VAL_PPM,
+        _H_DUCK,
+    )
+
+    return (
+        f"CASE WHEN {_H_DUCK} % 1000000 < {TRAIN_PPM} THEN 'train' "
+        f"WHEN {_H_DUCK} % 1000000 < {VAL_PPM} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def _drift_sql() -> str:
+    return f"""
+    WITH d AS (
+      SELECT {_split_duck()} AS split,
+             unnest(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '{WORD_SPLIT}'),
+               x -> x <> '')) AS word
+      FROM documents
+    ),
+    c AS (
+      SELECT word,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+               AS BIGINT) AS b
+      FROM d WHERE split <> 'val' GROUP BY word
+    ),
+    t AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM c),
+    k AS (
+      SELECT word, a, b,
+             CAST(FLOOR(
+               CAST(a * tb - b * ta AS DOUBLE) * (a * tb - b * ta)
+               * 1000000000.0
+               / (CAST(ta AS DOUBLE) * tb * (a * tb + b * ta))
+             ) AS BIGINT) AS contrib_ppb
+      FROM c, t
+    )
+    SELECT word, a, b, contrib_ppb
+    FROM k ORDER BY contrib_ppb DESC, word LIMIT {_DRIFT_TOP}
+    """
+
+
+@register("split_token_drift", sql=_drift_sql())
+def split_token_drift(spark, sf_dir):
+    """Top-40 chi-square drift contributors between the train and
+    test splits' unigram distributions (same deterministic split hash
+    as train_test_split).  The per-token term is the integer-rational
+    form (a*B - b*A)^2 / (A*B*(a*B + b*A)) in floor-ppb — exact, no
+    logs, so a leak monitor can threshold the sum and diff the top
+    table run-over-run.
+
+    100 TB shape: one scan -> token explode -> ONE combinable groupBy
+    with conditional sums (no train-frame/test-frame join), a 1-row
+    totals broadcast, and a global top-k via TakeOrdered.  The BIGINT
+    cross-products a*B overflow past ~3e9 * 3e9 tokens; the production
+    variant casts the counts to double before the products (the
+    docstringed scale switch), which this query keeps BIGINT-side only
+    because the oracle's exactness argument rides on it."""
+    from medical_ocr_pipeline_spark.queries.training import split_expr
+
+    d = load(spark, sf_dir, "documents").select(
+        split_expr().alias("split"),
+        F.explode(words_expr()).alias("word"),
+    )
+    c = (
+        d.where(F.col("split") != "val")
+        .groupBy("word")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    t = c.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    num = F.col("a") * F.col("tb") - F.col("b") * F.col("ta")
+    den = (
+        F.col("ta").cast("double")
+        * F.col("tb")
+        * (F.col("a") * F.col("tb") + F.col("b") * F.col("ta"))
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "word",
+            "a",
+            "b",
+            F.floor(num.cast("double") * num * 1000000000.0 / den)
+            .cast("long")
+            .alias("contrib_ppb"),
+        )
+        .orderBy(F.desc("contrib_ppb"), "word")
+        .limit(_DRIFT_TOP)
+    )

@@ -1166,3 +1166,91 @@ def host_hits(spark, sf_dir):
         )
         .orderBy(F.desc("auth"), F.asc("host"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities over the host graph
+#
+# The clustering counterpart of host_pagerank/host_hits: mirror-farm /
+# site-family detection groups hosts BEFORE host-level dedup and
+# sampling, and synchronous LPA with a total tie-break is the cheap
+# deterministic way to do it (operators/lpa.py).  Full oracle: the
+# rounds unroll into chained CTEs replaying the operator's exact
+# dataflow — the per-round argmax is integer-weighted with a min-label
+# tie-break, so the chain is bit-exact cross-engine (no doubles
+# anywhere, unlike the pagerank/hits oracles).
+
+
+def _lpa_oracle_sql(n_iters: int = 5) -> str:
+    """Unrolled synchronous LPA as chained DuckDB CTEs — one
+    (support, argmax) pair per round over the undirected weighted edge
+    list.  AS MATERIALIZED everywhere for the same exponential-inlining
+    reason as _pagerank_oracle_sql (l{i} is referenced once, but the
+    base CTEs would still re-scan parquet per inline)."""
+    parts = [
+        """
+    WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+    nct AS (SELECT COUNT(*) AS n FROM docs),
+    raw AS MATERIALIZED (
+      SELECT a.source AS src, b.source AS dst
+      FROM docs a, nct, docs b
+      WHERE b.doc_id = (a.doc_id * 7 + 1) % nct.n AND a.source <> b.source
+    ),
+    uedges AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT src, dst FROM raw
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM raw
+      ) GROUP BY src, dst
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS vertex, src AS label FROM uedges
+    )"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+    l{i} AS MATERIALIZED (
+      SELECT vertex, label FROM (
+        SELECT e.dst AS vertex, l.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.dst
+                 ORDER BY SUM(e.w) DESC, l.label) AS rk
+        FROM uedges e JOIN l{i - 1} l ON l.vertex = e.src
+        GROUP BY e.dst, l.label
+      ) WHERE rk = 1
+    )""")
+    parts.append(f"""
+    SELECT vertex AS host, label AS community
+    FROM l{n_iters} ORDER BY host""")
+    return "".join(parts)
+
+
+@register("host_lpa", sql=_lpa_oracle_sql())
+def host_lpa(spark, sf_dir):
+    """Synchronous label-propagation communities over the derived host
+    citation graph (doc i cites doc (7i+1) mod n, undirected with edge
+    multiplicity as weight) — 5 rounds, greatest-support argmax with a
+    min-label tie-break.  Unlike the pagerank/hits oracles this chain
+    is INTEGER-exact end to end (BIGINT weights, string labels): the
+    unrolled-CTE oracle replays the operator's dataflow bit-for-bit.
+    Operator semantics additionally pinned by fixture tests in
+    tests/test_lpa.py (two planted cliques + a bridge; partition-count
+    invariance)."""
+    from medical_ocr_pipeline_spark.operators.lpa import label_propagation
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    n = docs.count()
+    a = docs.alias("a")
+    b = docs.alias("b")
+    edges = (
+        a.join(b, F.col("b.doc_id") == (F.col("a.doc_id") * 7 + 1) % n)
+        .where(F.col("a.source") != F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src"), F.col("b.source").alias("dst")
+        )
+    )
+    return (
+        label_propagation(edges, n_iters=5)
+        .select(F.col("vertex").alias("host"), F.col("label").alias("community"))
+        .orderBy("host")
+    )

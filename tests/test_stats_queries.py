@@ -1,0 +1,190 @@
+"""queries/stats.py semantics vs pure-Python references on the sf0.001
+testdata (the oracle gate checks cross-engine hashes; these tests check
+the MATH — pearson vs the textbook formula, chi-square vs the manual
+contingency computation, Gini vs the sorted-rank formula, fixed-k
+sampling vs a replayed hash draw, drift vs a dict-based reference)."""
+
+import hashlib
+import math
+import re
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+WORD_RE = re.compile("[^a-z0-9]+")
+
+
+@pytest.fixture(scope="module")
+def docs():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, lang, source, n_chars "
+        f"FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _words(text):
+    return [w for w in WORD_RE.split((text or "").lower()) if w]
+
+
+def _md5_int48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_corr_doc_stats_matches_textbook_pearson(spark, docs):
+    from medical_ocr_pipeline_spark.queries.stats import corr_doc_stats
+
+    feats = [
+        (len(_words(t)), len(set(_words(t))), nc)
+        for _, t, _, _, nc in docs
+    ]
+
+    def pearson(xs, ys):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        cov = n * sxy - sx * sy
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        return math.floor(cov * 1e6 / math.sqrt(float(vx) * float(vy)))
+
+    a = [f[0] for f in feats]
+    b = [f[1] for f in feats]
+    c = [f[2] for f in feats]
+    expected = {
+        "words~uniq": pearson(a, b),
+        "words~chars": pearson(a, c),
+        "uniq~chars": pearson(b, c),
+    }
+    got = {r.pair: r.corr_ppm for r in corr_doc_stats(spark, SF).collect()}
+    assert got == expected
+    # sanity: words and chars must correlate strongly positively
+    assert got["words~chars"] > 900_000
+
+
+def test_chi2_matches_manual_contingency(spark, docs):
+    from medical_ocr_pipeline_spark.queries.stats import chi2_lang_source
+
+    obs = {}
+    for _, _, lang, src, _ in docs:
+        obs[(lang, src)] = obs.get((lang, src), 0) + 1
+    n = sum(obs.values())
+    rt = {}
+    ct = {}
+    for (lang, src), o in obs.items():
+        rt[lang] = rt.get(lang, 0) + o
+        ct[src] = ct.get(src, 0) + o
+    rows = chi2_lang_source(spark, SF).collect()
+    assert len(rows) == len(obs)
+    for r in rows:
+        e = float(rt[r.lang]) * ct[r.source] / n
+        assert r.o == obs[(r.lang, r.source)]
+        assert r.expected_e6 == math.floor(e * 1e6)
+        assert r.contrib_ppm == math.floor(
+            (r.o - e) * (r.o - e) * 1e6 / e
+        )
+
+
+def test_gini_matches_sorted_formula_and_bounds(spark, docs):
+    from medical_ocr_pipeline_spark.queries.stats import gini_doc_lengths
+
+    by_lang = {}
+    for doc_id, _, lang, _, nc in docs:
+        by_lang.setdefault(lang, []).append((nc, doc_id))
+    rows = {r.lang: r for r in gini_doc_lengths(spark, SF).collect()}
+    assert set(rows) == set(by_lang)
+    for lang, xs in by_lang.items():
+        xs.sort()
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        six = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+        g = math.floor((2 * six - (n + 1) * sx) * 1e6 / (float(n) * sx))
+        assert rows[lang].gini_ppm == g
+        assert 0 <= rows[lang].gini_ppm < 1_000_000
+        assert rows[lang].n == n
+        assert rows[lang].total_chars == sx
+
+
+def test_gini_rank_is_partition_count_invariant(spark):
+    # the two-phase range-partitioned rank must be a pure function of
+    # the global order: same result at 1 and 97 shuffle partitions
+    from medical_ocr_pipeline_spark.queries.stats import gini_doc_lengths
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        r1 = sorted(map(tuple, gini_doc_lengths(spark, SF).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "97")
+        r97 = sorted(map(tuple, gini_doc_lengths(spark, SF).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert r1 == r97
+
+
+def test_sample_fixed_k_is_the_replayed_hash_draw(spark, docs):
+    from medical_ocr_pipeline_spark.queries.stats import (
+        SAMPLE_K,
+        sample_fixed_k,
+    )
+
+    by_lang = {}
+    for doc_id, _, lang, _, _ in docs:
+        by_lang.setdefault(lang, []).append(
+            (_md5_int48(f"sample{doc_id}"), doc_id)
+        )
+    expected = {}
+    for lang, hs in by_lang.items():
+        hs.sort()
+        expected[lang] = [d for _, d in hs[:SAMPLE_K]]
+    rows = sample_fixed_k(spark, SF).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.lang, []).append((r.rk, r.doc_id))
+    for lang in expected:
+        assert [d for _, d in sorted(got[lang])] == expected[lang]
+        assert len(got[lang]) == min(SAMPLE_K, len(by_lang[lang]))
+
+
+def test_split_token_drift_matches_dict_reference(spark, docs):
+    from medical_ocr_pipeline_spark.queries.stats import (
+        _DRIFT_TOP,
+        split_token_drift,
+    )
+    from medical_ocr_pipeline_spark.queries.training import (
+        TRAIN_PPM,
+        VAL_PPM,
+    )
+
+    a = {}
+    b = {}
+    for doc_id, t, _, _, _ in docs:
+        hv = _md5_int48(f"split{doc_id}") % 1_000_000
+        split = (
+            "train" if hv < TRAIN_PPM else "val" if hv < VAL_PPM else "test"
+        )
+        if split == "val":
+            continue
+        tgt = a if split == "train" else b
+        for w in _words(t):
+            tgt[w] = tgt.get(w, 0) + 1
+    ta, tb = sum(a.values()), sum(b.values())
+    contrib = {}
+    for w in set(a) | set(b):
+        x, y = a.get(w, 0), b.get(w, 0)
+        num = x * tb - y * ta
+        contrib[w] = math.floor(
+            float(num) * num * 1e9 / (float(ta) * tb * (x * tb + y * ta))
+        )
+    top = sorted(contrib.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = top[:_DRIFT_TOP]
+    rows = split_token_drift(spark, SF).collect()
+    assert [(r.word, r.contrib_ppb) for r in rows] == [
+        (w, c) for w, c in top
+    ]
+    for r in rows:
+        assert r.a == a.get(r.word, 0)
+        assert r.b == b.get(r.word, 0)
