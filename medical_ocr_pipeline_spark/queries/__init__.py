@@ -51,6 +51,8 @@ _PROMOTE_TO_WINDOW = [
     "sample_fixed_k",
     "split_token_drift",
     "host_lpa",
+    "wordpiece_train_merges",
+    "wordpiece_encode_stats",
     "sketch_hll_distinct",
     "sketch_cms_heavy",
     "bloom_prefilter_join",

@@ -1471,3 +1471,203 @@ def chunk_overlap(spark, sf_dir):
         F.element_at("words", F.col("start_tok") + 1).alias("first_word"),
         F.element_at("words", F.col("start_tok") + chunk_len).alias("last_word"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# --- WordPiece tokenizer (operators/wordpiece.py cores) -----------------------
+
+WP_N_MERGES = 10
+
+
+def _wp_oracle_ctes(n_merges: int = WP_N_MERGES) -> str:
+    """Unrolled WordPiece-training CTE chain for DuckDB (the
+    _bpe_oracle_ctes precedent with the likelihood criterion): w0 is
+    the distinct-word table with '##'-prefixed continuation symbols as
+    a pipe-joined string; per merge k, sc{k} is the symbol-count table,
+    m{k} the argmax over adjacent pairs of the exact scaled-integer
+    likelihood score pair_count * 10^12 // (count_a * count_b) with the
+    (a, b) tie-break, and w{k} applies the merge with the same
+    left-to-right non-overlapping list_reduce fold as BPE — the minted
+    symbol is a || substr(b, 3) (b is always a '##' continuation
+    piece: it sits at position >= 2 of some word).  Every CTE
+    MATERIALIZED for the usual exponential-inlining reason."""
+    parts = ["""
+w0 AS MATERIALIZED (
+  SELECT word,
+         array_to_string(list_transform(range(1, len(word) + 1),
+           i -> CASE WHEN i = 1 THEN word[i]
+                ELSE '##' || word[i] END), '|') AS s,
+         count(*) AS cnt
+  FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+      AS word
+    FROM documents
+  ) GROUP BY word
+)"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f"""
+sc{k} AS MATERIALIZED (
+  SELECT sym, sum(cnt) AS c FROM (
+    SELECT unnest(string_split(s, '|')) AS sym, cnt FROM w{p}
+  ) GROUP BY sym
+),
+m{k} AS MATERIALIZED (
+  SELECT p[1] AS a, p[2] AS b, p[1] || substr(p[2], 3) AS piece
+  FROM (
+    SELECT p, sum(cnt) AS pc FROM (
+      SELECT unnest(list_transform(range(1, len(syms)),
+                    i -> [syms[i], syms[i+1]])) AS p, cnt
+      FROM (SELECT string_split(s, '|') AS syms, cnt FROM w{p})
+    ) GROUP BY p
+  ) pp
+  JOIN sc{k} sa ON sa.sym = pp.p[1]
+  JOIN sc{k} sb ON sb.sym = pp.p[2]
+  ORDER BY pp.pc * 1000000000000 // (sa.c * sb.c) DESC,
+           p[1] ASC, p[2] ASC
+  LIMIT 1
+),
+w{k} AS MATERIALIZED (
+  SELECT word, CASE WHEN len(syms) = 1 THEN syms[1] ELSE
+    list_reduce(syms, (acc, x) -> CASE
+      WHEN x = m{k}.b AND (acc = m{k}.a
+           OR right(acc, len(m{k}.a) + 1) = '|' || m{k}.a)
+      THEN acc || substr(m{k}.b, 3)
+      ELSE acc || '|' || x END)
+  END AS s, cnt
+  FROM (SELECT word, string_split(s, '|') AS syms, cnt FROM w{p}), m{k}
+)""")
+    return ",".join(parts)
+
+
+@register(
+    "wordpiece_train_merges",
+    sql="WITH " + _wp_oracle_ctes() + " SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT {k - 1} AS rank, a, b, piece FROM m{k}"
+        for k in range(1, WP_N_MERGES + 1)
+    )
+    + ") ORDER BY rank",
+)
+def wordpiece_train_merges(spark, sf_dir):
+    """Rank-ordered WordPiece merge list learned from the corpus
+    (operators/wordpiece.wp_train: likelihood-scored pair selection
+    over the distinct-word table, '##' continuation symbols, one merge
+    per pass — see the operator docstring for why WordPiece cannot
+    batch like BPE).  Full DuckDB oracle: the n_merges passes unroll
+    into chained materialized CTEs replicating symbol counts, the
+    exact scaled-integer score argmax, and the merge fold.  Semantics
+    additionally pinned by classic-example and sequential-reference
+    tests in test_wordpiece.py."""
+    from medical_ocr_pipeline_spark.operators.wordpiece import (
+        _strip_cont,
+        wp_train,
+    )
+
+    merges = wp_train(load(spark, sf_dir, "documents"), WP_N_MERGES)
+    return spark.createDataFrame(
+        [
+            (i, a, b, a + _strip_cont(b))
+            for i, (a, b) in enumerate(merges)
+        ],
+        "rank int, a string, b string, piece string",
+    ).orderBy("rank")
+
+
+@register(
+    "wordpiece_encode_stats",
+    sql="WITH RECURSIVE " + _wp_oracle_ctes() + f""",
+    vocab AS MATERIALIZED (
+      SELECT DISTINCT sym AS piece FROM (
+        SELECT unnest(string_split(s, '|')) AS sym FROM w0
+      )
+      UNION
+      SELECT piece FROM (
+        {" UNION ALL ".join(
+            f"SELECT piece FROM m{k}" for k in range(1, WP_N_MERGES + 1)
+        )}
+      )
+    ),
+    vp AS MATERIALIZED (
+      SELECT piece,
+             CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                  ELSE piece END AS raw,
+             piece LIKE '##%' AS cont
+      FROM vocab
+    ),
+    wds AS MATERIALIZED (
+      SELECT word, len(word) AS wl FROM w0
+    ),
+    mt AS MATERIALIZED (
+      SELECT wp.word, wp.pos, max(len(v.raw)) AS l
+      FROM (
+        SELECT word, wl, unnest(range(1, wl + 1)) AS pos FROM wds
+      ) wp
+      JOIN vp v ON v.cont = (wp.pos > 1)
+              AND substr(wp.word, CAST(wp.pos AS INT), len(v.raw)) = v.raw
+      GROUP BY wp.word, wp.pos
+    ),
+    enc AS (
+      SELECT word, wl, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS nt
+      FROM wds
+      UNION ALL
+      SELECT e.word, e.wl, e.pos + m.l, e.nt + 1
+      FROM enc e JOIN mt m ON m.word = e.word AND m.pos = e.pos
+      WHERE e.pos <= e.wl
+    ),
+    tok AS MATERIALIZED (
+      SELECT word, max(nt) AS nt FROM enc GROUP BY word
+    ),
+    docw AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+        AS word
+      FROM documents
+    ),
+    perdoc AS (
+      SELECT doc_id, count(*) AS nw, sum(nt) AS ntok
+      FROM docw JOIN tok USING (word) GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(p.nw, 0)) AS BIGINT) AS n_words,
+           CAST(sum(coalesce(p.ntok, 0)) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def wordpiece_encode_stats(spark, sf_dir):
+    """Per-source token statistics of the corpus encoded under its own
+    learned WordPiece vocabulary — train + greedy longest-match
+    (MaxMatch) Arrow-batched encode end to end.  Full DuckDB oracle:
+    training is the unrolled CTE chain (wordpiece_train_merges), the
+    vocabulary is its minted pieces plus every initial symbol, and the
+    greedy encoder is replayed EXACTLY — a non-recursive longest-match
+    table (per (word, position) the max piece length, a prefix
+    equi-join + combinable max) driving a recursive-CTE cursor walk
+    that advances one piece per step.  Unlike bpe_encode_stats (whose
+    oracle equals the trainer's final segmentation), MaxMatch is a
+    DIFFERENT algorithm from merge replay, and the oracle implements
+    MaxMatch itself — no corpus-specific equivalence assumption.
+    Encoder exactness additionally pinned by python-reference tests in
+    test_wordpiece.py."""
+    from medical_ocr_pipeline_spark.operators.wordpiece import (
+        wp_encode,
+        wp_train,
+        wp_vocab,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = wp_train(docs, WP_N_MERGES)
+    vocab = wp_vocab(docs, merges)
+    enc = wp_encode(docs, vocab)
+    return (
+        enc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
