@@ -53,6 +53,9 @@ _PROMOTE_TO_WINDOW = [
     "host_lpa",
     "wordpiece_train_merges",
     "wordpiece_encode_stats",
+    "bm25_eval",
+    "source_diversity",
+    "oov_rate",
     "sketch_hll_distinct",
     "sketch_cms_heavy",
     "bloom_prefilter_join",

@@ -1366,3 +1366,292 @@ def kmeans_silhouette(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation over the BM25 ranking
+#
+# The IR-eval triple every retrieval stack reports — MRR, precision@10,
+# nDCG@10 — computed against a deterministic relevance oracle (a doc is
+# relevant to a query iff it contains ALL the query's terms: the
+# boolean-AND judgment, derivable from the corpus itself, no external
+# qrels).  Exactness discipline: MRR and precision are rationals
+# (integer division), and nDCG's log2 discounts are pre-scaled INTEGER
+# LITERALS (round(1e6 / log2(i+1))) embedded identically in both
+# engines, so DCG/IDCG are order-free BIGINT sums and the final ratio
+# is one double division on identical operands — no engine ever
+# evaluates a transcendental.
+
+import math as _math
+
+_NDCG_AT = 10
+_DISC_E6 = tuple(
+    round(1_000_000 / _math.log2(i + 1)) for i in range(1, _NDCG_AT + 1)
+)
+_DISC_SQL = "[" + ", ".join(str(d) for d in _DISC_E6) + "]"
+_N_TERMS_ROWS = ", ".join(
+    f"({qid}, {len(terms)})" for qid, terms in BM25_QUERIES
+)
+
+
+@register(
+    "bm25_eval",
+    sql=f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_Q_ROWS}),
+    nterms(query_id, n_terms) AS (VALUES {_N_TERMS_ROWS}),
+    tok AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS w
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS sum_dl
+      FROM dl
+    ),
+    tf AS (
+      SELECT tok.doc_id, tok.w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok JOIN (SELECT DISTINCT term FROM q) qt ON tok.w = qt.term
+      GROUP BY tok.doc_id, tok.w
+    ),
+    idf AS (
+      SELECT w, LN(1 + (stats.n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+           stats
+    ),
+    sc AS (
+      SELECT q.query_id, tf.doc_id,
+             ROUND(SUM(idf.idf * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl
+                    / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))),
+               {R}) AS score
+      FROM tf
+      JOIN q ON q.term = tf.w
+      JOIN idf ON idf.w = tf.w
+      JOIN dl ON dl.doc_id = tf.doc_id, stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    rel AS (
+      SELECT q.query_id, tf.doc_id
+      FROM tf JOIN q ON q.term = tf.w
+      JOIN nterms USING (query_id)
+      GROUP BY q.query_id, tf.doc_id, nterms.n_terms
+      HAVING COUNT(DISTINCT tf.w) = nterms.n_terms
+    ),
+    nrel AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM rel GROUP BY query_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, rk FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM sc
+      ) WHERE rk <= {BM25_TOP}
+    ),
+    j AS (
+      SELECT r.query_id, r.rk,
+             (rel.doc_id IS NOT NULL) AS is_rel
+      FROM ranked r LEFT JOIN rel
+        ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+    ),
+    m AS (
+      SELECT query_id,
+             COALESCE(1000000 // MIN(CASE WHEN is_rel THEN rk END), 0)
+               AS mrr_ppm,
+             SUM(CASE WHEN is_rel AND rk <= {_NDCG_AT}
+                 THEN 1 ELSE 0 END) * 100000 AS p10_ppm,
+             CAST(SUM(CASE WHEN is_rel AND rk <= {_NDCG_AT}
+                 THEN {_DISC_SQL}[rk] ELSE 0 END) AS BIGINT) AS dcg_e6
+      FROM j GROUP BY query_id
+    )
+    SELECT nq.query_id,
+           COALESCE(nrel.n_rel, 0) AS n_rel,
+           CAST(COALESCE(m.mrr_ppm, 0) AS BIGINT) AS mrr_ppm,
+           CAST(COALESCE(m.p10_ppm, 0) AS BIGINT) AS p10_ppm,
+           COALESCE(m.dcg_e6, 0) AS dcg_e6,
+           CAST(COALESCE(list_aggregate(
+             {_DISC_SQL}[1:LEAST(nrel.n_rel, {_NDCG_AT})], 'sum'), 0)
+             AS BIGINT) AS idcg_e6,
+           CAST(CASE WHEN COALESCE(nrel.n_rel, 0) = 0 THEN 0
+                ELSE FLOOR(COALESCE(m.dcg_e6, 0) * 1000000.0
+                  / list_aggregate(
+                      {_DISC_SQL}[1:LEAST(nrel.n_rel, {_NDCG_AT})], 'sum'))
+                END AS BIGINT) AS ndcg_ppm
+    FROM (SELECT DISTINCT query_id FROM q) nq
+    LEFT JOIN nrel USING (query_id)
+    LEFT JOIN m USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def bm25_eval(spark, sf_dir):
+    """MRR, precision@10 and nDCG@10 of the BM25 ranking (identical
+    scoring definition to bm25_topk: same Okapi weighting, same
+    rounded-score + doc_id tie-broken ordering) against the
+    boolean-AND relevance oracle — a doc is relevant iff it contains
+    every query term.
+
+    Exactness: MRR@k and P@10 are integer divisions; nDCG's discounts
+    1/log2(i+1) are pre-scaled integer literals shared by both
+    engines, so DCG and IDCG are order-free BIGINT sums; the single
+    nDCG division is a double op on identical operands.
+
+    100 TB shape: inherits bm25_topk's postings plan (broadcast term
+    semi-join before any grouping, combinable tf/df aggs); relevance
+    adds one combinable (query, doc) distinct-term count over the SAME
+    tf frame — no second corpus scan — and the metrics reduce the
+    top-k frame (a few rows per query) with a 1-row-per-query join."""
+    docs = load(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id INT, term STRING",
+    )
+    nterms = spark.createDataFrame(
+        [(qid, len(terms)) for qid, terms in BM25_QUERIES],
+        "query_id INT, n_terms INT",
+    )
+    tok = docs.select("doc_id", F.explode(words_expr()).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    stats = dl.agg(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl")
+    ).crossJoin(F.broadcast(n_docs))
+    tf = (
+        tok.join(
+            F.broadcast(q.select("term").distinct()), tok.w == F.col("term")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .persist()
+    )
+    df_ = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.log(
+            1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    k1 = F.expr(BM25_K1)
+    b = F.expr(BM25_B)
+    sc = (
+        tf.join(F.broadcast(q), tf.w == q.term)
+        .join(
+            F.broadcast(idf.withColumnRenamed("w", "iw")),
+            F.col("w") == F.col("iw"),
+        )
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf") * F.col("tf") * (k1 + 1)
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (
+                            1 - b
+                            + b * F.col("dl")
+                            / (
+                                F.col("sum_dl").cast("double")
+                                / F.col("n_docs")
+                            )
+                        )
+                    )
+                ),
+                R,
+            ).alias("score")
+        )
+    )
+    rel = (
+        tf.join(F.broadcast(q), tf.w == q.term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("w").alias("nt_hit"))
+        .join(F.broadcast(nterms), "query_id")
+        .where(F.col("nt_hit") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+        .persist()
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_rel")
+    )
+    salted = sc.withColumn(
+        "salt", F.crc32(F.col("doc_id").cast("string")) % _BM25_SALTS
+    )
+    w1 = W.partitionBy("query_id", "salt").orderBy(F.desc("score"), "doc_id")
+    wq = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    ranked = (
+        salted.withColumn("rk1", F.row_number().over(w1))
+        .where(F.col("rk1") <= BM25_TOP)
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= BM25_TOP)
+        .select("query_id", "doc_id", "rk")
+    )
+    j = ranked.join(
+        rel.withColumn("is_rel", F.lit(True)), ["query_id", "doc_id"], "left"
+    ).select(
+        "query_id", "rk", F.coalesce("is_rel", F.lit(False)).alias("is_rel")
+    )
+    disc = F.array(*[F.lit(d) for d in _DISC_E6])
+    m = j.groupBy("query_id").agg(
+        F.coalesce(
+            F.expr(
+                "cast(1000000 as bigint) div "
+                "min(case when is_rel then rk end)"
+            ),
+            F.lit(0),
+        ).alias("mrr_ppm"),
+        (
+            F.sum(
+                F.when(
+                    F.col("is_rel") & (F.col("rk") <= _NDCG_AT), 1
+                ).otherwise(0)
+            )
+            * 100000
+        ).alias("p10_ppm"),
+        F.sum(
+            F.when(
+                F.col("is_rel") & (F.col("rk") <= _NDCG_AT),
+                F.element_at(disc, F.col("rk")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_e6"),
+    )
+    qids = q.select("query_id").distinct()
+    idcg = F.expr(
+        "aggregate(slice(array({discs}), 1, int(least(n_rel, {at}))), "
+        "cast(0 as bigint), (a, x) -> a + x)".format(
+            discs=", ".join(str(d) for d in _DISC_E6), at=_NDCG_AT
+        )
+    )
+    out = (
+        qids.join(nrel, "query_id", "left")
+        .join(m, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            F.coalesce("mrr_ppm", F.lit(0)).cast("long").alias("mrr_ppm"),
+            F.coalesce("p10_ppm", F.lit(0)).cast("long").alias("p10_ppm"),
+            F.coalesce("dcg_e6", F.lit(0)).cast("long").alias("dcg_e6"),
+            F.coalesce(idcg, F.lit(0)).cast("long").alias("idcg_e6"),
+            F.coalesce(
+                F.when(F.coalesce("n_rel", F.lit(0)) == 0, F.lit(0))
+                .otherwise(
+                    F.floor(
+                        F.coalesce("dcg_e6", F.lit(0)) * 1000000.0 / idcg
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )
+    return out

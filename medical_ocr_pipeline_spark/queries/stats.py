@@ -500,3 +500,175 @@ def split_token_drift(spark, sf_dir):
         .orderBy(F.desc("contrib_ppb"), "word")
         .limit(_DRIFT_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-diversity indices (Simpson / HHI / effective source count)
+#
+# The concentration summary a multi-source corpus card publishes per
+# language: is the language's data one crawl or many?  All three
+# indices are RATIONALS in the per-(lang, source) counts — exact
+# integer division, no floats anywhere.
+
+
+@register(
+    "source_diversity",
+    sql="""
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM documents GROUP BY lang, source
+    ),
+    s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(ni) AS BIGINT) AS n,
+             CAST(SUM(ni * ni) AS BIGINT) AS ssq,
+             CAST(SUM(ni * (ni - 1)) AS BIGINT) AS spair
+      FROM c GROUP BY lang
+    )
+    SELECT lang, n AS n_docs, n_sources,
+           CAST(ssq * 1000000 // (n * n) AS BIGINT) AS hhi_ppm,
+           CAST(CASE WHEN n > 1 THEN spair * 1000000 // (n * (n - 1))
+                ELSE 1000000 END AS BIGINT) AS simpson_ppm,
+           CAST(n * n * 1000 // ssq AS BIGINT) AS eff_sources_e3
+    FROM s ORDER BY lang
+    """,
+)
+def source_diversity(spark, sf_dir):
+    """Per-language source-concentration indices from one combinable
+    groupBy: HHI = sum(share_i^2) in floor-ppm, the unbiased Simpson
+    index sum(n_i * (n_i - 1)) / (n * (n - 1)) in floor-ppm, and the
+    effective source count (inverse HHI) in milli-units — all exact
+    integer divisions on BIGINT moment sums, zero floats.
+
+    100 TB shape: one scan -> one combinable (lang, source) count ->
+    one tiny re-aggregation; the BIGINT numerators (ssq * 1e6, n^2 *
+    1e3) hold to ~3e6 docs per (lang, source) cell — past that the
+    production variant moves the scaling into a double, which this
+    query keeps integral because the oracle's exactness rides on it."""
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("ni"))
+    )
+    s = c.groupBy("lang").agg(
+        F.count("*").alias("n_sources"),
+        F.sum("ni").alias("n"),
+        F.sum(F.col("ni") * F.col("ni")).alias("ssq"),
+        F.sum(F.col("ni") * (F.col("ni") - 1)).alias("spair"),
+    )
+    return s.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.expr("ssq * 1000000 div (n * n)").cast("long").alias("hhi_ppm"),
+        F.when(
+            F.col("n") > 1,
+            F.expr("spair * 1000000 div (n * (n - 1))"),
+        )
+        .otherwise(F.lit(1000000))
+        .cast("long")
+        .alias("simpson_ppm"),
+        F.expr("n * n * 1000 div ssq").cast("long").alias("eff_sources_e3"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate of the test split vs the train vocabulary
+#
+# The companion to split_token_drift: what fraction of test tokens
+# (occurrences AND distinct types) does the train split never see?
+# High OOV = the split boundary cut a domain in half — the cheap
+# standing check before any tokenizer/LM eval on the split.
+
+
+@register(
+    "oov_rate",
+    sql=f"""
+    WITH d AS (
+      SELECT lang, {_split_duck()} AS split,
+             unnest(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '{WORD_SPLIT}'),
+               x -> x <> '')) AS word
+      FROM documents
+    ),
+    trainv AS (SELECT DISTINCT word FROM d WHERE split = 'train'),
+    t AS (
+      SELECT d.lang, d.word, (trainv.word IS NOT NULL) AS seen
+      FROM d LEFT JOIN trainv USING (word)
+      WHERE d.split = 'test'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_test_tokens,
+           CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_oov_tokens,
+           CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) * 1000000
+                // COUNT(*) AS BIGINT) AS oov_ppm,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_test_types,
+           CAST(COUNT(DISTINCT CASE WHEN NOT seen THEN word END)
+             AS BIGINT) AS n_oov_types,
+           CAST(COUNT(DISTINCT CASE WHEN NOT seen THEN word END) * 1000000
+                // COUNT(DISTINCT word) AS BIGINT) AS type_oov_ppm
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def oov_rate(spark, sf_dir):
+    """Per-language OOV rate of the test split against the GLOBAL train
+    vocabulary (same deterministic split hash as train_test_split):
+    token-occurrence OOV and distinct-type OOV, both as exact
+    integer-division ppm.
+
+    100 TB shape: one scan -> token explode; the train vocabulary is a
+    distinct over train tokens and the membership probe is a LEFT join
+    on the word key — both sides shuffle-hash on word (the vocabulary
+    of a web corpus is far too large to broadcast; this is the same
+    big-side equi-join shape as dedup_incremental's probe), then one
+    combinable per-lang aggregate.  No windows, no driver state."""
+    from medical_ocr_pipeline_spark.queries.training import split_expr
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        split_expr().alias("split"),
+        F.explode(words_expr()).alias("word"),
+    )
+    trainv = d.where(F.col("split") == "train").select("word").distinct()
+    t = (
+        d.where(F.col("split") == "test")
+        .join(
+            trainv.withColumn("seen", F.lit(True)), "word", "left"
+        )
+        .select("lang", "word", F.coalesce("seen", F.lit(False)).alias("seen"))
+    )
+    oov_tok = F.sum(F.when(F.col("seen"), 0).otherwise(1))
+    oov_typ = F.countDistinct(
+        F.when(~F.col("seen"), F.col("word"))
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_test_tokens"),
+            oov_tok.cast("long").alias("n_oov_tokens"),
+            F.expr(
+                "sum(case when seen then 0 else 1 end) * 1000000"
+                " div count(*)"
+            )
+            .cast("long")
+            .alias("oov_ppm"),
+            F.countDistinct("word").cast("long").alias("n_test_types"),
+            oov_typ.cast("long").alias("n_oov_types"),
+            (
+                oov_typ * 1000000
+            ).alias("_oovt_scaled"),
+        )
+        .select(
+            "lang",
+            "n_test_tokens",
+            "n_oov_tokens",
+            "oov_ppm",
+            "n_test_types",
+            "n_oov_types",
+            F.expr("_oovt_scaled div n_test_types")
+            .cast("long")
+            .alias("type_oov_ppm"),
+        )
+        .orderBy("lang")
+    )

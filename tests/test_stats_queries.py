@@ -188,3 +188,104 @@ def test_split_token_drift_matches_dict_reference(spark, docs):
     for r in rows:
         assert r.a == a.get(r.word, 0)
         assert r.b == b.get(r.word, 0)
+
+
+def test_source_diversity_matches_manual_indices(spark, docs):
+    from medical_ocr_pipeline_spark.queries.stats import source_diversity
+
+    counts = {}
+    for _, _, lang, src, _ in docs:
+        counts.setdefault(lang, {})
+        counts[lang][src] = counts[lang].get(src, 0) + 1
+    rows = {r.lang: r for r in source_diversity(spark, SF).collect()}
+    assert set(rows) == set(counts)
+    for lang, per_src in counts.items():
+        ni = list(per_src.values())
+        n = sum(ni)
+        ssq = sum(x * x for x in ni)
+        spair = sum(x * (x - 1) for x in ni)
+        r = rows[lang]
+        assert r.n_docs == n
+        assert r.n_sources == len(ni)
+        assert r.hhi_ppm == ssq * 1_000_000 // (n * n)
+        assert r.simpson_ppm == (
+            spair * 1_000_000 // (n * (n - 1)) if n > 1 else 1_000_000
+        )
+        assert r.eff_sources_e3 == n * n * 1000 // ssq
+        # effective sources can never exceed actual sources
+        assert r.eff_sources_e3 <= len(ni) * 1000
+
+
+def test_oov_rate_matches_replayed_split(spark, docs):
+    from medical_ocr_pipeline_spark.queries.stats import oov_rate
+    from medical_ocr_pipeline_spark.queries.training import (
+        TRAIN_PPM,
+        VAL_PPM,
+    )
+
+    def split_of(doc_id):
+        hv = _md5_int48(f"split{doc_id}") % 1_000_000
+        return "train" if hv < TRAIN_PPM else "val" if hv < VAL_PPM else "test"
+
+    train_vocab = set()
+    test_tokens = {}
+    for doc_id, t, lang, _, _ in docs:
+        s = split_of(doc_id)
+        if s == "train":
+            train_vocab.update(_words(t))
+        elif s == "test":
+            test_tokens.setdefault(lang, []).extend(_words(t))
+    rows = {r.lang: r for r in oov_rate(spark, SF).collect()}
+    assert set(rows) == {L for L, toks in test_tokens.items() if toks}
+    for lang, toks in test_tokens.items():
+        if not toks:
+            continue
+        oov = [w for w in toks if w not in train_vocab]
+        types = set(toks)
+        oov_types = {w for w in oov}
+        r = rows[lang]
+        assert r.n_test_tokens == len(toks)
+        assert r.n_oov_tokens == len(oov)
+        assert r.oov_ppm == len(oov) * 1_000_000 // len(toks)
+        assert r.n_test_types == len(types)
+        assert r.n_oov_types == len(oov_types)
+        assert r.type_oov_ppm == len(oov_types) * 1_000_000 // len(types)
+
+
+def test_bm25_eval_consistent_with_topk_ranking(spark, docs):
+    from medical_ocr_pipeline_spark.queries.similarity import (
+        _DISC_E6,
+        _NDCG_AT,
+        BM25_QUERIES,
+        bm25_eval,
+        bm25_topk,
+    )
+
+    # relevance oracle: doc contains ALL query terms
+    doc_words = {doc_id: set(_words(t)) for doc_id, t, _, _, _ in docs}
+    rel = {
+        qid: {d for d, ws in doc_words.items() if set(terms) <= ws}
+        for qid, terms in BM25_QUERIES
+    }
+    ranking = {}
+    for r in bm25_topk(spark, SF).collect():
+        ranking.setdefault(r.query_id, []).append((r.rank, r.doc_id))
+    rows = {r.query_id: r for r in bm25_eval(spark, SF).collect()}
+    assert set(rows) == {qid for qid, _ in BM25_QUERIES}
+    for qid, r in rows.items():
+        rks = sorted(ranking.get(qid, []))
+        rel_ranks = [rk for rk, d in rks if d in rel[qid]]
+        assert r.n_rel == len(rel[qid])
+        assert r.mrr_ppm == (
+            1_000_000 // rel_ranks[0] if rel_ranks else 0
+        )
+        in10 = [rk for rk in rel_ranks if rk <= _NDCG_AT]
+        assert r.p10_ppm == len(in10) * 100_000
+        dcg = sum(_DISC_E6[rk - 1] for rk in in10)
+        idcg = sum(_DISC_E6[: min(len(rel[qid]), _NDCG_AT)])
+        assert r.dcg_e6 == dcg
+        assert r.idcg_e6 == idcg
+        assert r.ndcg_ppm == (
+            math.floor(dcg * 1e6 / idcg) if idcg else 0
+        )
+        assert 0 <= r.ndcg_ppm <= 1_000_000
