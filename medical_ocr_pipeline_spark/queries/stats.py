@@ -125,18 +125,27 @@ def corr_doc_stats(spark, sf_dir):
             / F.sqrt(vx.cast("double") * vy.cast("double"))
         ).cast("long")
 
-    rows = [
+    # ONE pass: the three pair rows explode out of the single agg row
+    # (a 3-way union of selects over `s` would recompute the aggregate
+    # — and rescan the corpus — once per pair)
+    return (
         s.select(
-            F.lit(pair).alias("pair"),
-            F.col("n"),
-            corr_ppm(x, y).alias("corr_ppm"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(pair).alias("pair"),
+                            F.col("n").alias("n"),
+                            corr_ppm(x, y).alias("corr_ppm"),
+                        )
+                        for pair, x, y in _CORR_PAIRS
+                    ]
+                )
+            ).alias("r")
         )
-        for pair, x, y in _CORR_PAIRS
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("pair")
+        .select("r.*")
+        .orderBy("pair")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -223,17 +232,20 @@ def chi2_lang_source(spark, sf_dir):
 # corpus, and Window.partitionBy(lang) would sort all of it in one
 # task.
 
-_GINI_RANK_PARTS = 32
-
-
 def _ranked_by_lang(d):
     """Append i = 1-based rank of each row within its lang in
     (x, doc_id) order, without a per-lang window: range-partition by
     the full order key (so each task holds a contiguous slice), rank
     locally, then add the per-(partition, lang) prefix counts — one
-    broadcast-sized frame of n_parts x n_langs rows."""
+    broadcast-sized frame of n_parts x n_langs rows.  The range
+    partition count follows spark.sql.shuffle.partitions (cluster-
+    tuned, never a literal baked into the query body); the result is a
+    pure function of the global order either way (invariance test)."""
+    n_parts = int(
+        d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     ranged = d.repartitionByRange(
-        _GINI_RANK_PARTS, "lang", "x", "doc_id"
+        n_parts, "lang", "x", "doc_id"
     ).withColumn("_pid", F.spark_partition_id())
     local_w = Window.partitionBy("_pid", "lang").orderBy("x", "doc_id")
     local = ranged.withColumn("_lrk", F.row_number().over(local_w))

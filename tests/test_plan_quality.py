@@ -394,3 +394,51 @@ def test_fanout_keeps_local_parallelism(spark):
     out.collect()
     n = out.rdd.getNumPartitions()
     assert n >= 4, n  # local[8] session, shuffle.partitions=8
+
+
+def test_corr_doc_stats_single_scan_partial_agg(spark):
+    """The whole correlation matrix must come from ONE corpus scan (the
+    pair rows explode out of a single aggregate row) with map-side
+    partial aggregation."""
+    from medical_ocr_pipeline_spark.queries.stats import corr_doc_stats
+
+    plan = final_plan(corr_doc_stats(spark, SF_DIR)).split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("FileScan") == 1, plan
+    assert "partial_" in plan.lower()
+
+
+def test_chi2_broadcasts_marginals_no_cartesian(spark):
+    from medical_ocr_pipeline_spark.queries.stats import chi2_lang_source
+
+    plan = final_plan(chi2_lang_source(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_token_drift_topk_is_take_ordered(spark):
+    """The global top-40 must plan as TakeOrdered (per-partition top-k
+    + driver merge), never a full global sort."""
+    from medical_ocr_pipeline_spark.queries.stats import split_token_drift
+
+    plan = final_plan(split_token_drift(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_eval_no_cartesian_and_broadcast_terms(spark):
+    from medical_ocr_pipeline_spark.queries.similarity import bm25_eval
+
+    plan = final_plan(bm25_eval(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sample_fixed_k_no_literal_numpartitions(spark):
+    from medical_ocr_pipeline_spark.queries.stats import sample_fixed_k
+
+    plan = sample_fixed_k(
+        spark, SF_DIR
+    )._jdf.queryExecution().sparkPlan().toString()
+    assert "REPARTITION_BY_NUM" not in plan
