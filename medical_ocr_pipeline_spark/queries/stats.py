@@ -101,8 +101,14 @@ def corr_doc_stats(spark, sf_dir):
     100 TB shape: one scan, one map-side-combinable global agg to a
     single row, then constant-time arithmetic — the k-feature matrix
     costs k(k+3)/2 sums in the same single pass."""
+    return corr_frame(load(spark, sf_dir, "documents"))
+
+
+def corr_frame(docs):
+    """Frame-level core of corr_doc_stats — the form job_monitor.py
+    consumes (same oracle-checked dataflow, any documents frame)."""
     w = words_expr()
-    d = load(spark, sf_dir, "documents").select(
+    d = docs.select(
         F.size(w).cast("long").alias("a"),
         F.size(F.array_distinct(w)).cast("long").alias("b"),
         F.col("n_chars").cast("long").alias("c"),
@@ -193,8 +199,13 @@ def chi2_lang_source(spark, sf_dir):
     table — a few hundred rows however big the corpus — then two tiny
     re-aggregations of THAT table and broadcast joins back.  The scan
     is the only heavy stage."""
+    return chi2_frame(load(spark, sf_dir, "documents"))
+
+
+def chi2_frame(docs):
+    """Frame-level core of chi2_lang_source (job_monitor surface)."""
     c = (
-        load(spark, sf_dir, "documents")
+        docs
         .groupBy("lang", "source")
         .agg(F.count("*").alias("o"))
         .persist()
@@ -310,7 +321,12 @@ def gini_doc_lengths(spark, sf_dir):
     oracle uses the plain window (DuckDB-side scale is the test SF);
     rank equality between the two forms is exactly what the
     partition-count invariance test pins."""
-    d = load(spark, sf_dir, "documents").select(
+    return gini_frame(load(spark, sf_dir, "documents"))
+
+
+def gini_frame(docs):
+    """Frame-level core of gini_doc_lengths (job_monitor surface)."""
+    d = docs.select(
         "lang", F.col("n_chars").cast("long").alias("x"), "doc_id"
     )
     r = _ranked_by_lang(d)
@@ -379,7 +395,12 @@ def sample_fixed_k(spark, sf_dir):
     funnels into one window task; level 2 ranks the <= k * n_salts
     survivors.  Exact: any global top-k row is a top-k row of its own
     salt bucket."""
-    h = load(spark, sf_dir, "documents").select(
+    return sample_frame(load(spark, sf_dir, "documents"))
+
+
+def sample_frame(docs):
+    """Frame-level core of sample_fixed_k (job_monitor surface)."""
+    h = docs.select(
         "lang", "doc_id", F.expr(_SAMP_H_SPARK).alias("hv")
     )
     salted = h.withColumn(
@@ -474,9 +495,14 @@ def split_token_drift(spark, sf_dir):
     variant casts the counts to double before the products (the
     docstringed scale switch), which this query keeps BIGINT-side only
     because the oracle's exactness argument rides on it."""
+    return drift_frame(load(spark, sf_dir, "documents"))
+
+
+def drift_frame(docs):
+    """Frame-level core of split_token_drift (job_monitor surface)."""
     from medical_ocr_pipeline_spark.queries.training import split_expr
 
-    d = load(spark, sf_dir, "documents").select(
+    d = docs.select(
         split_expr().alias("split"),
         F.explode(words_expr()).alias("word"),
     )
@@ -557,8 +583,13 @@ def source_diversity(spark, sf_dir):
     1e3) hold to ~3e6 docs per (lang, source) cell — past that the
     production variant moves the scaling into a double, which this
     query keeps integral because the oracle's exactness rides on it."""
+    return diversity_frame(load(spark, sf_dir, "documents"))
+
+
+def diversity_frame(docs):
+    """Frame-level core of source_diversity (job_monitor surface)."""
     c = (
-        load(spark, sf_dir, "documents")
+        docs
         .groupBy("lang", "source")
         .agg(F.count("*").alias("ni"))
     )
@@ -635,9 +666,14 @@ def oov_rate(spark, sf_dir):
     of a web corpus is far too large to broadcast; this is the same
     big-side equi-join shape as dedup_incremental's probe), then one
     combinable per-lang aggregate.  No windows, no driver state."""
+    return oov_frame(load(spark, sf_dir, "documents"))
+
+
+def oov_frame(docs):
+    """Frame-level core of oov_rate (job_monitor surface)."""
     from medical_ocr_pipeline_spark.queries.training import split_expr
 
-    d = load(spark, sf_dir, "documents").select(
+    d = docs.select(
         "lang",
         split_expr().alias("split"),
         F.explode(words_expr()).alias("word"),
