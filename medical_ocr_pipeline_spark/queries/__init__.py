@@ -56,6 +56,7 @@ _PROMOTE_TO_WINDOW = [
     "bm25_eval",
     "source_diversity",
     "oov_rate",
+    "event_rate_spikes",
     "sketch_hll_distinct",
     "sketch_cms_heavy",
     "bloom_prefilter_join",

@@ -304,3 +304,109 @@ def cohort_retention(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-rate spike detection (integer-exact anomaly monitor)
+#
+# The standing ops monitor every event pipeline runs: per (event_type,
+# hour) bucket, flag counts that exceed SPIKE_MULT x the trailing
+# SPIKE_WINDOW-hour mean.  The trailing window is RANGE-based on the
+# integer hour (missing hours count as zero activity, which is what a
+# rate monitor wants), and the spike predicate is the cross-multiplied
+# integer form cnt * W > MULT * trailing_sum — exact, no float mean.
+
+SPIKE_WINDOW_H = 24
+SPIKE_MULT = 3
+SPIKE_MIN_CNT = 5  # low-volume guard: a bucket under this count never flags
+
+
+@register(
+    "event_rate_spikes",
+    sql=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, hr
+    ),
+    w AS (
+      SELECT event_type, hr, cnt,
+             CAST(COALESCE(SUM(cnt) OVER (
+               PARTITION BY event_type ORDER BY hr
+               RANGE BETWEEN {SPIKE_WINDOW_H} PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS trail_sum,
+             MIN(hr) OVER (PARTITION BY event_type) AS hr0
+      FROM b
+    )
+    SELECT event_type, hr, cnt, trail_sum,
+           CAST(cnt * {SPIKE_WINDOW_H} * 1000000
+                // GREATEST(trail_sum, 1) AS BIGINT) AS ratio_ppm,
+           (hr >= hr0 + {SPIKE_WINDOW_H}
+            AND cnt >= {SPIKE_MIN_CNT}
+            AND cnt * {SPIKE_WINDOW_H} > {SPIKE_MULT} * trail_sum)
+             AS is_spike
+    FROM w ORDER BY event_type, hr
+    """,
+)
+def event_rate_spikes(spark, sf_dir):
+    """Hourly event-rate anomaly monitor: a bucket spikes when its
+    count exceeds {SPIKE_MULT}x the trailing {SPIKE_WINDOW_H}-hour mean
+    (absent hours = zero activity, so the trailing window is RANGE on
+    the integer hour, not ROWS on present buckets).  The predicate is
+    cross-multiplied — cnt * W > MULT * trailing_sum, gated on a
+    minimum bucket count of {SPIKE_MIN_CNT} so a near-idle stream's
+    single stray event never pages anyone — and the reported
+    ratio is integer-division ppm of cnt vs the trailing mean, so the
+    whole frame is BIGINT-exact.  Buckets inside the first W hours of a
+    type's history never flag (warm-up guard on MIN(hr), same rule in
+    both engines).
+
+    100 TB shape: one scan -> ONE combinable (type, hour) count; the
+    windows then run over the BUCKET table — |types| x |hours| rows
+    regardless of event volume — partitioned by type, so no task ever
+    sees more than one type's bucket history.  This is the monitor
+    shape that works at any event rate: the raw stream is only ever
+    touched by the map-side-combinable count."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+    )
+    b = e.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    trail_w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rangeBetween(-SPIKE_WINDOW_H, -1)
+    )
+    type_w = W.partitionBy("event_type")
+    w = b.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(trail_w), F.lit(0))
+        .cast("long")
+        .alias("trail_sum"),
+        F.min("hr").over(type_w).alias("hr0"),
+    )
+    return w.select(
+        "event_type",
+        "hr",
+        "cnt",
+        "trail_sum",
+        F.expr(
+            f"cnt * {SPIKE_WINDOW_H} * 1000000"
+            f" div greatest(trail_sum, 1)"
+        )
+        .cast("long")
+        .alias("ratio_ppm"),
+        (
+            (F.col("hr") >= F.col("hr0") + SPIKE_WINDOW_H)
+            & (F.col("cnt") >= SPIKE_MIN_CNT)
+            & (
+                F.col("cnt") * SPIKE_WINDOW_H
+                > SPIKE_MULT * F.col("trail_sum")
+            )
+        ).alias("is_spike"),
+    ).orderBy("event_type", "hr")

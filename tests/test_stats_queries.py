@@ -289,3 +289,49 @@ def test_bm25_eval_consistent_with_topk_ranking(spark, docs):
             math.floor(dcg * 1e6 / idcg) if idcg else 0
         )
         assert 0 <= r.ndcg_ppm <= 1_000_000
+
+
+def test_event_rate_spikes_matches_dict_reference(spark):
+    from medical_ocr_pipeline_spark.queries.temporal import (
+        SPIKE_MIN_CNT,
+        SPIKE_MULT,
+        SPIKE_WINDOW_H,
+        event_rate_spikes,
+    )
+
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT event_type, CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT)"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    con.close()
+    buckets = {}
+    for et, hr in evs:
+        buckets[(et, hr)] = buckets.get((et, hr), 0) + 1
+    hr0 = {}
+    for et, hr in buckets:
+        hr0[et] = min(hr0.get(et, hr), hr)
+    rows = event_rate_spikes(spark, SF).collect()
+    assert len(rows) == len(buckets)
+    n_spikes = 0
+    for r in rows:
+        assert r.cnt == buckets[(r.event_type, r.hr)]
+        trail = sum(
+            c
+            for (et, h), c in buckets.items()
+            if et == r.event_type
+            and r.hr - SPIKE_WINDOW_H <= h <= r.hr - 1
+        )
+        assert r.trail_sum == trail
+        assert r.ratio_ppm == (
+            r.cnt * SPIKE_WINDOW_H * 1_000_000 // max(trail, 1)
+        )
+        expect_spike = (
+            r.hr >= hr0[r.event_type] + SPIKE_WINDOW_H
+            and r.cnt >= SPIKE_MIN_CNT
+            and r.cnt * SPIKE_WINDOW_H > SPIKE_MULT * trail
+        )
+        assert r.is_spike == expect_spike
+        n_spikes += r.is_spike
+    # the synthetic stream is roughly uniform: spikes must be rare
+    assert n_spikes < len(rows) * 0.05
