@@ -57,6 +57,7 @@ _PROMOTE_TO_WINDOW = [
     "source_diversity",
     "oov_rate",
     "event_rate_spikes",
+    "langid_eval",
     "sketch_hll_distinct",
     "sketch_cms_heavy",
     "bloom_prefilter_join",

@@ -298,6 +298,37 @@ _LANGID_DUCK_WINNER = (
 )
 
 
+def _langid_pred_frame(docs):
+    """(true_lang, pred_lang, s_en..s_fr) per document — the trigram
+    argmax predictor shared by langid_ngram and langid_eval."""
+    t = F.lower("text")
+    tri = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1))),
+            lambda i: F.substring(t, 1, 0x7FFFFFFF).substr(i, F.lit(3)),
+        )
+    )
+    docs = docs.select(
+        F.col("lang").alias("true_lang"), tri.alias("tri")
+    )
+    for lg in _LANG_ORDER:
+        profile = F.array(*[F.lit(x) for x in _LANG_PROFILES[lg]])
+        docs = docs.withColumn(
+            f"s_{lg}", F.size(F.array_intersect("tri", profile))
+        )
+    s = {lg: F.col(f"s_{lg}") for lg in _LANG_ORDER}
+    winner = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    return docs.withColumn("pred_lang", winner)
+
+
 @register(
     "langid_ngram",
     sql=f"""
@@ -318,33 +349,8 @@ def langid_ngram(spark, sf_dir):
     """Language-ID via char-trigram profile intersection (the n-gram
     heuristic of the training-data pipeline; the reference's unicode-range
     tagger F9 is the degenerate single-feature case)."""
-    t = F.lower("text")
-    tri = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1))),
-            lambda i: F.substring(t, 1, 0x7FFFFFFF).substr(i, F.lit(3)),
-        )
-    )
-    docs = load(spark, sf_dir, "documents").select(
-        F.col("lang").alias("true_lang"), tri.alias("tri")
-    )
-    for lg in _LANG_ORDER:
-        profile = F.array(*[F.lit(x) for x in _LANG_PROFILES[lg]])
-        docs = docs.withColumn(
-            f"s_{lg}", F.size(F.array_intersect("tri", profile))
-        )
-    s = {lg: F.col(f"s_{lg}") for lg in _LANG_ORDER}
-    winner = (
-        F.when(
-            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]),
-            "en",
-        )
-        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
-        .when(s["de"] >= s["fr"], "de")
-        .otherwise("fr")
-    )
     return (
-        docs.withColumn("pred_lang", winner)
+        _langid_pred_frame(load(spark, sf_dir, "documents"))
         .groupBy("true_lang", "pred_lang")
         .agg(
             F.count("*").alias("n"),
@@ -1829,3 +1835,168 @@ def ols_chars_vs_words(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --- classifier evaluation of the language-ID heuristic ----------------------
+# The standard supervised-eval table over the langid confusion matrix:
+# per-class precision / recall / F1 plus overall accuracy and Cohen's
+# kappa — every metric a RATIONAL in the confusion counts (F1 denominator
+# is row_total + col_total = 2tp + fp + fn), so the whole frame is
+# integer-exact; kappa's numerator can be negative, so it goes through
+# the identical-operand double FLOOR instead of integer division
+# (integer division of negatives truncates differently across engines).
+
+
+@register(
+    "langid_eval",
+    sql=f"""
+    WITH tri AS (
+      SELECT lang AS true_lang, {_tri_sql_duck("lower(text)")} AS tri
+      FROM documents
+    ), scored AS (
+      SELECT true_lang, {_LANGID_DUCK_SCORES} FROM tri
+    ),
+    conf AS (
+      SELECT true_lang, {_LANGID_DUCK_WINNER} AS pred_lang,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM scored GROUP BY true_lang, pred_lang
+    ),
+    labels AS (
+      SELECT true_lang AS label FROM conf
+      UNION SELECT pred_lang FROM conf
+    ),
+    rowt AS (SELECT true_lang AS label, SUM(n) AS row_n
+             FROM conf GROUP BY true_lang),
+    colt AS (SELECT pred_lang AS label, SUM(n) AS col_n
+             FROM conf GROUP BY pred_lang),
+    diag AS (SELECT true_lang AS label, SUM(n) AS tp
+             FROM conf WHERE true_lang = pred_lang GROUP BY true_lang),
+    tot AS (SELECT SUM(n) AS nn FROM conf),
+    agree AS (SELECT CAST(COALESCE(SUM(tp), 0) AS BIGINT) AS stp FROM diag),
+    pe AS (
+      SELECT CAST(SUM(COALESCE(r.row_n, 0) * COALESCE(c.col_n, 0))
+        AS BIGINT) AS spe
+      FROM labels l
+      LEFT JOIN rowt r ON r.label = l.label
+      LEFT JOIN colt c ON c.label = l.label
+    )
+    SELECT l.label,
+           CAST(COALESCE(d.tp, 0) AS BIGINT) AS tp,
+           CAST(COALESCE(c.col_n, 0) - COALESCE(d.tp, 0) AS BIGINT) AS fp,
+           CAST(COALESCE(r.row_n, 0) - COALESCE(d.tp, 0) AS BIGINT) AS fn,
+           CAST(CASE WHEN COALESCE(c.col_n, 0) > 0
+             THEN COALESCE(d.tp, 0) * 1000000 // c.col_n
+             ELSE 0 END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN COALESCE(r.row_n, 0) > 0
+             THEN COALESCE(d.tp, 0) * 1000000 // r.row_n
+             ELSE 0 END AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN COALESCE(r.row_n, 0) + COALESCE(c.col_n, 0) > 0
+             THEN 2 * COALESCE(d.tp, 0) * 1000000
+                  // (COALESCE(r.row_n, 0) + COALESCE(c.col_n, 0))
+             ELSE 0 END AS BIGINT) AS f1_ppm,
+           CAST(agree.stp * 1000000 // tot.nn AS BIGINT) AS accuracy_ppm,
+           CAST(CASE WHEN tot.nn * tot.nn = pe.spe THEN 0
+             ELSE FLOOR((tot.nn * agree.stp - pe.spe) * 1000000.0
+                        / (tot.nn * tot.nn - pe.spe))
+             END AS BIGINT) AS kappa_ppm
+    FROM labels l
+    LEFT JOIN rowt r ON r.label = l.label
+    LEFT JOIN colt c ON c.label = l.label
+    LEFT JOIN diag d ON d.label = l.label, tot, agree, pe
+    ORDER BY l.label
+    """,
+)
+def langid_eval(spark, sf_dir):
+    """Supervised evaluation of the langid_ngram classifier against the
+    gold lang column: per-class tp/fp/fn with precision / recall / F1
+    in exact integer-division ppm, plus overall accuracy and Cohen's
+    kappa = (N*sum_tp - sum_c row_c*col_c) / (N^2 - sum_c row_c*col_c)
+    repeated on every row — kappa is the chance-corrected agreement a
+    class-imbalanced eval must report next to raw accuracy.  Kappa can
+    be negative, so it is floored through the identical-operand double
+    path; everything else is non-negative integer division.
+
+    100 TB shape: ONE combinable confusion groupBy collapses the corpus
+    to |labels|^2 rows; every metric is arithmetic over re-aggregations
+    of that tiny frame (broadcast joins).  The N^2 kappa products live
+    on the 1-row totals frame — at 10^12 docs they exceed BIGINT and
+    the production variant casts to double first (docstring switch,
+    the chi2_lang_source precedent)."""
+    conf = (
+        _langid_pred_frame(load(spark, sf_dir, "documents"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
+    labels = (
+        conf.select(F.col("true_lang").alias("label"))
+        .union(conf.select(F.col("pred_lang").alias("label")))
+        .distinct()
+    )
+    rowt = conf.groupBy(F.col("true_lang").alias("label")).agg(
+        F.sum("n").alias("row_n")
+    )
+    colt = conf.groupBy(F.col("pred_lang").alias("label")).agg(
+        F.sum("n").alias("col_n")
+    )
+    diag = (
+        conf.where(F.col("true_lang") == F.col("pred_lang"))
+        .groupBy(F.col("true_lang").alias("label"))
+        .agg(F.sum("n").alias("tp"))
+    )
+    tot = conf.agg(F.sum("n").alias("nn"))
+    agree = diag.agg(
+        F.coalesce(F.sum("tp"), F.lit(0)).cast("long").alias("stp")
+    )
+    pe = (
+        labels.join(F.broadcast(rowt), "label", "left")
+        .join(F.broadcast(colt), "label", "left")
+        .agg(
+            F.sum(
+                F.coalesce("row_n", F.lit(0))
+                * F.coalesce("col_n", F.lit(0))
+            )
+            .cast("long")
+            .alias("spe")
+        )
+    )
+    j = (
+        labels.join(F.broadcast(rowt), "label", "left")
+        .join(F.broadcast(colt), "label", "left")
+        .join(F.broadcast(diag), "label", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(pe))
+    )
+    tp = F.coalesce("tp", F.lit(0))
+    row_n = F.coalesce("row_n", F.lit(0))
+    col_n = F.coalesce("col_n", F.lit(0))
+    return j.select(
+        "label",
+        tp.cast("long").alias("tp"),
+        (col_n - tp).cast("long").alias("fp"),
+        (row_n - tp).cast("long").alias("fn"),
+        F.when(col_n > 0, F.expr(
+            "coalesce(tp, 0) * 1000000 div col_n"))
+        .otherwise(0).cast("long").alias("precision_ppm"),
+        F.when(row_n > 0, F.expr(
+            "coalesce(tp, 0) * 1000000 div row_n"))
+        .otherwise(0).cast("long").alias("recall_ppm"),
+        F.when(row_n + col_n > 0, F.expr(
+            "2 * coalesce(tp, 0) * 1000000"
+            " div (coalesce(row_n, 0) + coalesce(col_n, 0))"))
+        .otherwise(0).cast("long").alias("f1_ppm"),
+        F.expr("stp * 1000000 div nn").cast("long").alias("accuracy_ppm"),
+        F.when(
+            F.col("nn") * F.col("nn") == F.col("spe"), F.lit(0)
+        )
+        .otherwise(
+            F.floor(
+                (F.col("nn") * F.col("stp") - F.col("spe"))
+                * 1000000.0
+                / (F.col("nn") * F.col("nn") - F.col("spe"))
+            )
+        )
+        .cast("long")
+        .alias("kappa_ppm"),
+    ).orderBy("label")

@@ -335,3 +335,49 @@ def test_event_rate_spikes_matches_dict_reference(spark):
         n_spikes += r.is_spike
     # the synthetic stream is roughly uniform: spikes must be rare
     assert n_spikes < len(rows) * 0.05
+
+
+def test_langid_eval_matches_manual_confusion_metrics(spark):
+    from medical_ocr_pipeline_spark.queries import REGISTRY
+    from medical_ocr_pipeline_spark.queries.textstats import langid_eval
+
+    conf = {}
+    for r in REGISTRY["langid_ngram"].fn(spark, SF).collect():
+        conf[(r.true_lang, r.pred_lang)] = r.n
+    labels = sorted(
+        {t for t, _ in conf} | {p for _, p in conf}
+    )
+    row_n = {L: sum(n for (t, _), n in conf.items() if t == L)
+             for L in labels}
+    col_n = {L: sum(n for (_, p), n in conf.items() if p == L)
+             for L in labels}
+    tp = {L: conf.get((L, L), 0) for L in labels}
+    nn = sum(conf.values())
+    stp = sum(tp.values())
+    spe = sum(row_n[L] * col_n[L] for L in labels)
+    rows = {r.label: r for r in langid_eval(spark, SF).collect()}
+    assert set(rows) == set(labels)
+    for L in labels:
+        r = rows[L]
+        assert r.tp == tp[L]
+        assert r.fp == col_n[L] - tp[L]
+        assert r.fn == row_n[L] - tp[L]
+        assert r.precision_ppm == (
+            tp[L] * 1_000_000 // col_n[L] if col_n[L] else 0
+        )
+        assert r.recall_ppm == (
+            tp[L] * 1_000_000 // row_n[L] if row_n[L] else 0
+        )
+        assert r.f1_ppm == (
+            2 * tp[L] * 1_000_000 // (row_n[L] + col_n[L])
+            if row_n[L] + col_n[L]
+            else 0
+        )
+        assert r.accuracy_ppm == stp * 1_000_000 // nn
+        assert r.kappa_ppm == math.floor(
+            (nn * stp - spe) * 1e6 / (nn * nn - spe)
+        )
+    # kappa must be below raw accuracy (chance correction) on this
+    # imbalanced 5-class problem
+    any_row = rows[labels[0]]
+    assert any_row.kappa_ppm < any_row.accuracy_ppm
