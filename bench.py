@@ -51,6 +51,14 @@ HEADLINE = [
     # window dedup + reassembly); adds ~1-2 s to headline_queries_total
     # vs earlier r3 records — compare per-query across rounds
     "span_dedup_rewrite",
+    # round 4 (continuation): the new monitor/eval families'
+    # representatives — BM25 retrieval eval (postings plan + exact
+    # integer metrics, ~4 s: stage-count-bound, flat in corpus size)
+    # and the single-scan correlation matrix (~0.5 s); adds ~4-5 s to
+    # headline_queries_total vs the r3 set — compare per-query across
+    # rounds
+    "bm25_eval",
+    "corr_doc_stats",
 ]
 
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
