@@ -1917,86 +1917,59 @@ def langid_eval(spark, sf_dir):
     path; everything else is non-negative integer division.
 
     100 TB shape: ONE combinable confusion groupBy collapses the corpus
-    to |labels|^2 rows; every metric is arithmetic over re-aggregations
-    of that tiny frame (broadcast joins).  The N^2 kappa products live
-    on the 1-row totals frame — at 10^12 docs they exceed BIGINT and
-    the production variant casts to double first (docstring switch,
-    the chi2_lang_source precedent)."""
-    conf = (
+    to |labels|^2 rows — a bounded frame BY CONSTRUCTION (label
+    cardinality, not corpus size) — which is collected and finished
+    driver-side: metric arithmetic over <= |labels|^2 integers is the
+    textbook bounded-collect (the kmeans/bpe precedent), and doing it
+    distributed costs ~8 extra query stages of fixed AQE latency for
+    zero scalability gain.  The N^2 kappa products exceed BIGINT at
+    10^12 docs; Python integers are arbitrary-precision, so the
+    driver-side form is exact at any scale (the final kappa floor goes
+    through the same IEEE-double expression as the oracle)."""
+    conf_rows = (
         _langid_pred_frame(load(spark, sf_dir, "documents"))
         .groupBy("true_lang", "pred_lang")
         .agg(F.count("*").cast("long").alias("n"))
-        .persist()
+        .collect()  # bounded: |labels|^2 rows
     )
-    labels = (
-        conf.select(F.col("true_lang").alias("label"))
-        .union(conf.select(F.col("pred_lang").alias("label")))
-        .distinct()
+    conf = {(r.true_lang, r.pred_lang): r.n for r in conf_rows}
+    labels = sorted({t for t, _ in conf} | {p for _, p in conf})
+    row_n = {
+        L: sum(n for (t, _), n in conf.items() if t == L) for L in labels
+    }
+    col_n = {
+        L: sum(n for (_, p), n in conf.items() if p == L) for L in labels
+    }
+    tp = {L: conf.get((L, L), 0) for L in labels}
+    nn = sum(conf.values())
+    stp = sum(tp.values())
+    spe = sum(row_n[L] * col_n[L] for L in labels)
+    import math as _m
+
+    acc = stp * 1_000_000 // nn
+    kappa = (
+        0
+        if nn * nn == spe
+        else _m.floor((nn * stp - spe) * 1000000.0 / (nn * nn - spe))
     )
-    rowt = conf.groupBy(F.col("true_lang").alias("label")).agg(
-        F.sum("n").alias("row_n")
-    )
-    colt = conf.groupBy(F.col("pred_lang").alias("label")).agg(
-        F.sum("n").alias("col_n")
-    )
-    diag = (
-        conf.where(F.col("true_lang") == F.col("pred_lang"))
-        .groupBy(F.col("true_lang").alias("label"))
-        .agg(F.sum("n").alias("tp"))
-    )
-    tot = conf.agg(F.sum("n").alias("nn"))
-    agree = diag.agg(
-        F.coalesce(F.sum("tp"), F.lit(0)).cast("long").alias("stp")
-    )
-    pe = (
-        labels.join(F.broadcast(rowt), "label", "left")
-        .join(F.broadcast(colt), "label", "left")
-        .agg(
-            F.sum(
-                F.coalesce("row_n", F.lit(0))
-                * F.coalesce("col_n", F.lit(0))
-            )
-            .cast("long")
-            .alias("spe")
+    out = [
+        (
+            L,
+            tp[L],
+            col_n[L] - tp[L],
+            row_n[L] - tp[L],
+            tp[L] * 1_000_000 // col_n[L] if col_n[L] else 0,
+            tp[L] * 1_000_000 // row_n[L] if row_n[L] else 0,
+            2 * tp[L] * 1_000_000 // (row_n[L] + col_n[L])
+            if row_n[L] + col_n[L]
+            else 0,
+            acc,
+            kappa,
         )
-    )
-    j = (
-        labels.join(F.broadcast(rowt), "label", "left")
-        .join(F.broadcast(colt), "label", "left")
-        .join(F.broadcast(diag), "label", "left")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(agree))
-        .crossJoin(F.broadcast(pe))
-    )
-    tp = F.coalesce("tp", F.lit(0))
-    row_n = F.coalesce("row_n", F.lit(0))
-    col_n = F.coalesce("col_n", F.lit(0))
-    return j.select(
-        "label",
-        tp.cast("long").alias("tp"),
-        (col_n - tp).cast("long").alias("fp"),
-        (row_n - tp).cast("long").alias("fn"),
-        F.when(col_n > 0, F.expr(
-            "coalesce(tp, 0) * 1000000 div col_n"))
-        .otherwise(0).cast("long").alias("precision_ppm"),
-        F.when(row_n > 0, F.expr(
-            "coalesce(tp, 0) * 1000000 div row_n"))
-        .otherwise(0).cast("long").alias("recall_ppm"),
-        F.when(row_n + col_n > 0, F.expr(
-            "2 * coalesce(tp, 0) * 1000000"
-            " div (coalesce(row_n, 0) + coalesce(col_n, 0))"))
-        .otherwise(0).cast("long").alias("f1_ppm"),
-        F.expr("stp * 1000000 div nn").cast("long").alias("accuracy_ppm"),
-        F.when(
-            F.col("nn") * F.col("nn") == F.col("spe"), F.lit(0)
-        )
-        .otherwise(
-            F.floor(
-                (F.col("nn") * F.col("stp") - F.col("spe"))
-                * 1000000.0
-                / (F.col("nn") * F.col("nn") - F.col("spe"))
-            )
-        )
-        .cast("long")
-        .alias("kappa_ppm"),
+        for L in labels
+    ]
+    return spark.createDataFrame(
+        out,
+        "label string, tp long, fp long, fn long, precision_ppm long,"
+        " recall_ppm long, f1_ppm long, accuracy_ppm long, kappa_ppm long",
     ).orderBy("label")
