@@ -145,3 +145,94 @@ def test_vocab_is_initial_symbols_plus_minted_pieces(spark):
     # initial symbols: a, b never word-initial twice... a, ##a, ##b
     assert set(vocab) >= {"a", "##a", "##b"}
     assert len(vocab) == len({"a", "##a", "##b"}) + len(merges)
+
+
+def test_encode_word_fuzz_properties():
+    """Hypothesis fuzz of the pure-python MaxMatch encoder: pieces
+    reconstruct the word, every emitted piece is the longest vocab
+    match at its position, and unencodable inputs return None exactly
+    when some position has no match."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = "abc"
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet=alphabet, min_size=1, max_size=12),
+        st.sets(
+            st.text(alphabet=alphabet, min_size=1, max_size=4),
+            max_size=12,
+        ),
+        st.booleans(),
+    )
+    def run(word, extra, full_char_vocab):
+        vocab = set()
+        for p in extra:
+            vocab.add(p)
+            vocab.add("##" + p)
+        if full_char_vocab:
+            for c in alphabet:
+                vocab.add(c)
+                vocab.add("##" + c)
+        enc = encode_word_wp(word, vocab)
+        if full_char_vocab:
+            assert enc is not None
+        if enc is None:
+            # some position must have no matching piece under greedy
+            # consumption — re-walk to find it
+            pos = 0
+            stuck = False
+            while pos < len(word):
+                best = None
+                for end in range(len(word), pos, -1):
+                    cand = word[pos:end]
+                    if pos > 0:
+                        cand = "##" + cand
+                    if cand in vocab:
+                        best = end
+                        break
+                if best is None:
+                    stuck = True
+                    break
+                pos = best
+            assert stuck
+            return
+        # reconstruction
+        assert "".join(
+            p[2:] if p.startswith("##") else p for p in enc
+        ) == word
+        # positional correctness + greedy-longest at every step
+        pos = 0
+        for p in enc:
+            raw = p[2:] if p.startswith("##") else p
+            assert (p.startswith("##")) == (pos > 0)
+            assert word[pos: pos + len(raw)] == raw
+            for longer_end in range(len(word), pos + len(raw), -1):
+                cand = word[pos:longer_end]
+                if pos > 0:
+                    cand = "##" + cand
+                assert cand not in vocab  # greedy would have taken it
+            pos += len(raw)
+        assert pos == len(word)
+
+    run()
+
+
+def test_trainer_matches_reference_on_seeded_random_corpora(spark):
+    # three deterministic pseudo-random corpora over a small alphabet
+    # (heavy repetition so merges are meaningful), spark trainer vs the
+    # sequential reference
+    x = 41
+    for trial in range(3):
+        words = []
+        for _ in range(40):
+            x = (x * 1103515245 + 12345) % (2**31)
+            n = 2 + x % 5
+            w = ""
+            for _ in range(n):
+                x = (x * 1103515245 + 12345) % (2**31)
+                w += "abcd"[x % 4]
+            words.append(w)
+        text = " ".join(words)
+        got = wp_train(_docs(spark, [text]), n_merges=6)
+        assert got == _py_train([text], 6), (trial, text)
