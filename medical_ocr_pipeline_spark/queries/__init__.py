@@ -57,6 +57,8 @@ _PROMOTE_TO_WINDOW = [
     "source_diversity",
     "oov_rate",
     "event_rate_spikes",
+    "event_burstiness",
+    "token_head_coverage",
     "langid_eval",
     "sketch_hll_distinct",
     "sketch_cms_heavy",

@@ -410,3 +410,84 @@ def event_rate_spikes(spark, sf_dir):
             )
         ).alias("is_spike"),
     ).orderBy("event_type", "hr")
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor) per event type
+#
+# The dispersion summary next to event_rate_spikes' point alerts: is a
+# stream Poisson-ish (Fano ~ 1), regular (< 1), or bursty (> 1)?
+# Computed over the hourly count distribution INCLUDING empty hours
+# (the shared global hour span), as a pure rational in the bucket
+# sums: Fano = var/mean = (N * sum(c^2) - S^2) / (N * S) in floor-ppm.
+
+
+@register(
+    "event_burstiness",
+    sql="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, hr
+    ),
+    span AS (
+      SELECT MAX(hr) - MIN(hr) + 1 AS nh FROM b
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(cnt) AS BIGINT) AS tot,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS ssq
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, tot AS n_events, n_active,
+           CAST(span.nh AS BIGINT) AS n_hours,
+           CAST(tot * 1000000 // span.nh AS BIGINT) AS mean_uph_ppm,
+           CAST((span.nh * ssq - tot * tot) * 1000000
+                // (span.nh * tot) AS BIGINT) AS fano_ppm
+    FROM s, span ORDER BY event_type
+    """,
+)
+def event_burstiness(spark, sf_dir):
+    """Fano factor (variance-to-mean ratio) of each event type's hourly
+    count distribution over the stream's global hour span — empty hours
+    count as zero, which the moment algebra absorbs without
+    materializing them: with N span hours, S total events and sum(c^2)
+    over active hours only, var/mean = (N*sum(c^2) - S^2) / (N*S),
+    exact floor-ppm (population variance; the integer products hold to
+    ~3e9 events per type, past which the production variant goes
+    through doubles).  Fano ~1e6 reads Poisson, >1e6 bursty.
+
+    100 TB shape: one combinable (type, hour) count, one combinable
+    per-type re-aggregation, one 1-row span broadcast.  Nothing ever
+    touches the raw stream twice."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+    )
+    b = e.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    span = b.agg(
+        (F.max("hr") - F.min("hr") + 1).alias("nh")
+    )
+    s = b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum("cnt").alias("tot"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ssq"),
+    )
+    return (
+        s.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.col("tot").alias("n_events"),
+            "n_active",
+            F.col("nh").cast("long").alias("n_hours"),
+            F.expr("tot * 1000000 div nh").cast("long").alias("mean_uph_ppm"),
+            F.expr("(nh * ssq - tot * tot) * 1000000 div (nh * tot)")
+            .cast("long")
+            .alias("fano_ppm"),
+        )
+        .orderBy("event_type")
+    )

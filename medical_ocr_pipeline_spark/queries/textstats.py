@@ -1973,3 +1973,83 @@ def langid_eval(spark, sf_dir):
         "label string, tp long, fp long, fn long, precision_ppm long,"
         " recall_ppm long, f1_ppm long, accuracy_ppm long, kappa_ppm long",
     ).orderBy("label")
+
+
+# --- head-coverage curve of the token distribution ---------------------------
+# "What share of all token occurrences do the top-k words cover?" — the
+# Zipf head summary a tokenizer/stopword decision reads.  Exact: counts
+# are BIGINT, the cumulative share is an integer division, and the
+# running sum lives on the top-k rows only (the TakeOrdered output),
+# never the full vocabulary.
+
+HEAD_COVERAGE_K = 20
+
+
+@register(
+    "token_head_coverage",
+    sql=f"""
+    WITH w AS (
+      SELECT unnest(list_filter(
+        string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+        x -> x <> '')) AS word
+      FROM documents
+    ),
+    c AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word
+    ),
+    t AS (SELECT SUM(cnt) AS tot FROM c),
+    top AS (
+      SELECT word, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rk
+      FROM c ORDER BY cnt DESC, word LIMIT {HEAD_COVERAGE_K}
+    )
+    SELECT rk, word, cnt,
+           CAST(SUM(cnt) OVER (ORDER BY rk) AS BIGINT) AS cum_cnt,
+           CAST(SUM(cnt) OVER (ORDER BY rk) * 1000000 // t.tot AS BIGINT)
+             AS cum_share_ppm
+    FROM top, t ORDER BY rk
+    """,
+)
+def token_head_coverage(spark, sf_dir):
+    """Top-20 words by corpus frequency with their cumulative
+    occurrence share in exact integer-division ppm — the Zipf-head
+    table behind stopword lists and tokenizer vocab budgeting.
+
+    100 TB shape: one combinable word count, a 1-row total broadcast,
+    the global top-k via TakeOrdered (per-partition top-k + driver
+    merge, no global sort), and the cumulative window runs over the
+    K-row result only."""
+    c = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(words_expr()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    t = c.agg(F.sum("cnt").alias("tot"))
+    top = (
+        c.orderBy(F.desc("cnt"), "word")
+        .limit(HEAD_COVERAGE_K)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), "word")
+            ),
+        )
+    )
+    cum_w = (
+        Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        top.crossJoin(F.broadcast(t))
+        .withColumn("cum_cnt", F.sum("cnt").over(cum_w).cast("long"))
+        .select(
+            F.col("rk").cast("long").alias("rk"),
+            "word",
+            "cnt",
+            "cum_cnt",
+            F.expr("cum_cnt * 1000000 div tot")
+            .cast("long")
+            .alias("cum_share_ppm"),
+        )
+        .orderBy("rk")
+    )

@@ -381,3 +381,62 @@ def test_langid_eval_matches_manual_confusion_metrics(spark):
     # imbalanced 5-class problem
     any_row = rows[labels[0]]
     assert any_row.kappa_ppm < any_row.accuracy_ppm
+
+
+def test_event_burstiness_matches_moment_formula(spark):
+    from medical_ocr_pipeline_spark.queries.temporal import (
+        event_burstiness,
+    )
+
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT event_type, CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT)"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    con.close()
+    buckets = {}
+    for et, hr in evs:
+        buckets[(et, hr)] = buckets.get((et, hr), 0) + 1
+    hrs = [h for _, h in buckets]
+    nh = max(hrs) - min(hrs) + 1
+    rows = {r.event_type: r for r in event_burstiness(spark, SF).collect()}
+    for et in {t for t, _ in buckets}:
+        cs = [c for (t, _), c in buckets.items() if t == et]
+        tot, ssq = sum(cs), sum(c * c for c in cs)
+        r = rows[et]
+        assert r.n_events == tot
+        assert r.n_active == len(cs)
+        assert r.n_hours == nh
+        assert r.mean_uph_ppm == tot * 1_000_000 // nh
+        assert r.fano_ppm == (nh * ssq - tot * tot) * 1_000_000 // (
+            nh * tot
+        )
+        # moment identity sanity: full-bucket population variance
+        full = cs + [0] * (nh - len(cs))
+        mean = tot / nh
+        var = sum((c - mean) ** 2 for c in full) / nh
+        assert abs(r.fano_ppm / 1e6 - var / mean) < 1e-3
+
+
+def test_token_head_coverage_matches_dict_reference(spark, docs):
+    from medical_ocr_pipeline_spark.queries.textstats import (
+        HEAD_COVERAGE_K,
+        token_head_coverage,
+    )
+
+    counts = {}
+    for _, t, _, _, _ in docs:
+        for w in _words(t):
+            counts[w] = counts.get(w, 0) + 1
+    tot = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = top[:HEAD_COVERAGE_K]
+    rows = token_head_coverage(spark, SF).collect()
+    assert [(r.word, r.cnt) for r in rows] == top
+    cum = 0
+    for r, (w, c) in zip(rows, top):
+        cum += c
+        assert r.cum_cnt == cum
+        assert r.cum_share_ppm == cum * 1_000_000 // tot
+    # the head must cover a meaningful share but not everything
+    assert 0 < rows[-1].cum_share_ppm < 1_000_000
