@@ -59,6 +59,8 @@ _PROMOTE_TO_WINDOW = [
     "event_rate_spikes",
     "event_burstiness",
     "token_head_coverage",
+    "rolling_active_users",
+    "host_neighbor_jaccard",
     "langid_eval",
     "sketch_hll_distinct",
     "sketch_cms_heavy",

@@ -491,3 +491,83 @@ def event_burstiness(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (the WAU curve)
+#
+# The canonical product-analytics rolling-distinct: per day, how many
+# distinct users were active in the trailing 7-day window.  Exact and
+# scalable WITHOUT windowed distinct state: dedup to (user, day) once
+# (combinable), then each user-day VOTES for the <= 7 calendar days
+# whose trailing window contains it (a bounded explode), and the rest
+# is one combinable per-day distinct count.  The explode factor is the
+# window length — fixed — never the data.
+
+WAU_WINDOW_D = 7
+
+
+@register(
+    "rolling_active_users",
+    sql=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+      FROM events
+    ),
+    span AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud
+    ),
+    votes AS (
+      SELECT ud.user_id, ud.day + o.o AS day
+      FROM ud, range({WAU_WINDOW_D}) o(o), span
+      WHERE ud.day + o.o <= span.d1
+    )
+    SELECT day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+           CAST(COUNT(*) AS BIGINT) AS active_user_days
+    FROM votes GROUP BY day ORDER BY day
+    """,
+)
+def rolling_active_users(spark, sf_dir):
+    """Trailing-{7}-day distinct active users per day (the WAU curve),
+    plus the window's total user-day count.  Shape: ONE (user, day)
+    dedup (combinable), a fixed <= {7}x vote explode so each user-day
+    lands in every trailing window that contains it, one combinable
+    per-day distinct count — no per-day re-scan, no windowed distinct
+    state, no self-join of the raw stream.  Days past the observed
+    maximum are clipped so the curve ends with the data (same predicate
+    in both engines).
+
+    100 TB shape: the explode factor is the window length (a constant),
+    and both aggregations are combinable; a user active every day
+    contributes at most 7 votes per day regardless of event volume,
+    because the dedup runs FIRST."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    ud = e.distinct()
+    span = ud.agg(F.max("day").alias("d1"))
+    votes = (
+        ud.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(
+                        F.col("day") + (WAU_WINDOW_D - 1), F.col("d1")
+                    ),
+                )
+            ).alias("day"),
+        )
+    )
+    return (
+        votes.groupBy("day")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("wau"),
+            F.count("*").cast("long").alias("active_user_days"),
+        )
+        .orderBy("day")
+    )

@@ -1254,3 +1254,121 @@ def host_lpa(spark, sf_dir):
         .select(F.col("vertex").alias("host"), F.col("label").alias("community"))
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-neighborhood Jaccard similarity (structural near-duplicate hosts)
+#
+# Two mirror hosts cite (and are cited by) the SAME set of hosts even
+# when their names share nothing — neighborhood Jaccard is the
+# structural-similarity signal that catches them, the graph-side
+# complement of content MinHash.  Exact rational in the degree counts:
+# jacc(u, v) = |N(u) & N(v)| / (deg(u) + deg(v) - |N(u) & N(v)|).
+
+
+@register(
+    "host_neighbor_jaccard",
+    sql="""
+    WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+    nct AS (SELECT COUNT(*) AS n FROM docs),
+    raw AS MATERIALIZED (
+      SELECT a.source AS src, b.source AS dst
+      FROM docs a, nct, docs b
+      WHERE (b.doc_id = (a.doc_id * 7 + 1) % nct.n
+             OR b.doc_id = (a.doc_id * 13 + 5) % nct.n)
+        AND a.source <> b.source
+    ),
+    adj AS MATERIALIZED (
+      SELECT DISTINCT src AS v, dst AS w FROM (
+        SELECT src, dst FROM raw
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM raw
+      )
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    common AS (
+      SELECT a.v AS u, b.v AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v
+      GROUP BY a.v, b.v
+    )
+    SELECT common.u, common.v, common.c AS n_common,
+           du.d + dv.d - common.c AS n_union,
+           CAST(common.c * 1000000 // (du.d + dv.d - common.c)
+             AS BIGINT) AS jaccard_ppm
+    FROM common
+    JOIN deg du ON du.v = common.u
+    JOIN deg dv ON dv.v = common.v
+    ORDER BY jaccard_ppm DESC, common.u, common.v
+    """,
+)
+def host_neighbor_jaccard(spark, sf_dir):
+    """Pairwise neighborhood Jaccard over a derived undirected host
+    graph — the structural mirror-host signal (two hosts embedded in
+    the same citation neighborhood) complementing content-hash dedup.
+    This query derives a RICHER graph than host_pagerank's single
+    citation rule (two rules: 7i+1 and 13i+5 mod n): the single-rule
+    graph is a near-permutation whose neighborhoods are degenerate
+    (every common-neighbor pair is identical), which would make the
+    similarity vacuous.
+    Exact integer-division ppm; pairs enumerated through the shared-
+    neighbor equi-join (u < v dedup), so a pair with zero common
+    neighbors is never materialized.
+
+    100 TB shape: the join is on the neighbor key — each neighbor w
+    contributes deg(w)^2/2 pairs, so hub hosts dominate cost exactly
+    like the shingle self-join in dedup_ngram_jaccard, and the same
+    controls apply (degree cap on hubs = freq_cap; AQE skew split).
+    On the host graph (|hosts| ~ 10^5-10^6 in a real crawl, degrees
+    power-law) this is the standard SimRank-lite first pass."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    n = docs.count()
+    a = docs.alias("a")
+    b = docs.alias("b")
+    raw = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == (F.col("a.doc_id") * 7 + 1) % n)
+            | (F.col("b.doc_id") == (F.col("a.doc_id") * 13 + 5) % n),
+        )
+        .where(F.col("a.source") != F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src"), F.col("b.source").alias("dst")
+        )
+    )
+    adj = (
+        raw.select("src", "dst")
+        .union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        .persist()
+    )
+    deg = adj.groupBy("v").agg(F.count("*").alias("d"))
+    aa = adj.alias("aa")
+    bb = adj.alias("bb")
+    common = (
+        aa.join(
+            bb,
+            (F.col("aa.w") == F.col("bb.w"))
+            & (F.col("aa.v") < F.col("bb.v")),
+        )
+        .groupBy(F.col("aa.v").alias("u"), F.col("bb.v").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("du"))
+    dv = deg.select("v", F.col("d").alias("dv"))
+    return (
+        common.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            F.col("c").alias("n_common"),
+            (F.col("du") + F.col("dv") - F.col("c"))
+            .cast("long")
+            .alias("n_union"),
+            F.expr("c * 1000000 div (du + dv - c)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "u", "v")
+    )

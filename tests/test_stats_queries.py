@@ -440,3 +440,72 @@ def test_token_head_coverage_matches_dict_reference(spark, docs):
         assert r.cum_share_ppm == cum * 1_000_000 // tot
     # the head must cover a meaningful share but not everything
     assert 0 < rows[-1].cum_share_ppm < 1_000_000
+
+
+def test_rolling_active_users_matches_dict_reference(spark):
+    from medical_ocr_pipeline_spark.queries.temporal import (
+        WAU_WINDOW_D,
+        rolling_active_users,
+    )
+
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT user_id, CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    con.close()
+    ud = {(u, d) for u, d in evs}
+    d1 = max(d for _, d in ud)
+    rows = {r.day: r for r in rolling_active_users(spark, SF).collect()}
+    days = sorted({d for _, d in ud})
+    # every day from first activity to d1 that has >= 1 in-window
+    # user-day must appear
+    for day in range(days[0], d1 + 1):
+        window = {
+            (u, d) for u, d in ud if day - WAU_WINDOW_D < d <= day
+        }
+        if not window:
+            assert day not in rows
+            continue
+        assert rows[day].wau == len({u for u, _ in window})
+        assert rows[day].active_user_days == len(window)
+    # WAU must be >= the single-day distinct count of its last day
+    for day in days:
+        dau = len({u for u, d in ud if d == day})
+        assert rows[day].wau >= dau
+
+
+def test_host_neighbor_jaccard_matches_set_reference(spark):
+    from medical_ocr_pipeline_spark.queries.webcur import (
+        host_neighbor_jaccard,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source FROM"
+        f" read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    n = len(docs)
+    src = dict(docs)
+    nbr = {}
+    for a, s in docs:
+        for bid in ((a * 7 + 1) % n, (a * 13 + 5) % n):
+            if bid in src and src[bid] != s:
+                nbr.setdefault(s, set()).add(src[bid])
+                nbr.setdefault(src[bid], set()).add(s)
+    rows = host_neighbor_jaccard(spark, SF).collect()
+    got = {(r.u, r.v): r for r in rows}
+    hosts = sorted(nbr)
+    expected = {}
+    for i, u in enumerate(hosts):
+        for v in hosts[i + 1:]:
+            c = len(nbr[u] & nbr[v])
+            if c:
+                un = len(nbr[u]) + len(nbr[v]) - c
+                expected[(u, v)] = (c, un, c * 1_000_000 // un)
+    assert set(got) == set(expected)
+    for k, (c, un, j) in expected.items():
+        r = got[k]
+        assert (r.n_common, r.n_union, r.jaccard_ppm) == (c, un, j)
+        assert len(nbr[k[0]] | nbr[k[1]]) == un
