@@ -61,6 +61,8 @@ _PROMOTE_TO_WINDOW = [
     "token_head_coverage",
     "rolling_active_users",
     "host_neighbor_jaccard",
+    "host_assortativity",
+    "split_length_quantiles",
     "langid_eval",
     "sketch_hll_distinct",
     "sketch_cms_heavy",

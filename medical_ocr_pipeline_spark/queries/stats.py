@@ -720,3 +720,82 @@ def oov_frame(docs):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-split length quantiles (distribution drift on the quantile
+# scale — the companion to split_token_drift's token-level chi-square)
+
+_SPLIT_QS = (25, 50, 75, 90, 99)
+
+
+@register(
+    "split_length_quantiles",
+    sql=f"""
+    WITH d AS (
+      SELECT {_split_duck()} AS split, CAST(n_chars AS BIGINT) AS x, doc_id
+      FROM documents
+    ),
+    r AS (
+      SELECT split, x,
+             ROW_NUMBER() OVER (PARTITION BY split
+                                ORDER BY x, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY split) AS n
+      FROM d
+    )
+    SELECT split, CAST(MAX(n) AS BIGINT) AS n_docs,
+           {", ".join(
+             f"CAST(MIN(CASE WHEN rk * 100 >= {q} * n THEN x END)"
+             f" AS BIGINT) AS p{q}" for q in _SPLIT_QS)}
+    FROM r GROUP BY split ORDER BY split
+    """,
+)
+def split_length_quantiles(spark, sf_dir):
+    """Exact rank-selected length quantiles (p25/p50/p75/p90/p99) per
+    train/val/test split — the quantile-scale drift check next to
+    split_token_drift's token-level chi-square: a split boundary that
+    cut a long-document domain in half shows up here first.  The
+    quantile is the nearest-rank definition (min x with rank*100 >=
+    q*n), integer-exact in both engines (the length_quantile_sketch
+    precedent).
+
+    100 TB shape: a per-SPLIT window (three fixed partitions).  This is
+    the one shape in the stats family where a per-group window is
+    acceptable only because the gini-style two-phase rank generalizes
+    identically if splits are huge — which they are at 100 TB, so the
+    production variant swaps in _ranked_by_lang's pattern keyed on
+    split; the query keeps the window form to stay byte-comparable to
+    the oracle's definition."""
+    from medical_ocr_pipeline_spark.queries.training import split_expr
+
+    d = load(spark, sf_dir, "documents").select(
+        split_expr().alias("split"),
+        F.col("n_chars").cast("long").alias("x"),
+        "doc_id",
+    )
+    wr = Window.partitionBy("split").orderBy("x", "doc_id")
+    wn = Window.partitionBy("split")
+    r = d.select(
+        "split",
+        "x",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        r.groupBy("split")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("rk") * 100 >= F.lit(q) * F.col("n"),
+                        F.col("x"),
+                    )
+                )
+                .cast("long")
+                .alias(f"p{q}")
+                for q in _SPLIT_QS
+            ],
+        )
+        .orderBy("split")
+    )

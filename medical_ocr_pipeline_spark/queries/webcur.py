@@ -1372,3 +1372,114 @@ def host_neighbor_jaccard(spark, sf_dir):
         )
         .orderBy(F.desc("jaccard_ppm"), "u", "v")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the host graph
+#
+# Newman's r: the Pearson correlation of (deg(src), deg(dst)) over the
+# directed edge list — do hubs cite hubs (r > 0, mirror farms /
+# link rings) or leaves (r < 0, hub-and-spoke)?  Pure moment algebra
+# over the edge list (the ols_chars_vs_words discipline): five BIGINT
+# sums, one double sqrt on identical operands, floor-ppm.
+
+
+@register(
+    "host_assortativity",
+    sql="""
+    WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+    nct AS (SELECT COUNT(*) AS n FROM docs),
+    raw AS MATERIALIZED (
+      SELECT a.source AS src, b.source AS dst
+      FROM docs a, nct, docs b
+      WHERE (b.doc_id = (a.doc_id * 7 + 1) % nct.n
+             OR b.doc_id = (a.doc_id * 13 + 5) % nct.n)
+        AND a.source <> b.source
+    ),
+    edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+    outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+             FROM edges GROUP BY src),
+    ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY dst),
+    j AS (
+      SELECT outd.d AS x, ind.d AS y
+      FROM edges JOIN outd ON outd.src = edges.src
+      JOIN ind ON ind.dst = edges.dst
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM j
+    )
+    SELECT n AS n_edges, sx AS sum_outdeg, sy AS sum_indeg,
+           CAST(FLOOR((n * sxy - sx * sy) * 1000000.0
+                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)))
+             AS BIGINT) AS assortativity_ppm
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def host_assortativity(spark, sf_dir):
+    """Directed degree assortativity (Newman 2002) of the two-rule
+    derived host graph: Pearson r of (out-degree(src), in-degree(dst))
+    over the distinct edge list, exact floor-ppm via five combinable
+    BIGINT moment sums and one identical-operand double sqrt — the
+    ols_chars_vs_words pattern on graph structure.  Positive reads
+    hub-cites-hub (link rings); negative reads hub-and-spoke.
+
+    100 TB shape: two combinable degree counts, one edge-keyed join
+    back (src then dst — broadcastable: the degree tables are one row
+    per HOST, not per edge), one combinable global moment aggregate."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    n = docs.count()
+    a = docs.alias("a")
+    b = docs.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == (F.col("a.doc_id") * 7 + 1) % n)
+            | (F.col("b.doc_id") == (F.col("a.doc_id") * 13 + 5) % n),
+        )
+        .where(F.col("a.source") != F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src"), F.col("b.source").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    outd = edges.groupBy("src").agg(F.count("*").alias("xd"))
+    ind = edges.groupBy("dst").agg(F.count("*").alias("yd"))
+    j = (
+        edges.join(F.broadcast(outd), "src")
+        .join(F.broadcast(ind), "dst")
+        .select(F.col("xd").alias("x"), F.col("yd").alias("y"))
+    )
+    s = j.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.where((vx > 0) & (vy > 0))
+        .select(
+            F.col("n").alias("n_edges"),
+            F.col("sx").alias("sum_outdeg"),
+            F.col("sy").alias("sum_indeg"),
+            F.floor(
+                cov * 1000000.0
+                / F.sqrt(vx.cast("double") * vy.cast("double"))
+            )
+            .cast("long")
+            .alias("assortativity_ppm"),
+        )
+    )

@@ -509,3 +509,75 @@ def test_host_neighbor_jaccard_matches_set_reference(spark):
         r = got[k]
         assert (r.n_common, r.n_union, r.jaccard_ppm) == (c, un, j)
         assert len(nbr[k[0]] | nbr[k[1]]) == un
+
+
+def test_host_assortativity_matches_moment_reference(spark, docs):
+    from medical_ocr_pipeline_spark.queries.webcur import (
+        host_assortativity,
+    )
+
+    n = len(docs)
+    src = {d: s for d, _, _, s, _ in docs}
+    edges = set()
+    for a in src:
+        for bid in ((a * 7 + 1) % n, (a * 13 + 5) % n):
+            if bid in src and src[bid] != src[a]:
+                edges.add((src[a], src[bid]))
+    outd = {}
+    ind = {}
+    for u, v in edges:
+        outd[u] = outd.get(u, 0) + 1
+        ind[v] = ind.get(v, 0) + 1
+    xs = [outd[u] for u, v in sorted(edges)]
+    ys = [ind[v] for u, v in sorted(edges)]
+    ne = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    vx, vy = ne * sxx - sx * sx, ne * syy - sy * sy
+    cov = ne * sxy - sx * sy
+    rows = host_assortativity(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_edges == ne
+    assert r.sum_outdeg == sx
+    assert r.sum_indeg == sy
+    assert r.assortativity_ppm == math.floor(
+        cov * 1e6 / math.sqrt(float(vx) * float(vy))
+    )
+    assert -1_000_000 <= r.assortativity_ppm <= 1_000_000
+
+
+def test_split_length_quantiles_matches_nearest_rank(spark, docs):
+    from medical_ocr_pipeline_spark.queries.stats import (
+        _SPLIT_QS,
+        split_length_quantiles,
+    )
+    from medical_ocr_pipeline_spark.queries.training import (
+        TRAIN_PPM,
+        VAL_PPM,
+    )
+
+    by_split = {}
+    for doc_id, _, _, _, nc in docs:
+        hv = _md5_int48(f"split{doc_id}") % 1_000_000
+        s = "train" if hv < TRAIN_PPM else "val" if hv < VAL_PPM else "test"
+        by_split.setdefault(s, []).append((nc, doc_id))
+    rows = {r.split: r for r in split_length_quantiles(spark, SF).collect()}
+    assert set(rows) == {s for s, v in by_split.items() if v}
+    for s, xs in by_split.items():
+        if not xs:
+            continue
+        xs.sort()
+        n = len(xs)
+        r = rows[s]
+        assert r.n_docs == n
+        for q in _SPLIT_QS:
+            want = next(
+                x for i, (x, _) in enumerate(xs, 1) if i * 100 >= q * n
+            )
+            assert getattr(r, f"p{q}") == want
+        # monotone quantiles
+        vals = [getattr(r, f"p{q}") for q in _SPLIT_QS]
+        assert vals == sorted(vals)
