@@ -63,6 +63,7 @@ _PROMOTE_TO_WINDOW = [
     "host_neighbor_jaccard",
     "host_assortativity",
     "split_length_quantiles",
+    "split_centroid_drift",
     "langid_eval",
     "sketch_hll_distinct",
     "sketch_cms_heavy",

@@ -799,3 +799,161 @@ def split_length_quantiles(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift between deterministic train/test splits
+#
+# The representation-space drift monitor: per label, the L2 distance
+# between the train-split and test-split centroids.  Exactness follows
+# the k-means oracle discipline — embeddings quantize to floor(v*1e8)
+# BIGINT, per-dim sums are exact integers, the per-dim cross-product
+# (st*n_test - ss*n_train) is BIGINT-exact, squares go through
+# identical doubles, and the 64 per-dim terms fold IN DIM ORDER in
+# both engines (double summation order pinned), so the floor-e6
+# distance hash-matches.
+
+_EDRIFT_H_SPARK = MD5_INT48_SPARK.format(
+    x="concat('esplit', cast(vec_id as string))"
+)
+_EDRIFT_H_DUCK = MD5_INT48_DUCK.format(
+    x="'esplit' || CAST(vec_id AS VARCHAR)"
+)
+_EDRIFT_TRAIN_PPM = 800_000
+_EDIM = 64
+
+
+@register(
+    "split_centroid_drift",
+    sql=f"""
+    WITH e AS (
+      SELECT label,
+             CASE WHEN {_EDRIFT_H_DUCK} % 1000000 < {_EDRIFT_TRAIN_PPM}
+               THEN 'train' ELSE 'test' END AS split,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100000000)
+                    AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    n AS (
+      SELECT label,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_test
+      FROM e GROUP BY label
+    ),
+    d AS (
+      SELECT label, split, i AS dim, CAST(SUM(q[i]) AS BIGINT) AS s
+      FROM e, range(1, {_EDIM + 1}) r(i)
+      GROUP BY label, split, i
+    ),
+    p AS (
+      SELECT tr.label, tr.dim, tr.s AS st, te.s AS ss
+      FROM (SELECT * FROM d WHERE split = 'train') tr
+      JOIN (SELECT * FROM d WHERE split = 'test') te
+        ON te.label = tr.label AND te.dim = tr.dim
+    ),
+    t AS (
+      SELECT p.label,
+             list(CAST(p.st * n.n_test - p.ss * n.n_train AS DOUBLE)
+                  * CAST(p.st * n.n_test - p.ss * n.n_train AS DOUBLE)
+                  ORDER BY p.dim) AS terms
+      FROM p JOIN n ON n.label = p.label
+      GROUP BY p.label
+    )
+    SELECT n.label, n.n_train, n.n_test,
+           CAST(FLOOR(sqrt(list_aggregate(t.terms, 'sum')) * 1000000.0
+                / (CAST(n.n_train AS DOUBLE) * n.n_test * 100000000))
+             AS BIGINT) AS dist_e6
+    FROM n JOIN t ON t.label = n.label
+    WHERE n.n_train > 0 AND n.n_test > 0
+    ORDER BY n.label
+    """,
+)
+def split_centroid_drift(spark, sf_dir):
+    """Per-label L2 distance between train- and test-split embedding
+    centroids (deterministic 80/20 vec_id hash split, salt-independent
+    of every other hash decision).  The centroid difference per dim is
+    the exact BIGINT cross-product (st * n_test - ss * n_train) over
+    floor(v*1e8) quantized sums; squares and the final sqrt go through
+    identical doubles with the 64 terms folded in dim order in both
+    engines.  Labels missing either split are excluded by the same
+    predicate in both engines.
+
+    100 TB shape: one scan -> per-(label, split, dim) combinable BIGINT
+    sums (|labels| x 2 x 64 rows however many vectors), a tiny pivot
+    join, and a per-label ordered fold over 64 terms.  This is how
+    embedding-drift monitors run over billions of vectors without a
+    second pass or any vector shuffle."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.when(
+            F.expr(_EDRIFT_H_SPARK) % 1_000_000 < _EDRIFT_TRAIN_PPM,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            " * 100000000) as bigint))"
+        ).alias("q"),
+    )
+    nsp = e.groupBy("label").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    d = (
+        e.select(
+            "label", "split", F.posexplode("q").alias("dim0", "v")
+        )
+        .groupBy("label", "split", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.sum("v").alias("s"))
+    )
+    tr = d.where(F.col("split") == "train").select(
+        "label", "dim", F.col("s").alias("st")
+    )
+    te = d.where(F.col("split") == "test").select(
+        "label", "dim", F.col("s").alias("ss")
+    )
+    cross = F.col("st") * F.col("n_test") - F.col("ss") * F.col("n_train")
+    p = (
+        tr.join(te, ["label", "dim"])
+        .join(F.broadcast(nsp), "label")
+        .select(
+            "label",
+            "dim",
+            (cross.cast("double") * cross.cast("double")).alias("term"),
+        )
+    )
+    t = p.groupBy("label").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(dim, term))),"
+            " cast(0.0 as double), (acc, x) -> acc + x.term)"
+        ).alias("ssum")
+    )
+    return (
+        nsp.join(t, "label")
+        .where((F.col("n_train") > 0) & (F.col("n_test") > 0))
+        .select(
+            "label",
+            "n_train",
+            "n_test",
+            F.floor(
+                F.sqrt(F.col("ssum"))
+                * 1000000.0
+                / (
+                    F.col("n_train").cast("double")
+                    * F.col("n_test")
+                    * 100000000
+                )
+            )
+            .cast("long")
+            .alias("dist_e6"),
+        )
+        .orderBy("label")
+    )

@@ -581,3 +581,48 @@ def test_split_length_quantiles_matches_nearest_rank(spark, docs):
         # monotone quantiles
         vals = [getattr(r, f"p{q}") for q in _SPLIT_QS]
         assert vals == sorted(vals)
+
+
+def test_split_centroid_drift_matches_numpy_reference(spark):
+    import numpy as np
+
+    from medical_ocr_pipeline_spark.queries.stats import (
+        _EDRIFT_TRAIN_PPM,
+        split_centroid_drift,
+    )
+
+    con = duckdb.connect()
+    vecs = con.execute(
+        f"SELECT vec_id, label, embedding FROM"
+        f" read_parquet('{SF}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    by = {}
+    for vec_id, label, emb in vecs:
+        hv = _md5_int48(f"esplit{vec_id}") % 1_000_000
+        split = "train" if hv < _EDRIFT_TRAIN_PPM else "test"
+        q = [math.floor(float(x) * 1e8) for x in emb]
+        by.setdefault(label, {"train": [], "test": []})[split].append(q)
+    rows = {r.label: r for r in split_centroid_drift(spark, SF).collect()}
+    for label, d in by.items():
+        if not d["train"] or not d["test"]:
+            assert label not in rows
+            continue
+        r = rows[label]
+        nt, ns = len(d["train"]), len(d["test"])
+        assert (r.n_train, r.n_test) == (nt, ns)
+        st = [sum(v[i] for v in d["train"]) for i in range(64)]
+        ss = [sum(v[i] for v in d["test"]) for i in range(64)]
+        terms = [float(st[i] * ns - ss[i] * nt) ** 2 for i in range(64)]
+        acc = 0.0
+        for t in terms:  # dim-order fold, matching both engines
+            acc += t
+        want = math.floor(
+            math.sqrt(acc) * 1e6 / (float(nt) * ns * 1e8)
+        )
+        assert r.dist_e6 == want
+        # sanity: the quantized distance approximates the float one
+        ctr_t = np.mean(np.array(d["train"], dtype=float), axis=0)
+        ctr_s = np.mean(np.array(d["test"], dtype=float), axis=0)
+        approx = np.linalg.norm(ctr_t - ctr_s) / 1e8
+        assert abs(r.dist_e6 / 1e6 - approx) < 1e-3
