@@ -53,6 +53,10 @@ from medical_ocr_pipeline_spark.queries.stats import (
     gini_frame,
     oov_frame,
     sample_frame,
+    split_quantiles_frame,
+)
+from medical_ocr_pipeline_spark.queries.textstats import (
+    head_coverage_frame,
 )
 
 STAGES = (
@@ -62,6 +66,8 @@ STAGES = (
     ("monitor_diversity", diversity_frame),
     ("monitor_drift", drift_frame),
     ("monitor_oov", oov_frame),
+    ("monitor_quantiles", split_quantiles_frame),
+    ("monitor_head_coverage", head_coverage_frame),
     ("eval_sample", sample_frame),
 )
 

@@ -766,9 +766,14 @@ def split_length_quantiles(spark, sf_dir):
     production variant swaps in _ranked_by_lang's pattern keyed on
     split; the query keeps the window form to stay byte-comparable to
     the oracle's definition."""
+    return split_quantiles_frame(load(spark, sf_dir, "documents"))
+
+
+def split_quantiles_frame(docs):
+    """Frame-level core of split_length_quantiles (job_monitor)."""
     from medical_ocr_pipeline_spark.queries.training import split_expr
 
-    d = load(spark, sf_dir, "documents").select(
+    d = docs.select(
         split_expr().alias("split"),
         F.col("n_chars").cast("long").alias("x"),
         "doc_id",

@@ -2019,9 +2019,13 @@ def token_head_coverage(spark, sf_dir):
     the global top-k via TakeOrdered (per-partition top-k + driver
     merge, no global sort), and the cumulative window runs over the
     K-row result only."""
+    return head_coverage_frame(load(spark, sf_dir, "documents"))
+
+
+def head_coverage_frame(docs):
+    """Frame-level core of token_head_coverage (job_monitor)."""
     c = (
-        load(spark, sf_dir, "documents")
-        .select(F.explode(words_expr()).alias("word"))
+        docs.select(F.explode(words_expr()).alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
     )

@@ -33,6 +33,8 @@ def run_dir(spark, tmp_path_factory):
         ("monitor_diversity", "source_diversity"),
         ("monitor_drift", "split_token_drift"),
         ("monitor_oov", "oov_rate"),
+        ("monitor_quantiles", "split_length_quantiles"),
+        ("monitor_head_coverage", "token_head_coverage"),
         ("eval_sample", "sample_fixed_k"),
     ],
 )
@@ -79,6 +81,6 @@ def test_resume_skips_complete_stages(spark, run_dir, capsys):
     )
     run_monitors(spark, args, run_dir)
     out = capsys.readouterr().out
-    assert out.count("resumed") == 7
+    assert out.count("resumed") == 9
     # metrics appends: now two run rows
     assert spark.read.parquet(f"{run_dir}/metrics").count() == 2
