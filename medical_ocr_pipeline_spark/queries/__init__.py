@@ -32,19 +32,18 @@ from medical_ocr_pipeline_spark.queries.base import REGISTRY  # noqa: F401
 # Queries promoted to the FRONT of the registry (and therefore into the
 # driver's 50-entry window) regardless of module import order: entries
 # that are new or semantically changed this round, so every change lands
-# with an independent driver correctness record.  The list turns over
-# each round — every round-3 promotion now holds a green
-# CORRECTNESS_r03.json row, so round 4 promotes exactly the queries
-# whose code changed this round: the three rows-only -> full-oracle
-# upgrades (bpe_train_merges / bpe_encode_stats via the unrolled
-# training CTE chain, pack_best_fit via the recursive-CTE BFD fold),
-# host_pagerank (per-iteration collect removed), dedup_ngram_jaccard +
-# its pair-core consumers (scale-conditional join hint, collision
-# tripwire, exact capped-set denominators), and every query that now
-# tokenizes through the shared null-safe words_expr() or repartitions
-# through base.fanout().  Entries pushed out past slot 50 are all green
-# in CORRECTNESS_r03/r02/r01.json with unchanged code (audited).
+# with an independent driver correctness record.  Round 4 ran in two
+# sessions and produced more new oracles (~70) than the window holds;
+# the 50 slots are allocated by evidence value — (1) the continuation
+# wave's representatives, (2) the five VERDICT r03 closure items whose
+# "Done" criterion names a driver row, (3) the first-session wave —
+# with the relegation rationale documented at the slot-50 boundary
+# comment below.  Every entry past the window is green in the committed
+# LOCAL_GATE_r04.md full-registry run (zero failures) and/or holds a
+# prior-round driver row with unchanged code (audited).
 _PROMOTE_TO_WINDOW = [
+    # --- continuation-wave entries needing their first driver record
+    # (each also green in the committed LOCAL_GATE_r04.md full run) ---
     "corr_doc_stats",
     "chi2_lang_source",
     "gini_doc_lengths",
@@ -57,14 +56,20 @@ _PROMOTE_TO_WINDOW = [
     "source_diversity",
     "oov_rate",
     "event_rate_spikes",
-    "event_burstiness",
     "token_head_coverage",
-    "rolling_active_users",
     "host_neighbor_jaccard",
-    "host_assortativity",
-    "split_length_quantiles",
     "split_centroid_drift",
     "langid_eval",
+    # --- the VERDICT r03 closure items: rows-only -> full-oracle
+    # upgrades and semantically-changed cores whose "Done" criterion is
+    # an independent green driver row (r03 items #4/#5/#7/#8) — these
+    # MUST sit inside the 50-entry window ---
+    "dedup_ngram_jaccard",
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "pack_best_fit",
+    "host_pagerank",
+    # --- round-4 first-session wave (new oracles, no prior rows) ---
     "sketch_hll_distinct",
     "sketch_cms_heavy",
     "bloom_prefilter_join",
@@ -92,15 +97,23 @@ _PROMOTE_TO_WINDOW = [
     "ols_chars_vs_words",
     "kmeans_embeddings",
     "lm_kneser_ney",
-    "unigram_train_pieces",
-    "unigram_encode_stats",
-    "dedup_ngram_jaccard",
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "pack_best_fit",
-    "host_pagerank",
     "dup_source_matrix",
     "dedup_components",
+    # ---------------- window boundary (slot 50) ------------------
+    # Everything below is PAST the driver's 50-entry window and is
+    # covered by the committed LOCAL_GATE_r04.md full-registry run
+    # (148 exact oracles, zero failures) plus its own reference tests;
+    # the four relegated continuation entries (event_burstiness,
+    # rolling_active_users, host_assortativity, split_length_quantiles)
+    # and the two rows-only unigram entries were chosen as the
+    # lowest-cost displacements: exact local-gate rows + pure-python
+    # reference pins, no VERDICT closure riding on them.
+    "event_burstiness",
+    "rolling_active_users",
+    "host_assortativity",
+    "split_length_quantiles",
+    "unigram_train_pieces",
+    "unigram_encode_stats",
     "dedup_minhash",
     "dedup_minhash_lsh",
     "dedup_simhash",
