@@ -108,6 +108,7 @@ _PROMOTE_TO_WINDOW = [
     # and the two rows-only unigram entries were chosen as the
     # lowest-cost displacements: exact local-gate rows + pure-python
     # reference pins, no VERDICT closure riding on them.
+    "mad_outliers",
     "event_burstiness",
     "rolling_active_users",
     "host_assortativity",

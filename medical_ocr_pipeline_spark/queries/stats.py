@@ -962,3 +962,121 @@ def split_centroid_drift(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median / MAD z-scores (the robust companion
+# to iqr_outliers' Tukey fences — MAD tolerates 50% contamination where
+# the IQR's 25% breaks down)
+
+_MAD_Z_E4 = 35_000  # |robust z| threshold 3.5, scaled e4
+_PHI_E4 = 6_745     # 0.6745 (Phi^-1(0.75)), scaled e4
+
+
+@register(
+    "mad_outliers",
+    sql=f"""
+    WITH d AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS x, doc_id FROM documents
+    ),
+    r AS (
+      SELECT lang, x,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM d
+    ),
+    med AS (
+      SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MIN(CASE WHEN rk * 2 >= n THEN x END) AS BIGINT) AS med
+      FROM r GROUP BY lang
+    ),
+    dev AS (
+      SELECT d.lang, ABS(d.x - med.med) AS a, d.doc_id, med.med, med.n
+      FROM d JOIN med ON med.lang = d.lang
+    ),
+    rr AS (
+      SELECT lang, a, med, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY a, doc_id) AS rk
+      FROM dev
+    ),
+    mad AS (
+      SELECT lang, CAST(MAX(med) AS BIGINT) AS med,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MIN(CASE WHEN rk * 2 >= n THEN a END) AS BIGINT) AS mad
+      FROM rr GROUP BY lang
+    )
+    SELECT mad.lang, mad.n, mad.med, mad.mad,
+           CAST(SUM(CASE WHEN mad.mad > 0
+             AND ABS(d.x - mad.med) * {_PHI_E4} > {_MAD_Z_E4} * mad.mad
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM mad JOIN d ON d.lang = mad.lang
+    GROUP BY mad.lang, mad.n, mad.med, mad.mad
+    ORDER BY mad.lang
+    """,
+)
+def mad_outliers(spark, sf_dir):
+    """Robust per-language outlier counts on doc length: nearest-rank
+    median, MAD (nearest-rank median of absolute deviations), and the
+    count of docs whose robust z-score 0.6745*|x - med| / MAD exceeds
+    3.5 (Iglewicz-Hoaglin) — evaluated as the cross-multiplied integer
+    predicate |x - med| * 6745 > 35000 * MAD, fully BIGINT-exact.  The
+    robust companion to iqr_outliers: MAD keeps its breakdown point at
+    50% contamination where quartile fences fail at 25%.  A zero MAD
+    (>= half the group at the median) flags nothing, same rule both
+    engines.
+
+    100 TB shape: two per-lang rank passes (the gini docstring's
+    two-phase range-partitioned form is the megagroup swap-in; the
+    window form here stays byte-comparable to the oracle) and one
+    combinable count join against the 1-row-per-lang stats frame."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("x"), "doc_id"
+    )
+    wr = Window.partitionBy("lang").orderBy("x", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "x",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    med = r.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(F.col("rk") * 2 >= F.col("n"), F.col("x")))
+        .cast("long")
+        .alias("med"),
+    )
+    dev = d.join(F.broadcast(med), "lang").select(
+        "lang",
+        (F.abs(F.col("x") - F.col("med"))).alias("a"),
+        "doc_id",
+        "med",
+        "n",
+    )
+    wa = Window.partitionBy("lang").orderBy("a", "doc_id")
+    rr = dev.select(
+        "lang", "a", "med", "n", F.row_number().over(wa).alias("rk")
+    )
+    mad = rr.groupBy("lang").agg(
+        F.max("med").cast("long").alias("med"),
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(F.col("rk") * 2 >= F.col("n"), F.col("a")))
+        .cast("long")
+        .alias("mad"),
+    )
+    out = F.sum(
+        F.when(
+            (F.col("mad") > 0)
+            & (
+                F.abs(F.col("x") - F.col("med")) * _PHI_E4
+                > _MAD_Z_E4 * F.col("mad")
+            ),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        d.join(F.broadcast(mad), "lang")
+        .groupBy("lang", "n", "med", "mad")
+        .agg(out.cast("long").alias("n_outliers"))
+        .orderBy("lang")
+    )

@@ -626,3 +626,37 @@ def test_split_centroid_drift_matches_numpy_reference(spark):
         ctr_s = np.mean(np.array(d["test"], dtype=float), axis=0)
         approx = np.linalg.norm(ctr_t - ctr_s) / 1e8
         assert abs(r.dist_e6 / 1e6 - approx) < 1e-3
+
+
+def test_mad_outliers_matches_robust_reference(spark, docs):
+    from medical_ocr_pipeline_spark.queries.stats import (
+        _MAD_Z_E4,
+        _PHI_E4,
+        mad_outliers,
+    )
+
+    by_lang = {}
+    for doc_id, _, lang, _, nc in docs:
+        by_lang.setdefault(lang, []).append((nc, doc_id))
+    rows = {r.lang: r for r in mad_outliers(spark, SF).collect()}
+    assert set(rows) == set(by_lang)
+    for lang, xs in by_lang.items():
+        xs.sort()
+        n = len(xs)
+
+        def nearest_rank_med(vals):
+            # min value whose 1-based rank satisfies rk*2 >= n
+            return next(
+                v for i, v in enumerate(sorted(vals), 1) if i * 2 >= n
+            )
+
+        med = nearest_rank_med([x for x, _ in xs])
+        mad = nearest_rank_med([abs(x - med) for x, _ in xs])
+        n_out = sum(
+            1
+            for x, _ in xs
+            if mad > 0 and abs(x - med) * _PHI_E4 > _MAD_Z_E4 * mad
+        )
+        r = rows[lang]
+        assert (r.n, r.med, r.mad, r.n_outliers) == (n, med, mad, n_out)
+        assert 0 <= r.n_outliers < n
