@@ -1080,3 +1080,211 @@ def mad_outliers(spark, sf_dir):
         .agg(out.cast("long").alias("n_outliers"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample rank statistics between the train and test splits
+#
+# chi2/split_token_drift watch TOKEN drift and split_length_quantiles
+# watches a few fixed quantiles; the Kolmogorov-Smirnov D statistic and
+# the Mann-Whitney U (with its AUC / common-language effect size) are
+# the standard WHOLE-DISTRIBUTION drift tests — both are pure rank
+# statistics, so they reduce to exact integer arithmetic over the
+# per-(lang, length) count table: no ECDF floats, no normal
+# approximation.  D = max |F_train - F_test| evaluated as the
+# cross-multiplied BIGINT max |cum_t * n_test - cum_e * n_train|;
+# U (x2 to keep tie halves integral) = sum ct * (2*cum_e_prev + ce).
+#
+# Like split_centroid_drift, these use their OWN salted 80/20 hash
+# ('ksplit') instead of training.split_expr: the production 96/2/2
+# split leaves ~2 test docs per language at test scale — a degenerate
+# sample for a rank test — and a drift monitor wants a balanced
+# comparison draw anyway.
+
+_KSPLIT_H_SPARK = MD5_INT48_SPARK.format(
+    x="concat('ksplit', cast(doc_id as string))"
+)
+_KSPLIT_H_DUCK = MD5_INT48_DUCK.format(
+    x="'ksplit' || CAST(doc_id AS VARCHAR)"
+)
+_KSPLIT_TRAIN_PPM = 800_000
+
+
+def _split_cum_frame(docs):
+    """Shared core: per-(lang, distinct length) train/test counts with
+    cumulative counts and per-lang totals.  Windows run over the
+    AGGREGATED (lang, x) bucket table — |langs| x |distinct lengths|
+    rows, bounded by the max document length — never over the raw
+    corpus (the event_rate_spikes discipline), so this is scan +
+    combinable groupBy + a tiny window at any corpus size."""
+    d = docs.select(
+        "lang",
+        F.when(
+            F.expr(_KSPLIT_H_SPARK) % 1_000_000 < _KSPLIT_TRAIN_PPM,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        F.col("n_chars").cast("long").alias("x"),
+    )
+    c = d.groupBy("lang", "x").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("ce"),
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("lang")
+    return c.select(
+        "lang",
+        "x",
+        "ct",
+        "ce",
+        F.sum("ct").over(wcum).alias("cum_t"),
+        F.sum("ce").over(wcum).alias("cum_e"),
+        F.sum("ct").over(wtot).alias("n_t"),
+        F.sum("ce").over(wtot).alias("n_e"),
+    )
+
+
+_SPLIT_CUM_DUCK = """
+    d AS (
+      SELECT lang,
+             CASE WHEN {h} % 1000000 < {ppm} THEN 'train'
+               ELSE 'test' END AS split,
+             CAST(n_chars AS BIGINT) AS x
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, x,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ce
+      FROM d GROUP BY lang, x
+    ),
+    cum AS (
+      SELECT lang, x, ct, ce,
+             SUM(ct) OVER (PARTITION BY lang ORDER BY x
+                           ROWS UNBOUNDED PRECEDING) AS cum_t,
+             SUM(ce) OVER (PARTITION BY lang ORDER BY x
+                           ROWS UNBOUNDED PRECEDING) AS cum_e,
+             SUM(ct) OVER (PARTITION BY lang) AS n_t,
+             SUM(ce) OVER (PARTITION BY lang) AS n_e
+      FROM c
+    )
+"""
+
+
+def _ks_sql() -> str:
+    return (
+        "WITH "
+        + _SPLIT_CUM_DUCK.format(h=_KSPLIT_H_DUCK, ppm=_KSPLIT_TRAIN_PPM)
+        + """
+    SELECT lang, CAST(MAX(n_t) AS BIGINT) AS n_train,
+           CAST(MAX(n_e) AS BIGINT) AS n_test,
+           CAST(MAX(ABS(cum_t * n_e - cum_e * n_t)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(cum_t * n_e - cum_e * n_t)) * 1000000
+                // (MAX(n_t) * MAX(n_e)) AS BIGINT) AS ks_ppm
+    FROM cum GROUP BY lang
+    HAVING MAX(n_t) > 0 AND MAX(n_e) > 0
+    ORDER BY lang
+    """
+    )
+
+
+@register("ks_split_drift", sql=_ks_sql())
+def ks_split_drift(spark, sf_dir):
+    """Per-language two-sample Kolmogorov-Smirnov D between the train-
+    and test-split document-length distributions.  D is the max
+    absolute ECDF gap; with n_t/n_e the split sizes and (cum_t, cum_e)
+    the cumulative counts at each distinct length, D = max |cum_t/n_t -
+    cum_e/n_e| — evaluated as the cross-multiplied BIGINT
+    max |cum_t*n_e - cum_e*n_t| so no division happens until the final
+    floor-ppm report.  The supremum over a step-function difference is
+    attained at a jump point, so scanning only the distinct observed
+    lengths IS the exact statistic.
+
+    100 TB shape: one scan -> combinable (lang, length) counts -> a
+    window over the bucket table (bounded by |langs| x max doc length,
+    not corpus size) -> combinable per-lang max.  This is how
+    distribution-level drift gates run inside a corpus-refresh job
+    without sampling or sketches."""
+    cum = _split_cum_frame(load(spark, sf_dir, "documents"))
+    gap = F.abs(
+        F.col("cum_t") * F.col("n_e") - F.col("cum_e") * F.col("n_t")
+    )
+    return (
+        cum.groupBy("lang")
+        .agg(
+            F.max("n_t").cast("long").alias("n_train"),
+            F.max("n_e").cast("long").alias("n_test"),
+            F.max(gap).cast("long").alias("d_num"),
+            F.expr(
+                "cast(max(abs(cum_t * n_e - cum_e * n_t)) * 1000000"
+                " div (max(n_t) * max(n_e)) as bigint)"
+            ).alias("ks_ppm"),
+        )
+        .where((F.col("n_train") > 0) & (F.col("n_test") > 0))
+        .orderBy("lang")
+    )
+
+
+def _mw_sql() -> str:
+    return (
+        "WITH "
+        + _SPLIT_CUM_DUCK.format(h=_KSPLIT_H_DUCK, ppm=_KSPLIT_TRAIN_PPM)
+        + """
+    SELECT lang, CAST(MAX(n_t) AS BIGINT) AS n_train,
+           CAST(MAX(n_e) AS BIGINT) AS n_test,
+           CAST(SUM(ct * (2 * (cum_e - ce) + ce)) AS BIGINT) AS u2,
+           CAST(SUM(ct * (2 * (cum_e - ce) + ce)) * 1000000
+                // (2 * MAX(n_t) * MAX(n_e)) AS BIGINT) AS auc_ppm
+    FROM cum GROUP BY lang
+    HAVING MAX(n_t) > 0 AND MAX(n_e) > 0
+    ORDER BY lang
+    """
+    )
+
+
+@register("mannwhitney_split", sql=_mw_sql())
+def mannwhitney_split(spark, sf_dir):
+    """Per-language Mann-Whitney U between train- and test-split
+    document lengths, reported as 2U (ties contribute half wins, so
+    doubling keeps the statistic BIGINT-exact) plus the common-language
+    effect size AUC = U / (n_t * n_e) in floor-ppm — the probability a
+    random train doc is longer than a random test doc, i.e. the
+    rank-based effect-size companion to ks_split_drift's max-gap test
+    (KS detects ANY shape difference; AUC measures stochastic
+    dominance).  2U = sum over distinct lengths of
+    ct * (2 * cum_e_below + ce): each train doc at length x wins
+    against every shorter test doc and half-wins ties.
+
+    100 TB shape: identical to ks_split_drift — the two tests share
+    the _split_cum_frame bucket-table core (one scan, combinable
+    counts, bounded window), so a monitor job computes both from a
+    single pass."""
+    cum = _split_cum_frame(load(spark, sf_dir, "documents"))
+    u2t = F.col("ct") * (
+        2 * (F.col("cum_e") - F.col("ce")) + F.col("ce")
+    )
+    return (
+        cum.groupBy("lang")
+        .agg(
+            F.max("n_t").cast("long").alias("n_train"),
+            F.max("n_e").cast("long").alias("n_test"),
+            F.sum(u2t).cast("long").alias("u2"),
+            F.expr(
+                "cast(sum(ct * (2 * (cum_e - ce) + ce)) * 1000000"
+                " div (2 * max(n_t) * max(n_e)) as bigint)"
+            ).alias("auc_ppm"),
+        )
+        .where((F.col("n_train") > 0) & (F.col("n_test") > 0))
+        .orderBy("lang")
+    )

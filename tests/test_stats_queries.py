@@ -660,3 +660,82 @@ def test_mad_outliers_matches_robust_reference(spark, docs):
         r = rows[lang]
         assert (r.n, r.med, r.mad, r.n_outliers) == (n, med, mad, n_out)
         assert 0 <= r.n_outliers < n
+
+
+def _ksplit(doc_id):
+    return (
+        "train"
+        if _md5_int48(f"ksplit{doc_id}") % 1_000_000 < 800_000
+        else "test"
+    )
+
+
+def _rank_reference(docs):
+    """Python reference for the KS / Mann-Whitney pair: per lang, the
+    exact D numerator (max |cum_t*n_e - cum_e*n_t| over distinct
+    lengths) and 2U (ties count once)."""
+    from collections import defaultdict
+
+    groups = defaultdict(lambda: {"train": [], "test": []})
+    for doc_id, _, lang, _, nc in docs:
+        groups[lang][_ksplit(doc_id)].append(nc)
+    out = {}
+    for lang, g in groups.items():
+        tr, te = sorted(g["train"]), sorted(g["test"])
+        nt, ne = len(tr), len(te)
+        if nt == 0 or ne == 0:
+            continue
+        xs = sorted(set(tr) | set(te))
+        cum_t = cum_e = 0
+        d_num = 0
+        u2 = 0
+        for x in xs:
+            ct = tr.count(x)
+            ce = te.count(x)
+            u2 += ct * (2 * cum_e + ce)
+            cum_t += ct
+            cum_e += ce
+            d_num = max(d_num, abs(cum_t * ne - cum_e * nt))
+        out[lang] = (nt, ne, d_num, u2)
+    return out
+
+
+def test_ks_split_drift_matches_ecdf_reference(spark, docs):
+    from medical_ocr_pipeline_spark.queries.stats import ks_split_drift
+
+    ref = _rank_reference(docs)
+    rows = ks_split_drift(spark, SF).collect()
+    assert {r["lang"] for r in rows} == set(ref)
+    for r in rows:
+        nt, ne, d_num, _ = ref[r["lang"]]
+        assert (r["n_train"], r["n_test"], r["d_num"]) == (nt, ne, d_num)
+        assert r["ks_ppm"] == d_num * 1_000_000 // (nt * ne)
+        # D in [0, 1]: the ppm form is bounded
+        assert 0 <= r["ks_ppm"] <= 1_000_000
+
+
+def test_mannwhitney_matches_pairwise_counting(spark, docs):
+    """2U from the cumulative formula must equal brute-force pairwise
+    win counting (2 per strict win, 1 per tie) — the definition."""
+    from medical_ocr_pipeline_spark.queries.stats import mannwhitney_split
+
+    ref = _rank_reference(docs)
+    rows = mannwhitney_split(spark, SF).collect()
+    assert {r["lang"] for r in rows} == set(ref)
+    # brute-force pairwise 2U
+    from collections import defaultdict
+
+    groups = defaultdict(lambda: {"train": [], "test": []})
+    for doc_id, _, lang, _, nc in docs:
+        groups[lang][_ksplit(doc_id)].append(nc)
+    for r in rows:
+        g = groups[r["lang"]]
+        u2_brute = sum(
+            2 if t > e else (1 if t == e else 0)
+            for t in g["train"]
+            for e in g["test"]
+        )
+        assert r["u2"] == u2_brute == ref[r["lang"]][3]
+        nt, ne = ref[r["lang"]][0], ref[r["lang"]][1]
+        assert r["auc_ppm"] == r["u2"] * 1_000_000 // (2 * nt * ne)
+        assert 0 <= r["auc_ppm"] <= 1_000_000
