@@ -1483,3 +1483,94 @@ def host_assortativity(spark, sf_dir):
             .alias("assortativity_ppm"),
         )
     )
+
+
+# --- k-core decomposition -----------------------------------------------------
+# The density-based curation selector: the k-core is the maximal
+# subgraph where every host keeps >= k neighbours — interconnected
+# content hubs survive, peripheral link chaff peels away.  The graph
+# here is a hash-random host graph (both endpoints are salted md5
+# buckets of doc_id, vertex count scaled with corpus size) rather than
+# the modular citation graph of pagerank/LPA: the modular rules give
+# every vertex near-identical degree, which makes peeling all-or-
+# nothing; a degree-varying graph exercises the actual cascade.
+
+KCORE_K = 10
+KCORE_ROUNDS = 16
+_KC_DIV = 8
+_KCA_SPARK = MD5_INT48_SPARK.format(x="concat('kca', cast(doc_id as string))")
+_KCB_SPARK = MD5_INT48_SPARK.format(x="concat('kcb', cast(doc_id as string))")
+_KCA_DUCK = MD5_INT48_DUCK.format(x="'kca' || CAST(doc_id AS VARCHAR)")
+_KCB_DUCK = MD5_INT48_DUCK.format(x="'kcb' || CAST(doc_id AS VARCHAR)")
+
+
+def _kcore_oracle_sql(k: int = KCORE_K, n_rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled synchronous peeling as chained DuckDB CTEs — per round
+    one degree HAVING filter plus an adjacency re-join on both
+    endpoints.  Exact because synchronous peeling is a pure function of
+    the graph and extra rounds past the fixpoint are no-ops (the
+    operator early-exits there; see operators/kcore.py)."""
+    parts = [f"""
+    WITH nct AS (
+      SELECT GREATEST(COUNT(*) // {_KC_DIV}, 10) AS v FROM documents
+    ),
+    raw AS MATERIALIZED (
+      SELECT 'h' || ({_KCA_DUCK} % nct.v) AS src,
+             'h' || ({_KCB_DUCK} % nct.v) AS dst
+      FROM documents, nct
+      WHERE ({_KCA_DUCK} % nct.v) <> ({_KCB_DUCK} % nct.v)
+    ),
+    adj0 AS MATERIALIZED (
+      SELECT DISTINCT src AS v, dst AS w FROM (
+        SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+      )
+    )"""]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+    keep{i} AS MATERIALIZED (
+      SELECT v FROM adj{i - 1} GROUP BY v HAVING COUNT(*) >= {k}
+    ),
+    adj{i} AS MATERIALIZED (
+      SELECT a.v, a.w FROM adj{i - 1} a
+      JOIN keep{i} kv ON kv.v = a.v
+      JOIN keep{i} kw ON kw.v = a.w
+    )""")
+    parts.append(f"""
+    SELECT v AS host, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM adj{n_rounds} GROUP BY v ORDER BY host""")
+    return "".join(parts)
+
+
+@register("host_kcore", sql=_kcore_oracle_sql())
+def host_kcore(spark, sf_dir):
+    """{k}-core of the hash-random host graph: hosts surviving
+    synchronous peeling (every round drops ALL hosts with fewer than
+    {k} surviving neighbours) plus their degree inside the core.
+    Deterministic: both edge endpoints are salted md5 buckets, peeling
+    is a pure function of the graph, and the fixpoint is reached well
+    inside KCORE_ROUNDS at every SF (the round-(R-1) == round-R
+    equality is what the unrolled oracle's no-op tail verifies).
+
+    100 TB shape: each round is one combinable degree groupBy plus two
+    LEFT SEMI joins of the adjacency list against the tiny survivor
+    set — no windows, no pair materialization, per-round lineage
+    truncation (operators/kcore.py).  Real crawl graphs reach their
+    k-core fixpoint in a few dozen rounds; each round's cost SHRINKS
+    with the edge list, the opposite of an iteration blowup.""".format(
+        k=KCORE_K
+    )
+    from medical_ocr_pipeline_spark.operators.kcore import kcore
+
+    docs = load(spark, sf_dir, "documents")
+    nv = max(docs.count() // _KC_DIV, 10)
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.expr(_KCA_SPARK) % nv).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), (F.expr(_KCB_SPARK) % nv).cast("string"))
+        .alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return (
+        kcore(edges, k=KCORE_K, max_rounds=KCORE_ROUNDS)
+        .select(F.col("vertex").alias("host"), "core_deg")
+        .orderBy("host")
+    )
