@@ -490,3 +490,159 @@ def qa_rouge_overlap(spark, sf_dir):
             "rouge_f_ppm"
         ),
     ).orderBy("doc_a", "n")
+
+
+# --- exact word-level WER -----------------------------------------------------
+# qa_edit_distance is CHARACTER-level (both engines have a native
+# levenshtein); word error rate needs edit distance over WORD
+# sequences, which neither engine has natively — f15 approximates it
+# with difflib and stays rows-only.  This query computes the exact
+# word-level Levenshtein distance IN PURE SQL on both sides via the
+# prefix-min reformulation of the DP row recurrence:
+#
+#   curr[j] = min(prev[j] + 1, curr[j-1] + 1, prev[j-1] + subst)
+#
+# has a sequential dependency on curr[j-1], but substituting it out
+# gives curr[j] = j + min_{k<=j}(base[k] - k) with
+# base[0] = i, base[k] = min(prev[k] + 1, prev[k-1] + subst_k) — a
+# prefix-min over a row-local array, expressible with higher-order
+# array functions alone.  Spark runs it as one aggregate() fold over
+# the reference words (whole-stage codegen, zero Python); DuckDB
+# replays it as a recursive CTE carrying the DP row as a LIST column.
+# Sequences are capped at WER_CAP words so the O(n * m^2) per-pair
+# cost stays bounded; the cap is part of the metric's definition here
+# and applies identically in both engines.
+
+WER_CAP = 48
+
+_WER_DP_SPARK = """
+  element_at(
+    aggregate(
+      wa,
+      sequence(0, size(wb)),
+      (row, w) -> transform(
+        sequence(0, size(wb)),
+        j -> j + array_min(slice(
+          concat(
+            array(element_at(row, 1) + 1),
+            transform(sequence(1, size(wb)),
+              jj -> least(element_at(row, jj + 1) + 1,
+                          element_at(row, jj)
+                            + if(w = element_at(wb, jj), 0, 1)) - jj)
+          ), 1, j + 1))
+      )
+    ),
+    size(wb) + 1)
+"""
+
+
+@register(
+    "qa_wer_exact",
+    sql=f"""
+    WITH RECURSIVE
+    d AS MATERIALIZED (
+      SELECT doc_id, list_slice(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+               x -> x <> ''), 1, {WER_CAP}) AS ws
+      FROM documents WHERE doc_id < 500
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ws AS wa, b.ws AS wb
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 250
+      WHERE a.doc_id < 250
+    ),
+    dp AS (
+      SELECT doc_a, doc_b, wa, wb, 0 AS i,
+             list_transform(range(0, len(wb) + 1), x -> x) AS row
+      FROM pairs
+      UNION ALL
+      SELECT doc_a, doc_b, wa, wb, i + 1,
+             list_transform(range(0, len(wb) + 1),
+               j -> j + list_aggregate(list_slice(
+                 list_prepend(i + 1,
+                   list_transform(range(1, len(wb) + 1),
+                     jj -> least(row[jj + 1] + 1,
+                                 row[jj] + CASE WHEN wa[i + 1] = wb[jj]
+                                           THEN 0 ELSE 1 END) - jj)),
+                 1, j + 1), 'min'))
+      FROM dp WHERE i < len(wa)
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(wa) AS BIGINT) AS n_ref,
+           CAST(len(wb) AS BIGINT) AS n_hyp,
+           CAST(row[len(wb) + 1] AS BIGINT) AS wdist,
+           CAST(row[len(wb) + 1] * 1000000 // GREATEST(len(wa), 1)
+             AS BIGINT) AS wer_ppm
+    FROM dp WHERE i = len(wa) ORDER BY doc_a
+    """,
+)
+def qa_wer_exact(spark, sf_dir):
+    """Exact word-level Levenshtein WER between the deterministically
+    paired documents (i, i+250), over the first WER_CAP canonical words
+    of each side — the word-level companion of qa_edit_distance's
+    character CER and the oracle-bearing upgrade of f15's difflib WER
+    (reference qa_pipeline_evaluator.py:490-509).  The DP runs ENTIRELY
+    in Catalyst: one aggregate() fold over the reference words whose
+    state is the current DP row (an int array), each next row built
+    with transform + array_min + slice via the prefix-min
+    reformulation (see module comment) — no UDF, no Python, no
+    shuffle beyond the pair join.  wer_ppm = wdist / n_ref in exact
+    integer ppm; both engines fold the identical integer recurrence,
+    so the oracle (a recursive CTE carrying the DP row as a LIST) is
+    bit-exact.
+
+    100 TB shape: pairs hash-distribute on the join key and each
+    task's cost is O(WER_CAP^3) per pair with zero cross-row state —
+    embarrassingly parallel inside whole-stage codegen.  The cap is
+    the production lever: raise it and the per-pair cost grows
+    cubically, so a full-document WER at scale swaps this expression
+    for the banded variant the same way qa_edit_distance documents."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    ws = F.slice(
+        F.filter(
+            F.split(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9]+"
+            ),
+            lambda w: w != F.lit(""),
+        ),
+        1,
+        WER_CAP,
+    )
+    d = docs.select("doc_id", ws.alias("ws"))
+    a = d.where(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa")
+    )
+    b = d.where(F.col("doc_id") >= 250).select(
+        (F.col("doc_id") - 250).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("ws").alias("wb"),
+    )
+    wdist = (
+        F.when(F.expr("size(wa)") == 0, F.expr("size(wb)"))
+        .when(F.expr("size(wb)") == 0, F.expr("size(wa)"))
+        .otherwise(F.expr(_WER_DP_SPARK))
+        .cast("long")
+    )
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(wa)").cast("long").alias("n_ref"),
+            F.expr("size(wb)").cast("long").alias("n_hyp"),
+            wdist.alias("wdist"),
+            (wdist * 1_000_000)
+            .cast("long")
+            .alias("_num"),
+            F.expr("size(wa)").alias("_den"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_ref",
+            "n_hyp",
+            "wdist",
+            F.expr("_num div greatest(_den, 1)").cast("long").alias("wer_ppm"),
+        )
+        .orderBy("doc_a")
+    )

@@ -1,0 +1,102 @@
+"""qa_wer_exact: the Catalyst prefix-min DP must equal classic
+word-level Levenshtein — pinned on adversarial fixtures and against a
+pure-Python DP over the real testdata pairing."""
+
+import re
+
+from pyspark.sql import Row, functions as F
+
+from medical_ocr_pipeline_spark.queries.qa import (
+    WER_CAP,
+    _WER_DP_SPARK,
+    qa_wer_exact,
+)
+from tests.conftest import SF_DIR
+
+WORD_RE = re.compile("[^a-z0-9]+")
+
+
+def _lev(a, b):
+    n, m = len(a), len(b)
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1])
+            )
+        prev = cur
+    return prev[m]
+
+
+def _dp(spark, wa, wb):
+    df = spark.createDataFrame(
+        [Row(wa=wa, wb=wb)], "wa array<string>, wb array<string>"
+    )
+    expr = (
+        F.when(F.expr("size(wa)") == 0, F.expr("size(wb)"))
+        .when(F.expr("size(wb)") == 0, F.expr("size(wa)"))
+        .otherwise(F.expr(_WER_DP_SPARK))
+    )
+    return df.select(expr.cast("long").alias("d")).collect()[0].d
+
+
+def test_dp_fixtures(spark):
+    cases = [
+        ([], [], 0),
+        ([], ["a", "b"], 2),
+        (["a", "b"], [], 2),
+        (["a", "b", "c"], ["a", "b", "c"], 0),
+        (["a", "b", "c"], ["x", "y", "z"], 3),
+        (["a", "b", "c"], ["a", "c"], 1),           # deletion
+        (["a", "c"], ["a", "b", "c"], 1),           # insertion
+        (["a", "b", "c"], ["a", "x", "c"], 1),      # substitution
+        (["a", "b"], ["b", "a"], 2),                # transposition costs 2
+        (["a", "a", "a"], ["a"], 2),                # runs collapse
+        (["x", "a", "b", "c"], ["a", "b", "c", "y"], 2),  # shift
+    ]
+    for wa, wb, want in cases:
+        assert _dp(spark, wa, wb) == want == _lev(wa, wb), (wa, wb)
+
+
+def test_dp_matches_python_on_random_sequences(spark):
+    import hashlib
+
+    def seq(salt, n, vocab):
+        return [
+            "w%d"
+            % (
+                int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+                % vocab
+            )
+            for i in range(n)
+        ]
+
+    for salt in range(6):
+        wa = seq(f"a{salt}", 5 + salt * 7, 4 + salt)
+        wb = seq(f"b{salt}", 3 + salt * 9, 4 + salt)
+        assert _dp(spark, wa, wb) == _lev(wa, wb)
+
+
+def test_query_matches_python_reference(spark):
+    rows = qa_wer_exact(spark, SF_DIR).collect()
+    assert len(rows) == 250
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def words(t):
+        return [w for w in WORD_RE.split((t or "").lower()) if w][:WER_CAP]
+
+    for r in rows[:60]:
+        wa, wb = words(texts[r.doc_a]), words(texts[r.doc_b])
+        assert (r.n_ref, r.n_hyp) == (len(wa), len(wb))
+        d = _lev(wa, wb)
+        assert r.wdist == d
+        assert r.wer_ppm == d * 1_000_000 // max(len(wa), 1)
+        # WER bounded by max(n_ref, n_hyp)/n_ref; distance >= |n-m|
+        assert r.wdist >= abs(r.n_ref - r.n_hyp)
+        assert r.wdist <= max(r.n_ref, r.n_hyp)
