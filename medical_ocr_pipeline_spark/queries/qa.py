@@ -646,3 +646,153 @@ def qa_wer_exact(spark, sf_dir):
         )
         .orderBy("doc_a")
     )
+
+
+# --- ROUGE-L (longest common subsequence) ------------------------------------
+# qa_rouge_overlap covers ROUGE-1/2 (n-gram multiset overlap); ROUGE-L
+# scores IN-ORDER agreement via the longest common subsequence, which
+# n-gram counting cannot see (a reversed document keeps its unigram
+# overlap but loses its LCS).  Same engine trick as qa_wer_exact: the
+# LCS row recurrence curr[j] = max(prev[j], curr[j-1], prev[j-1]+eq)
+# drops its sequential curr[j-1] dependency under a prefix-max —
+# curr[j] = max_{k<=j} base[k] with base[0]=0,
+# base[k] = max(prev[k], prev[k-1]+eq_k) — so Spark folds it with
+# aggregate()/transform()/array_max (pure Catalyst) and DuckDB replays
+# it as a recursive CTE over the DP row LIST.
+
+_LCS_DP_SPARK = """
+  element_at(
+    aggregate(
+      wa,
+      array_repeat(0, size(wb) + 1),
+      (row, w) -> transform(
+        sequence(0, size(wb)),
+        j -> array_max(slice(
+          concat(
+            array(0),
+            transform(sequence(1, size(wb)),
+              jj -> greatest(element_at(row, jj + 1),
+                             element_at(row, jj)
+                               + if(w = element_at(wb, jj), 1, 0)))
+          ), 1, j + 1))
+      )
+    ),
+    size(wb) + 1)
+"""
+
+
+@register(
+    "qa_rouge_l",
+    sql=f"""
+    WITH RECURSIVE
+    d AS MATERIALIZED (
+      SELECT doc_id, list_slice(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+               x -> x <> ''), 1, {WER_CAP}) AS ws
+      FROM documents WHERE doc_id < 500
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ws AS wa, b.ws AS wb
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 250
+      WHERE a.doc_id < 250
+    ),
+    dp AS (
+      SELECT doc_a, doc_b, wa, wb, 0 AS i,
+             list_transform(range(0, len(wb) + 1), x -> 0) AS row
+      FROM pairs
+      UNION ALL
+      SELECT doc_a, doc_b, wa, wb, i + 1,
+             list_transform(range(0, len(wb) + 1),
+               j -> list_aggregate(list_slice(
+                 list_prepend(0,
+                   list_transform(range(1, len(wb) + 1),
+                     jj -> greatest(row[jj + 1],
+                                    row[jj] + CASE WHEN wa[i + 1] = wb[jj]
+                                              THEN 1 ELSE 0 END))),
+                 1, j + 1), 'max'))
+      FROM dp WHERE i < len(wa)
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(wa) AS BIGINT) AS n_ref,
+           CAST(len(wb) AS BIGINT) AS n_hyp,
+           CAST(row[len(wb) + 1] AS BIGINT) AS lcs_len,
+           CAST(row[len(wb) + 1] * 1000000 // GREATEST(len(wa), 1)
+             AS BIGINT) AS rouge_l_r_ppm,
+           CAST(row[len(wb) + 1] * 1000000 // GREATEST(len(wb), 1)
+             AS BIGINT) AS rouge_l_p_ppm,
+           CAST(2 * row[len(wb) + 1] * 1000000
+                // GREATEST(len(wa) + len(wb), 1) AS BIGINT)
+             AS rouge_l_f_ppm
+    FROM dp WHERE i = len(wa) ORDER BY doc_a
+    """,
+)
+def qa_rouge_l(spark, sf_dir):
+    """ROUGE-L between the deterministically paired documents
+    (i, i+250): LCS length over the first WER_CAP canonical words,
+    with recall/precision/F1 in exact-integer ppm (F1 = 2*LCS/(n_ref +
+    n_hyp), Lin's harmonic form, so no float ever appears) — the
+    in-order member of the QA-metric family (qa_rouge_overlap =
+    position-free n-gram overlap, qa_wer_exact = edit distance,
+    qa_edit_distance = character CER; reference
+    qa_pipeline_evaluator.py:490-509).  The LCS DP is the same pure
+    Catalyst aggregate() fold as qa_wer_exact under a prefix-MAX (see
+    module comment), mirrored bit-exactly by the oracle's recursive
+    CTE.
+
+    100 TB shape: identical to qa_wer_exact — pairs hash-distribute,
+    per-pair O(WER_CAP^3) inside whole-stage codegen, zero cross-row
+    state, no Python."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    ws = F.slice(
+        F.filter(
+            F.split(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9]+"
+            ),
+            lambda w: w != F.lit(""),
+        ),
+        1,
+        WER_CAP,
+    )
+    d = docs.select("doc_id", ws.alias("ws"))
+    a = d.where(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa")
+    )
+    b = d.where(F.col("doc_id") >= 250).select(
+        (F.col("doc_id") - 250).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("ws").alias("wb"),
+    )
+    lcs = (
+        F.when(
+            (F.expr("size(wa)") == 0) | (F.expr("size(wb)") == 0), F.lit(0)
+        )
+        .otherwise(F.expr(_LCS_DP_SPARK))
+        .cast("long")
+    )
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(wa)").cast("long").alias("n_ref"),
+            F.expr("size(wb)").cast("long").alias("n_hyp"),
+            lcs.alias("lcs_len"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_ref",
+            "n_hyp",
+            "lcs_len",
+            F.expr("lcs_len * 1000000 div greatest(n_ref, 1)")
+            .cast("long")
+            .alias("rouge_l_r_ppm"),
+            F.expr("lcs_len * 1000000 div greatest(n_hyp, 1)")
+            .cast("long")
+            .alias("rouge_l_p_ppm"),
+            F.expr("2 * lcs_len * 1000000 div greatest(n_ref + n_hyp, 1)")
+            .cast("long")
+            .alias("rouge_l_f_ppm"),
+        )
+        .orderBy("doc_a")
+    )

@@ -100,3 +100,76 @@ def test_query_matches_python_reference(spark):
         # WER bounded by max(n_ref, n_hyp)/n_ref; distance >= |n-m|
         assert r.wdist >= abs(r.n_ref - r.n_hyp)
         assert r.wdist <= max(r.n_ref, r.n_hyp)
+
+
+# --- ROUGE-L / LCS ------------------------------------------------------------
+
+
+def _py_lcs(a, b):
+    m = len(b)
+    prev = [0] * (m + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (m + 1)
+        for j in range(1, m + 1):
+            cur[j] = max(
+                prev[j], cur[j - 1], prev[j - 1] + (a[i - 1] == b[j - 1])
+            )
+        prev = cur
+    return prev[m]
+
+
+def _lcs_dp(spark, wa, wb):
+    from medical_ocr_pipeline_spark.queries.qa import _LCS_DP_SPARK
+
+    df = spark.createDataFrame(
+        [Row(wa=wa, wb=wb)], "wa array<string>, wb array<string>"
+    )
+    expr = (
+        F.when(
+            (F.expr("size(wa)") == 0) | (F.expr("size(wb)") == 0), F.lit(0)
+        )
+        .otherwise(F.expr(_LCS_DP_SPARK))
+    )
+    return df.select(expr.cast("long").alias("d")).collect()[0].d
+
+
+def test_lcs_fixtures(spark):
+    cases = [
+        ([], [], 0),
+        ([], ["a"], 0),
+        (["a", "b", "c"], ["a", "b", "c"], 3),
+        (["a", "b", "c"], ["x", "y"], 0),
+        (["a", "b", "c", "d"], ["b", "d"], 2),
+        (["a", "b"], ["b", "a"], 1),                 # order matters
+        (["a", "x", "b", "y", "c"], ["a", "b", "c"], 3),
+        (["a", "a", "b"], ["a", "b", "a"], 2),
+    ]
+    for wa, wb, want in cases:
+        assert _lcs_dp(spark, wa, wb) == want == _py_lcs(wa, wb), (wa, wb)
+
+
+def test_rouge_l_query_matches_python(spark):
+    from medical_ocr_pipeline_spark.queries.qa import qa_rouge_l
+
+    rows = qa_rouge_l(spark, SF_DIR).collect()
+    assert len(rows) == 250
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def words(t):
+        return [w for w in WORD_RE.split((t or "").lower()) if w][:WER_CAP]
+
+    for r in rows[:40]:
+        wa, wb = words(texts[r.doc_a]), words(texts[r.doc_b])
+        lcs = _py_lcs(wa, wb)
+        assert r.lcs_len == lcs
+        assert r.rouge_l_f_ppm == 2 * lcs * 1_000_000 // max(
+            len(wa) + len(wb), 1
+        )
+        # LCS + WER consistency: lcs <= min lengths; and for the same
+        # pair, wdist >= max(n) - lcs (edits must bridge the non-LCS part)
+        assert lcs <= min(r.n_ref, r.n_hyp)
