@@ -2057,3 +2057,160 @@ def head_coverage_frame(docs):
         )
         .orderBy("rk")
     )
+
+
+# --- TextRank keyword centrality ---------------------------------------------
+# Corpus-level TextRank (Mihalcea & Tarau 2004): rank the corpus
+# vocabulary by random-walk centrality in the word co-occurrence graph
+# — the graph-based keyword extractor next to the frequency-ratio
+# tfidf_top_terms (tf-idf scores rarity; TextRank scores structural
+# centrality, surviving even when every document shares the same
+# template vocabulary).  Vertices are canonical words of length >= 4
+# whose corpus count clears a scale-relative floor (n_docs // 20, so
+# the vocabulary stays comparable as the corpus grows); edges are
+# adjacent-word co-occurrences with multiplicity as weight,
+# symmetrized.
+
+TEXTRANK_ITERS = 10
+_TR_MIN_LEN = 4
+_TR_COUNT_DIV = 20
+
+
+def _textrank_oracle_sql(n_iters: int = TEXTRANK_ITERS) -> str:
+    """Unrolled weighted power iteration as chained DuckDB CTEs — one
+    inflow/rank pair per round, replicating the operator's dataflow
+    (operators/textrank.py).  AS MATERIALIZED everywhere for the
+    exponential-inlining reason documented at _pagerank_oracle_sql;
+    cross-engine double noise (~1e-14) sits far below the 8-decimal
+    output rounding."""
+    parts = [f"""
+    WITH w AS MATERIALIZED (
+      SELECT list_filter(
+        string_split_regex(lower(coalesce(text, '')), '{_WORD_SPLIT}'),
+        x -> len(x) >= {_TR_MIN_LEN}) AS ws
+      FROM documents
+    ),
+    nd AS (SELECT GREATEST(COUNT(*) // {_TR_COUNT_DIV}, 3) AS minc
+           FROM documents),
+    cnt AS MATERIALIZED (
+      SELECT g AS word, COUNT(*) AS c
+      FROM (SELECT unnest(ws) AS g FROM w) GROUP BY g
+    ),
+    kept AS MATERIALIZED (
+      SELECT word FROM cnt, nd WHERE c >= nd.minc
+    ),
+    bg AS MATERIALIZED (
+      SELECT split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b
+      FROM (
+        SELECT unnest([ws[i + 1] || ' ' || ws[i + 2]
+                       FOR i IN range(0, greatest(len(ws) - 1, 0))]) AS g
+        FROM w)
+      WHERE split_part(g, ' ', 1) <> split_part(g, ' ', 2)
+    ),
+    e AS MATERIALIZED (
+      SELECT a, b, COUNT(*) AS wt FROM bg
+      JOIN kept ka ON ka.word = a JOIN kept kb ON kb.word = b
+      GROUP BY a, b
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst, CAST(SUM(wt) AS BIGINT) AS w FROM (
+        SELECT a, b, wt FROM e UNION ALL SELECT b, a, wt FROM e
+      ) GROUP BY a, b
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM sym),
+    nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+    wsum AS MATERIALIZED (
+      SELECT src, SUM(w) AS wu FROM sym GROUP BY src
+    ),
+    r0 AS (SELECT vertex, 1.0 / nv.n AS rank FROM verts, nv)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+    inf{i} AS MATERIALIZED (
+      SELECT e.dst AS vertex, SUM(r.rank * e.w / s.wu) AS inflow
+      FROM sym e
+      JOIN wsum s ON s.src = e.src
+      JOIN r{i - 1} r ON r.vertex = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT v.vertex,
+             (1.0 - 0.85) / nv.n
+               + 0.85 * COALESCE(inf{i}.inflow, 0.0) AS rank
+      FROM verts v LEFT JOIN inf{i} ON v.vertex = inf{i}.vertex, nv
+    )""")
+    parts.append(f"""
+    SELECT vertex AS word, ROUND(rank, 8) AS rank
+    FROM r{n_iters} ORDER BY rank DESC, word""")
+    return "".join(parts)
+
+
+@register("textrank_keywords", sql=_textrank_oracle_sql())
+def textrank_keywords(spark, sf_dir):
+    """TextRank keyword centrality over the corpus word co-occurrence
+    graph: canonical words (length >= {ml}, corpus count >= n_docs //
+    {div}) linked by adjacent co-occurrence with multiplicity weights,
+    ranked by {it} weighted power iterations (operators/textrank.py —
+    no dangling term, the graph is symmetric by construction).  Full
+    DuckDB oracle: graph construction mirrors array-side (the
+    qa_rouge_overlap bigram trick) and the iterations unroll into
+    chained CTEs; ranks round to 8 decimals (double summation-order
+    noise ~1e-14, the host_pagerank margin) with a word tie-break.
+
+    100 TB shape: the heavy stages are the two combinable groupBys
+    (word counts, edge counts) over array-side bigrams — no window, no
+    self-join on the corpus; the power iteration then runs on the
+    VOCABULARY graph, whose size is corpus-independent by the
+    scale-relative count floor.  This is the standard shape for
+    graph-based keyword extraction over a crawl: reduce to the word
+    graph first, iterate on the reduction.""".format(
+        ml=_TR_MIN_LEN, div=_TR_COUNT_DIV, it=TEXTRANK_ITERS
+    )
+    from medical_ocr_pipeline_spark.operators.textrank import textrank
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    minc = max(n_docs // _TR_COUNT_DIV, 3)
+    ws = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _WORD_SPLIT),
+        lambda x: F.length(x) >= _TR_MIN_LEN,
+    )
+    w = docs.select(ws.alias("ws"))
+    cnt = (
+        w.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    kept = cnt.where(F.col("c") >= minc).select("word")
+    big = F.expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', ws[i + 1]))"
+    )
+    bg = (
+        w.select(F.explode(big).alias("g"))
+        .select(
+            F.expr("split_part(g, ' ', 1)").alias("a"),
+            F.expr("split_part(g, ' ', 2)").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+    )
+    e = (
+        bg.join(F.broadcast(kept.select(F.col("word").alias("a"))), "a")
+        .join(F.broadcast(kept.select(F.col("word").alias("b"))), "b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("wt"))
+    )
+    sym = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"), "wt")
+        .unionAll(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"), "wt")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("wt").cast("long").alias("w"))
+    )
+    return (
+        textrank(sym, n_iters=TEXTRANK_ITERS)
+        .select(
+            F.col("vertex").alias("word"), F.round("rank", 8).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("word"))
+    )
