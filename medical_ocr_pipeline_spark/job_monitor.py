@@ -19,6 +19,10 @@ numbers the correctness gate pins:
                             (diversity_frame)
   <out>/monitor_drift/      train/test unigram drift top-k (drift_frame)
   <out>/monitor_oov/        test-vs-train OOV rates (oov_frame)
+  <out>/monitor_ks/         per-language Kolmogorov-Smirnov length
+                            drift (ks_frame)
+  <out>/monitor_mw/         per-language Mann-Whitney 2U / AUC
+                            (mw_frame)
   <out>/eval_sample/        the deterministic fixed-k human-eval draw
                             (sample_frame)
   <out>/metrics/            one summary row per run (run_id, ts, doc
@@ -51,6 +55,8 @@ from medical_ocr_pipeline_spark.queries.stats import (
     diversity_frame,
     drift_frame,
     gini_frame,
+    ks_frame,
+    mw_frame,
     oov_frame,
     sample_frame,
     split_quantiles_frame,
@@ -68,6 +74,8 @@ STAGES = (
     ("monitor_oov", oov_frame),
     ("monitor_quantiles", split_quantiles_frame),
     ("monitor_head_coverage", head_coverage_frame),
+    ("monitor_ks", ks_frame),
+    ("monitor_mw", mw_frame),
     ("eval_sample", sample_frame),
 )
 
@@ -104,6 +112,11 @@ def run_monitors(spark, args, out: str) -> None:
     max_drift = drift.agg(
         F.coalesce(F.max("contrib_ppb"), F.lit(0))
     ).collect()[0][0]
+    max_ks = (
+        spark.read.parquet(f"{out}/monitor_ks")
+        .agg(F.coalesce(F.max("ks_ppm"), F.lit(0)))
+        .collect()[0][0]
+    )
     worst_oov = oov.agg(
         F.coalesce(F.max("oov_ppm"), F.lit(0))
     ).collect()[0][0]
@@ -120,14 +133,15 @@ def run_monitors(spark, args, out: str) -> None:
                 int(chi2_total),
                 n_cells,
                 int(max_drift),
+                int(max_ks),
                 int(worst_oov),
                 n_oov_langs,
                 n_sampled,
             )
         ],
         "run_id string, n_docs long, chi2_total_ppm long, chi2_cells long,"
-        " max_drift_ppb long, worst_oov_ppm long, oov_langs long,"
-        " n_sampled long",
+        " max_drift_ppb long, max_ks_ppm long, worst_oov_ppm long,"
+        " oov_langs long, n_sampled long",
     ).withColumn("ts", F.current_timestamp())
     ws(metrics, f"{out}/metrics", mode="append")
 
@@ -135,6 +149,7 @@ def run_monitors(spark, args, out: str) -> None:
     print(
         f"RESULT docs={n_docs} chi2_cells={n_cells} "
         f"chi2_total_ppm={int(chi2_total)} max_drift_ppb={int(max_drift)} "
+        f"max_ks_ppm={int(max_ks)} "
         f"oov_langs={n_oov_langs} sampled={n_sampled} "
         f"secs={time.time() - t0:.1f}"
     )

@@ -33,12 +33,12 @@ from medical_ocr_pipeline_spark.queries.base import REGISTRY  # noqa: F401
 # driver's 50-entry window) regardless of module import order: entries
 # that are new or semantically changed this round, so every change lands
 # with an independent driver correctness record.  Round 4 ran in two
-# sessions and produced more new oracles (~70) than the window holds;
-# the 50 slots are allocated by evidence value — (1) the continuation
-# wave's representatives, (2) the five VERDICT r03 closure items whose
-# "Done" criterion names a driver row, (3) the first-session wave —
-# with the relegation rationale documented at the slot-50 boundary
-# comment below.  Every entry past the window is green in the committed
+# sessions (plus a third continuation) and produced more new oracles
+# (~75) than the window holds; the 50 slots are allocated by evidence
+# value — (1) the continuation waves' representatives, (2) the five
+# VERDICT r03 closure items whose "Done" criterion names a driver row,
+# (3) the first-session wave — with the relegation rationale documented
+# at the slot-50 boundary comment below.  Every entry past the window is green in the committed
 # LOCAL_GATE_r04.md full-registry run (zero failures) and/or holds a
 # prior-round driver row with unchanged code (audited).
 _PROMOTE_TO_WINDOW = [
@@ -69,6 +69,16 @@ _PROMOTE_TO_WINDOW = [
     "bpe_encode_stats",
     "pack_best_fit",
     "host_pagerank",
+    # --- third-session wave: new operator families with no prior
+    # evidence anywhere (rank-statistic drift, graph k-core, the
+    # Catalyst DP fold metrics, TextRank) — each needs its first
+    # driver record ---
+    "ks_split_drift",
+    "mannwhitney_split",
+    "host_kcore",
+    "qa_wer_exact",
+    "qa_rouge_l",
+    "textrank_keywords",
     # --- round-4 first-session wave (new oracles, no prior rows) ---
     "sketch_hll_distinct",
     "sketch_cms_heavy",
@@ -93,21 +103,30 @@ _PROMOTE_TO_WINDOW = [
     "zorder_layout",
     "dedup_containment",
     "kmeans_silhouette",
+    # ---------------- window boundary (slot 50) ------------------
+    # Everything below is PAST the driver's 50-entry window and is
+    # covered by the committed LOCAL_GATE_r04.md full-registry run
+    # (exact oracles, zero failures) plus its own reference tests.
+    # Relegation rationale for the six first-session entries displaced
+    # by the third-session wave: dedup_components holds a GREEN r03
+    # driver row with unchanged code; kmeans_embeddings shares its
+    # unrolled Lloyd oracle chain with kmeans_silhouette (in-window);
+    # ols_chars_vs_words shares the combinable moment-sum discipline
+    # with corr_doc_stats (in-window); iqr_outliers' rank-selection
+    # core is exercised by split_length_quantiles' precedent and its
+    # own Tukey reference test; lm_kneser_ney sits next to the
+    # r03-rowed ngram_lm_score family; dup_source_matrix is a small
+    # pivot over the r01-rowed exact-dedup core.  The earlier
+    # relegated continuation entries (mad_outliers, event_burstiness,
+    # rolling_active_users, host_assortativity, split_length_quantiles)
+    # and the two rows-only unigram entries keep exact local-gate rows
+    # + pure-python reference pins, no VERDICT closure riding on them.
     "iqr_outliers",
     "ols_chars_vs_words",
     "kmeans_embeddings",
     "lm_kneser_ney",
     "dup_source_matrix",
     "dedup_components",
-    # ---------------- window boundary (slot 50) ------------------
-    # Everything below is PAST the driver's 50-entry window and is
-    # covered by the committed LOCAL_GATE_r04.md full-registry run
-    # (148 exact oracles, zero failures) plus its own reference tests;
-    # the four relegated continuation entries (event_burstiness,
-    # rolling_active_users, host_assortativity, split_length_quantiles)
-    # and the two rows-only unigram entries were chosen as the
-    # lowest-cost displacements: exact local-gate rows + pure-python
-    # reference pins, no VERDICT closure riding on them.
     "mad_outliers",
     "event_burstiness",
     "rolling_active_users",

@@ -1216,7 +1216,12 @@ def ks_split_drift(spark, sf_dir):
     not corpus size) -> combinable per-lang max.  This is how
     distribution-level drift gates run inside a corpus-refresh job
     without sampling or sketches."""
-    cum = _split_cum_frame(load(spark, sf_dir, "documents"))
+    return ks_frame(load(spark, sf_dir, "documents"))
+
+
+def ks_frame(docs):
+    """Frame-level core of ks_split_drift (job_monitor surface)."""
+    cum = _split_cum_frame(docs)
     gap = F.abs(
         F.col("cum_t") * F.col("n_e") - F.col("cum_e") * F.col("n_t")
     )
@@ -1270,7 +1275,12 @@ def mannwhitney_split(spark, sf_dir):
     the _split_cum_frame bucket-table core (one scan, combinable
     counts, bounded window), so a monitor job computes both from a
     single pass."""
-    cum = _split_cum_frame(load(spark, sf_dir, "documents"))
+    return mw_frame(load(spark, sf_dir, "documents"))
+
+
+def mw_frame(docs):
+    """Frame-level core of mannwhitney_split (job_monitor surface)."""
+    cum = _split_cum_frame(docs)
     u2t = F.col("ct") * (
         2 * (F.col("cum_e") - F.col("ce")) + F.col("ce")
     )

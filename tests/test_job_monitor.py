@@ -35,6 +35,8 @@ def run_dir(spark, tmp_path_factory):
         ("monitor_oov", "oov_rate"),
         ("monitor_quantiles", "split_length_quantiles"),
         ("monitor_head_coverage", "token_head_coverage"),
+        ("monitor_ks", "ks_split_drift"),
+        ("monitor_mw", "mannwhitney_split"),
         ("eval_sample", "sample_fixed_k"),
     ],
 )
@@ -65,6 +67,8 @@ def test_metrics_row_reconciles_with_stages(spark, run_dir):
         row.max_drift_ppb
         == drift.agg(F.max("contrib_ppb")).collect()[0][0]
     )
+    ks = spark.read.parquet(f"{run_dir}/monitor_ks")
+    assert row.max_ks_ppm == ks.agg(F.max("ks_ppm")).collect()[0][0]
     assert row.n_sampled == spark.read.parquet(
         f"{run_dir}/eval_sample"
     ).count()
@@ -81,6 +85,6 @@ def test_resume_skips_complete_stages(spark, run_dir, capsys):
     )
     run_monitors(spark, args, run_dir)
     out = capsys.readouterr().out
-    assert out.count("resumed") == 9
+    assert out.count("resumed") == 11
     # metrics appends: now two run rows
     assert spark.read.parquet(f"{run_dir}/metrics").count() == 2
