@@ -79,6 +79,9 @@ _PROMOTE_TO_WINDOW = [
     "qa_wer_exact",
     "qa_rouge_l",
     "textrank_keywords",
+    # (qa_local_align, the third DP-fold metric, stays past the window:
+    # its two in-window family twins exercise the identical fold
+    # machinery, and it keeps an exact local-gate row + SW fixtures)
     # --- round-4 first-session wave (new oracles, no prior rows) ---
     "sketch_hll_distinct",
     "sketch_cms_heavy",

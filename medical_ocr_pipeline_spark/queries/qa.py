@@ -796,3 +796,168 @@ def qa_rouge_l(spark, sf_dir):
         )
         .orderBy("doc_a")
     )
+
+
+# --- Smith-Waterman local alignment ------------------------------------------
+# Third member of the Catalyst DP-fold family: qa_wer_exact scores
+# GLOBAL edit distance, qa_rouge_l the longest in-order SUBSEQUENCE;
+# Smith-Waterman scores the best LOCAL alignment — the strongest
+# contiguous shared passage (quotes, boilerplate runs, copied
+# paragraphs) that both global metrics dilute over the full document.
+# Classic linear-gap scoring: match +2, mismatch -1, gap -1, floor 0.
+# The within-row dependency curr[j-1] - g unrolls the same way as
+# qa_wer_exact's: curr[j] = max(0, max_{k<=j}(bm[k] + k) - j) with
+# bm[k] = max(prev[k-1] + s_k, prev[k] - 1), and the running best
+# needs no prefix at all (max_j curr[j] = max(0, max_k bm[k])), so the
+# fold state is the DP row plus ONE extra slot carrying the best score
+# so far.  All integer — exact across engines by construction.
+
+SW_MATCH = 2      # these literals appear inline in both DP bodies;
+SW_MISMATCH = -1  # keep the constants and the SQL text in sync
+SW_GAP = 1
+
+_SW_DP_SPARK = """
+  element_at(
+    aggregate(
+      wa,
+      array_repeat(0, size(wb) + 2),
+      (st, w) -> concat(
+        transform(
+          sequence(0, size(wb)),
+          j -> if(j = 0, 0, greatest(0,
+            array_max(slice(
+              transform(sequence(1, size(wb)),
+                k -> greatest(element_at(st, k)
+                                + if(w = element_at(wb, k), 2, -1),
+                              element_at(st, k + 1) - 1) + k),
+              1, j)) - j))
+        ),
+        array(greatest(
+          element_at(st, size(wb) + 2),
+          array_max(
+            transform(sequence(1, size(wb)),
+              k -> greatest(element_at(st, k)
+                              + if(w = element_at(wb, k), 2, -1),
+                            element_at(st, k + 1) - 1)))))
+      )
+    ),
+    size(wb) + 2)
+"""
+
+
+@register(
+    "qa_local_align",
+    sql=f"""
+    WITH RECURSIVE
+    d AS MATERIALIZED (
+      SELECT doc_id, list_slice(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+               x -> x <> ''), 1, {WER_CAP}) AS ws
+      FROM documents WHERE doc_id < 500
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ws AS wa, b.ws AS wb
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 250
+      WHERE a.doc_id < 250
+    ),
+    dp AS (
+      SELECT doc_a, doc_b, wa, wb, 0 AS i,
+             list_transform(range(0, len(wb) + 2), x -> 0) AS st
+      FROM pairs
+      UNION ALL
+      SELECT doc_a, doc_b, wa, wb, i + 1,
+             list_append(
+               list_transform(range(0, len(wb) + 1),
+                 j -> CASE WHEN j = 0 THEN 0 ELSE greatest(0,
+                   list_aggregate(list_slice(
+                     list_transform(range(1, len(wb) + 1),
+                       k -> greatest(st[k] + CASE WHEN wa[i + 1] = wb[k]
+                                             THEN 2 ELSE -1 END,
+                                     st[k + 1] - 1) + k),
+                     1, j), 'max') - j) END),
+               greatest(st[len(wb) + 2],
+                 COALESCE(list_aggregate(
+                   list_transform(range(1, len(wb) + 1),
+                     k -> greatest(st[k] + CASE WHEN wa[i + 1] = wb[k]
+                                           THEN 2 ELSE -1 END,
+                                   st[k + 1] - 1)), 'max'), 0)))
+      FROM dp WHERE i < len(wa)
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(wa) AS BIGINT) AS n_ref,
+           CAST(len(wb) AS BIGINT) AS n_hyp,
+           CAST(st[len(wb) + 2] AS BIGINT) AS sw_score,
+           CAST(st[len(wb) + 2] * 1000000
+                // GREATEST({SW_MATCH} * LEAST(len(wa), len(wb)), 1)
+             AS BIGINT) AS align_ppm
+    FROM dp WHERE i = len(wa) ORDER BY doc_a
+    """,
+)
+def qa_local_align(spark, sf_dir):
+    """Smith-Waterman local alignment score between the
+    deterministically paired documents (i, i+250) over the first
+    WER_CAP canonical words: the strongest shared contiguous passage
+    under match +2 / mismatch -1 / gap -1 with the standard zero
+    floor.  align_ppm normalizes by the maximum attainable score
+    (SW_MATCH * min(n_ref, n_hyp)) in exact integer ppm.  Same engine
+    strategy as qa_wer_exact/qa_rouge_l — a pure Catalyst aggregate()
+    fold whose state is the DP row plus one best-so-far slot, mirrored
+    bit-exactly by the oracle's recursive CTE; every value is an
+    integer, so no rounding discipline is even needed.
+
+    100 TB shape: identical to qa_wer_exact — pairs hash-distribute,
+    per-pair O(WER_CAP^3) inside whole-stage codegen, zero cross-row
+    state.  In a production dedup stack this is the VERIFY stage run
+    on LSH candidate pairs only, where the local score localizes the
+    shared span that triggered the bucket collision."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    ws = F.slice(
+        F.filter(
+            F.split(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9]+"
+            ),
+            lambda w: w != F.lit(""),
+        ),
+        1,
+        WER_CAP,
+    )
+    d = docs.select("doc_id", ws.alias("ws"))
+    a = d.where(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa")
+    )
+    b = d.where(F.col("doc_id") >= 250).select(
+        (F.col("doc_id") - 250).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("ws").alias("wb"),
+    )
+    score = (
+        F.when(
+            (F.expr("size(wa)") == 0) | (F.expr("size(wb)") == 0), F.lit(0)
+        )
+        .otherwise(F.expr(_SW_DP_SPARK))
+        .cast("long")
+    )
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(wa)").cast("long").alias("n_ref"),
+            F.expr("size(wb)").cast("long").alias("n_hyp"),
+            score.alias("sw_score"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_ref",
+            "n_hyp",
+            "sw_score",
+            F.expr(
+                f"sw_score * 1000000"
+                f" div greatest({SW_MATCH} * least(n_ref, n_hyp), 1)"
+            )
+            .cast("long")
+            .alias("align_ppm"),
+        )
+        .orderBy("doc_a")
+    )

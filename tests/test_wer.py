@@ -173,3 +173,94 @@ def test_rouge_l_query_matches_python(spark):
         # LCS + WER consistency: lcs <= min lengths; and for the same
         # pair, wdist >= max(n) - lcs (edits must bridge the non-LCS part)
         assert lcs <= min(r.n_ref, r.n_hyp)
+
+
+# --- Smith-Waterman local alignment ------------------------------------------
+
+
+def _py_sw(a, b, match=2, mismatch=-1, gap=1):
+    best = 0
+    m = len(b)
+    prev = [0] * (m + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (m + 1)
+        for j in range(1, m + 1):
+            s = match if a[i - 1] == b[j - 1] else mismatch
+            cur[j] = max(0, prev[j - 1] + s, prev[j] - gap, cur[j - 1] - gap)
+            best = max(best, cur[j])
+        prev = cur
+    return best
+
+
+def _sw_dp(spark, wa, wb):
+    from medical_ocr_pipeline_spark.queries.qa import _SW_DP_SPARK
+
+    df = spark.createDataFrame(
+        [Row(wa=wa, wb=wb)], "wa array<string>, wb array<string>"
+    )
+    expr = (
+        F.when(
+            (F.expr("size(wa)") == 0) | (F.expr("size(wb)") == 0), F.lit(0)
+        )
+        .otherwise(F.expr(_SW_DP_SPARK))
+    )
+    return df.select(expr.cast("long").alias("d")).collect()[0].d
+
+
+def test_sw_fixtures(spark):
+    cases = [
+        ([], [], 0),
+        (["a"], [], 0),
+        (["a", "b", "c"], ["a", "b", "c"], 6),          # full match
+        (["a", "b"], ["x", "y"], 0),                    # nothing shared
+        (["x", "a", "b", "y"], ["z", "a", "b", "w"], 4),  # inner run
+        # gap inside a shared run: a b c vs a X b c -> 2+2+2-1 = 5
+        (["a", "b", "c"], ["a", "x", "b", "c"], 5),
+        # local beats global: long junk around a short perfect core
+        (["j1", "j2", "a", "b", "j3"], ["k1", "a", "b", "k2", "k3"], 4),
+        # mismatch inside run: a b c vs a z c -> max(2+2-1... ) = 3
+        (["a", "b", "c"], ["a", "z", "c"], 3),
+    ]
+    for wa, wb, want in cases:
+        assert _sw_dp(spark, wa, wb) == want == _py_sw(wa, wb), (wa, wb)
+
+
+def test_sw_matches_python_on_random_sequences(spark):
+    import hashlib
+
+    def seq(salt, n, vocab):
+        return [
+            "w%d"
+            % (
+                int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+                % vocab
+            )
+            for i in range(n)
+        ]
+
+    for salt in range(6):
+        wa = seq(f"a{salt}", 4 + salt * 6, 3 + salt)
+        wb = seq(f"b{salt}", 2 + salt * 8, 3 + salt)
+        assert _sw_dp(spark, wa, wb) == _py_sw(wa, wb)
+
+
+def test_local_align_query_bounds(spark):
+    from medical_ocr_pipeline_spark.queries.qa import qa_local_align
+
+    rows = qa_local_align(spark, SF_DIR).collect()
+    assert len(rows) == 250
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def words(t):
+        return [w for w in WORD_RE.split((t or "").lower()) if w][:WER_CAP]
+
+    for r in rows[:40]:
+        wa, wb = words(texts[r.doc_a]), words(texts[r.doc_b])
+        assert r.sw_score == _py_sw(wa, wb)
+        assert 0 <= r.sw_score <= 2 * min(len(wa), len(wb))
+        assert 0 <= r.align_ppm <= 1_000_000
