@@ -81,3 +81,73 @@ def stream_hll_sketch(
         .start()
         .awaitTermination()
     )
+
+
+# --- streaming Count-Min sketch ----------------------------------------------
+# The frequency twin of the HLL registers above: streaming state for
+# exact per-word counts is the word table itself (unbounded vocabulary),
+# while the CMS cell table is a bounded (r, c) -> SUM aggregate —
+# _CMS_D x 64 rows per stream, forever, no watermark needed (sum is
+# monotone under append; late data only adds).  The cells after the
+# last micro-batch are IDENTICAL to a batch sketch over the same rows
+# (sum is associative/commutative — the same mergeability the batch
+# query sketch_cms_heavy relies on when its map-side partials combine),
+# which is what the parity test pins.  Point queries (min over the d
+# row estimates) run against the tiny sink table.
+
+
+def cms_cells(docs: DataFrame) -> DataFrame:
+    """(r, c, cell) Count-Min cell frame over the word stream — the
+    cell values of queries/sketches.py::sketch_cms_heavy (there
+    aggregated from the exact count table; summing raw occurrences per
+    cell is the same number), shared so the streaming and batch
+    sketches cannot drift."""
+    from medical_ocr_pipeline_spark.queries.sketches import _CMS_D
+
+    words = docs.select(F.explode(words_expr()).alias("w"))
+    keyed = words.select(
+        "w",
+        F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("r"),
+    ).select(
+        "r",
+        F.expr(
+            MD5_INT48_SPARK.format(x="concat(cast(r as string), ':', w)")
+        )
+        .bitwiseAND(63)
+        .alias("c"),
+    )
+    return keyed.groupBy("r", "c").agg(
+        F.count("*").cast("long").alias("cell")
+    )
+
+
+def stream_cms_sketch(
+    spark: SparkSession,
+    feed_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """AvailableNow streaming run over a parquet file backlog: maintain
+    the CMS cell table across micro-batches and leave the current
+    cells at out_dir after every batch (complete-mode aggregate; the
+    sink is always a valid, queryable sketch of everything ingested so
+    far)."""
+    stream = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(feed_dir)
+    )
+    cells = cms_cells(stream)
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    (
+        cells.writeStream.outputMode("complete")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

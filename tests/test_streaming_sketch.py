@@ -70,3 +70,49 @@ def test_streamed_registers_resume_is_idempotent(spark, tmp_path):
         (r.grp, r.idx): r.rho for r in spark.read.parquet(out).collect()
     }
     assert first == second
+
+
+def test_streamed_cms_cells_equal_batch_and_registry(spark, tmp_path):
+    """Streaming CMS cells == batch cells over the same rows across
+    multiple micro-batches, and point queries from the streamed cells
+    reproduce the registry query's estimates."""
+    import hashlib
+
+    from medical_ocr_pipeline_spark.queries.base import REGISTRY
+    from medical_ocr_pipeline_spark.queries.sketches import _CMS_D
+    from medical_ocr_pipeline_spark.streaming.sketch import (
+        cms_cells,
+        stream_cms_sketch,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    feed = f"{tmp_path}/feed"
+    docs.repartition(4).write.parquet(feed)
+    out = f"{tmp_path}/cells"
+    stream_cms_sketch(spark, feed, out, f"{tmp_path}/ckpt")
+
+    got = {
+        (r.r, r.c): r.cell for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.r, r.c): r.cell for r in cms_cells(docs).collect()
+    }
+    assert got == want
+
+    # point queries against the streamed cells reproduce the registry
+    # query's cms_est for every reported heavy hitter
+    heavy = REGISTRY["sketch_cms_heavy"].fn(spark, SF_DIR).collect()
+    assert heavy
+    for row in heavy:
+        ests = []
+        for r in range(_CMS_D):
+            c = (
+                int(
+                    hashlib.md5(f"{r}:{row.word}".encode()).hexdigest()[:12],
+                    16,
+                )
+                & 63
+            )
+            ests.append(got.get((r, c), 0))
+        assert min(ests) == row.cms_est
+        assert min(ests) >= row.n_exact  # CMS never undercounts
