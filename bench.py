@@ -59,6 +59,16 @@ HEADLINE = [
     # rounds
     "bm25_eval",
     "corr_doc_stats",
+    # round 4 (third session): representatives of the new families —
+    # the Catalyst DP-fold alignment metric (fixed 250-pair set, ~1 s,
+    # corpus-size-flat by construction), the bucket-table KS drift
+    # monitor (~0.5 s, flat), and k-core peeling (~1-2 s, sub-linear:
+    # per-round cost shrinks with the surviving edge list); adds
+    # ~2-4 s to headline_queries_total vs earlier r4 records —
+    # compare per-query across rounds
+    "qa_wer_exact",
+    "ks_split_drift",
+    "host_kcore",
 ]
 
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
