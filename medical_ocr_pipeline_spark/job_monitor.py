@@ -27,8 +27,16 @@ numbers the correctness gate pins:
                             (sample_frame)
   <out>/metrics/            one summary row per run (run_id, ts, doc
                             count, chi-square total, max drift term,
-                            worst-language OOV) — the row a dashboard
-                            threshold watches.
+                            max KS, worst-language OOV) — the row a
+                            dashboard threshold watches.  Appended
+                            per run; when an engine upgrade WIDENS
+                            this schema (max_ks_ppm did), a metrics
+                            dir spanning versions must be read with
+                            mergeSchema=true (old rows surface the new
+                            columns as null) or started fresh —
+                            parquet's footer-picked schema makes a
+                            plain read of a mixed dir file-order
+                            dependent.
 
 Prints one RESULT line: docs, chi2_cells, drift_top, oov_langs,
 sampled, secs.

@@ -44,10 +44,15 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 16,
     spark = edges.sparkSession
     aqe_conf = "spark.sql.adaptive.enabled"
     old_aqe = spark.conf.get(aqe_conf)
+    # checkpoint BEFORE counting: the count and the first peel round
+    # both consume the symmetrize+distinct shuffle, and an eager
+    # localCheckpoint after a separate count() would run that most
+    # expensive stage twice (the flow.persist(); flow.count()
+    # discipline of operators/textrank.py)
+    adj = adj.localCheckpoint()
     n_edges = adj.count()
     if aqe == "off" or (aqe == "auto" and n_edges < 1_000_000):
         spark.conf.set(aqe_conf, "false")
-    adj = adj.localCheckpoint()
     try:
         for _ in range(max_rounds):
             keep = (

@@ -36,7 +36,10 @@ def textrank(edges: DataFrame, n_iters: int = 10,
     )
     n = verts.count()
     if n == 0:
-        return verts.select("vertex", F.lit(0.0).alias("rank"))
+        verts.unpersist()  # the finally below is never reached
+        return edges.select(
+            F.col("src").alias("vertex"), F.lit(0.0).alias("rank")
+        )
     wsum = edges.groupBy("src").agg(F.sum("w").alias("wu"))
     flow = edges.join(wsum, "src").persist()
     flow.count()

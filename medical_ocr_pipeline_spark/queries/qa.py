@@ -631,10 +631,6 @@ def qa_wer_exact(spark, sf_dir):
             F.expr("size(wa)").cast("long").alias("n_ref"),
             F.expr("size(wb)").cast("long").alias("n_hyp"),
             wdist.alias("wdist"),
-            (wdist * 1_000_000)
-            .cast("long")
-            .alias("_num"),
-            F.expr("size(wa)").alias("_den"),
         )
         .select(
             "doc_a",
@@ -642,7 +638,11 @@ def qa_wer_exact(spark, sf_dir):
             "n_ref",
             "n_hyp",
             "wdist",
-            F.expr("_num div greatest(_den, 1)").cast("long").alias("wer_ppm"),
+            # derive from the named column so the O(WER_CAP^3) fold
+            # appears exactly once in the plan (the qa_rouge_l form)
+            F.expr("wdist * 1000000 div greatest(n_ref, 1)")
+            .cast("long")
+            .alias("wer_ppm"),
         )
         .orderBy("doc_a")
     )

@@ -147,6 +147,20 @@ _CMS_W = 64
 _CMS_TOPK = 20
 
 
+def cms_cell_col():
+    """THE Count-Min cell-key column for frames carrying (r, w): the
+    salted md5 of 'r:w' masked to _CMS_W columns.  Single definition
+    shared by the batch sketch's cell build, its probe side, and
+    streaming/sketch.cms_cells — changing the width or hash in one
+    place keeps the streamed-equals-batch parity tests honest instead
+    of silently breaking them."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        MD5_INT48_SPARK.format(x="concat(cast(r as string), ':', w)")
+    ).bitwiseAND(_CMS_W - 1)
+
+
 @register(
     "sketch_cms_heavy",
     sql=f"""
@@ -199,9 +213,7 @@ def sketch_cms_heavy(spark, sf_dir):
         "w",
         "n_exact",
         "r",
-        F.expr(
-            MD5_INT48_SPARK.format(x="concat(cast(r as string), ':', w)")
-        ).bitwiseAND(63).alias("c"),
+        cms_cell_col().alias("c"),
     )
     cells = keyed.groupBy("r", "c").agg(F.sum("n_exact").alias("cell"))
     topk = counts.orderBy(F.desc("n_exact"), "w").limit(_CMS_TOPK)
@@ -209,9 +221,7 @@ def sketch_cms_heavy(spark, sf_dir):
         "w",
         "n_exact",
         "r",
-        F.expr(
-            MD5_INT48_SPARK.format(x="concat(cast(r as string), ':', w)")
-        ).bitwiseAND(63).alias("c"),
+        cms_cell_col().alias("c"),
     )
     return (
         probes.join(cells, ["r", "c"])

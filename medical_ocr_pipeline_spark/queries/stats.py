@@ -1191,7 +1191,7 @@ def _ks_sql() -> str:
            CAST(MAX(n_e) AS BIGINT) AS n_test,
            CAST(MAX(ABS(cum_t * n_e - cum_e * n_t)) AS BIGINT) AS d_num,
            CAST(MAX(ABS(cum_t * n_e - cum_e * n_t)) * 1000000
-                // (MAX(n_t) * MAX(n_e)) AS BIGINT) AS ks_ppm
+                // GREATEST(MAX(n_t) * MAX(n_e), 1) AS BIGINT) AS ks_ppm
     FROM cum GROUP BY lang
     HAVING MAX(n_t) > 0 AND MAX(n_e) > 0
     ORDER BY lang
@@ -1231,9 +1231,14 @@ def ks_frame(docs):
             F.max("n_t").cast("long").alias("n_train"),
             F.max("n_e").cast("long").alias("n_test"),
             F.max(gap).cast("long").alias("d_num"),
+            # greatest(..., 1): the post-agg where() filters empty
+            # splits, but the division must be self-guarding — relying
+            # on the filter being collapsed into the aggregate before
+            # ANSI evaluates the div is planner-dependent (the
+            # diversity_frame / qa.py guard convention)
             F.expr(
                 "cast(max(abs(cum_t * n_e - cum_e * n_t)) * 1000000"
-                " div (max(n_t) * max(n_e)) as bigint)"
+                " div greatest(max(n_t) * max(n_e), 1) as bigint)"
             ).alias("ks_ppm"),
         )
         .where((F.col("n_train") > 0) & (F.col("n_test") > 0))
@@ -1250,7 +1255,8 @@ def _mw_sql() -> str:
            CAST(MAX(n_e) AS BIGINT) AS n_test,
            CAST(SUM(ct * (2 * (cum_e - ce) + ce)) AS BIGINT) AS u2,
            CAST(SUM(ct * (2 * (cum_e - ce) + ce)) * 1000000
-                // (2 * MAX(n_t) * MAX(n_e)) AS BIGINT) AS auc_ppm
+                // GREATEST(2 * MAX(n_t) * MAX(n_e), 1) AS BIGINT)
+             AS auc_ppm
     FROM cum GROUP BY lang
     HAVING MAX(n_t) > 0 AND MAX(n_e) > 0
     ORDER BY lang
@@ -1290,9 +1296,11 @@ def mw_frame(docs):
             F.max("n_t").cast("long").alias("n_train"),
             F.max("n_e").cast("long").alias("n_test"),
             F.sum(u2t).cast("long").alias("u2"),
+            # greatest guard: same ANSI divide-by-zero rationale as
+            # ks_frame above
             F.expr(
                 "cast(sum(ct * (2 * (cum_e - ce) + ce)) * 1000000"
-                " div (2 * max(n_t) * max(n_e)) as bigint)"
+                " div greatest(2 * max(n_t) * max(n_e), 1) as bigint)"
             ).alias("auc_ppm"),
         )
         .where((F.col("n_train") > 0) & (F.col("n_test") > 0))

@@ -2147,10 +2147,11 @@ def _textrank_oracle_sql(n_iters: int = TEXTRANK_ITERS) -> str:
 @register("textrank_keywords", sql=_textrank_oracle_sql())
 def textrank_keywords(spark, sf_dir):
     """TextRank keyword centrality over the corpus word co-occurrence
-    graph: canonical words (length >= {ml}, corpus count >= n_docs //
-    {div}) linked by adjacent co-occurrence with multiplicity weights,
-    ranked by {it} weighted power iterations (operators/textrank.py —
-    no dangling term, the graph is symmetric by construction).  Full
+    graph: canonical words (length >= _TR_MIN_LEN, corpus count >=
+    n_docs // _TR_COUNT_DIV) linked by adjacent co-occurrence with
+    multiplicity weights, ranked by TEXTRANK_ITERS weighted power
+    iterations (operators/textrank.py — no dangling term, the graph is
+    symmetric by construction).  Full
     DuckDB oracle: graph construction mirrors array-side (the
     qa_rouge_overlap bigram trick) and the iterations unroll into
     chained CTEs; ranks round to 8 decimals (double summation-order
@@ -2162,9 +2163,7 @@ def textrank_keywords(spark, sf_dir):
     VOCABULARY graph, whose size is corpus-independent by the
     scale-relative count floor.  This is the standard shape for
     graph-based keyword extraction over a crawl: reduce to the word
-    graph first, iterate on the reduction.""".format(
-        ml=_TR_MIN_LEN, div=_TR_COUNT_DIV, it=TEXTRANK_ITERS
-    )
+    graph first, iterate on the reduction."""
     from medical_ocr_pipeline_spark.operators.textrank import textrank
 
     docs = load(spark, sf_dir, "documents")

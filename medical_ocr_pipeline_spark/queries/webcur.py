@@ -1543,9 +1543,9 @@ def _kcore_oracle_sql(k: int = KCORE_K, n_rounds: int = KCORE_ROUNDS) -> str:
 
 @register("host_kcore", sql=_kcore_oracle_sql())
 def host_kcore(spark, sf_dir):
-    """{k}-core of the hash-random host graph: hosts surviving
+    """KCORE_K-core of the hash-random host graph: hosts surviving
     synchronous peeling (every round drops ALL hosts with fewer than
-    {k} surviving neighbours) plus their degree inside the core.
+    KCORE_K surviving neighbours) plus their degree inside the core.
     Deterministic: both edge endpoints are salted md5 buckets, peeling
     is a pure function of the graph, and the fixpoint is reached well
     inside KCORE_ROUNDS at every SF (the round-(R-1) == round-R
@@ -1556,9 +1556,7 @@ def host_kcore(spark, sf_dir):
     set — no windows, no pair materialization, per-round lineage
     truncation (operators/kcore.py).  Real crawl graphs reach their
     k-core fixpoint in a few dozen rounds; each round's cost SHRINKS
-    with the edge list, the opposite of an iteration blowup.""".format(
-        k=KCORE_K
-    )
+    with the edge list, the opposite of an iteration blowup."""
     from medical_ocr_pipeline_spark.operators.kcore import kcore
 
     docs = load(spark, sf_dir, "documents")

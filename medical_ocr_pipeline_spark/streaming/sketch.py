@@ -102,20 +102,16 @@ def cms_cells(docs: DataFrame) -> DataFrame:
     aggregated from the exact count table; summing raw occurrences per
     cell is the same number), shared so the streaming and batch
     sketches cannot drift."""
-    from medical_ocr_pipeline_spark.queries.sketches import _CMS_D
+    from medical_ocr_pipeline_spark.queries.sketches import (
+        _CMS_D,
+        cms_cell_col,
+    )
 
     words = docs.select(F.explode(words_expr()).alias("w"))
     keyed = words.select(
         "w",
         F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("r"),
-    ).select(
-        "r",
-        F.expr(
-            MD5_INT48_SPARK.format(x="concat(cast(r as string), ':', w)")
-        )
-        .bitwiseAND(63)
-        .alias("c"),
-    )
+    ).select("r", cms_cell_col().alias("c"))
     return keyed.groupBy("r", "c").agg(
         F.count("*").cast("long").alias("cell")
     )
