@@ -571,3 +571,148 @@ def rolling_active_users(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection per event type
+#
+# event_rate_spikes flags POINT anomalies (one loud hour);
+# event_burstiness summarizes dispersion; CUSUM detects SUSTAINED rate
+# drift — many slightly-elevated hours that no single-bucket test sees.
+# The classic clamp recurrence S_t = max(0, S_{t-1} + x_t - ref) is
+# sequential, but the standard identity S_t = cum_t - min(0,
+# min_{k<=t} cum_k) (cum = prefix sums of the deviations) turns it
+# into two cumulative windows — the same prefix-trick family as the
+# qa.py DP folds, here degenerating to plain running aggregates.
+# Deviations are scaled by n_hours so ref = total/n_hours (the
+# per-type span mean) never becomes a float: dev = cnt*n_hours - total
+# exactly, and the alarm threshold of CUSUM_H hourly means cross-
+# multiplies to cusum > CUSUM_H * total.
+#
+# The windows run over the DENSE per-type hour grid — span rows are
+# generated with sequence() so silent hours contribute their negative
+# deviation (a stream that stops must BLEED cusum, not freeze it) —
+# bounded by calendar span x |types|, never by event volume.
+
+CUSUM_H = 12  # alarm at a cumulative excess of 12 hourly means
+
+
+@register(
+    "cusum_events",
+    sql=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, hr
+    ),
+    span AS (
+      SELECT event_type, MIN(hr) AS hr0,
+             CAST(SUM(cnt) AS BIGINT) AS total,
+             MAX(hr) - MIN(hr) + 1 AS n_hours
+      FROM b GROUP BY event_type
+    ),
+    grid AS (
+      SELECT s.event_type, s.hr0 + g.x AS hr, s.total, s.n_hours
+      FROM span s, LATERAL (SELECT unnest(range(0, s.n_hours)) AS x) g
+    ),
+    d AS (
+      SELECT g.event_type, g.hr, COALESCE(b.cnt, 0) AS cnt,
+             COALESCE(b.cnt, 0) * g.n_hours - g.total AS dev,
+             g.total
+      FROM grid g
+      LEFT JOIN b ON b.event_type = g.event_type AND b.hr = g.hr
+    ),
+    c AS (
+      SELECT event_type, hr, cnt, total,
+             CAST(SUM(dev) OVER (PARTITION BY event_type ORDER BY hr
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM d
+    )
+    SELECT event_type, hr, cnt, cum,
+           CAST(cum - LEAST(0, MIN(cum) OVER (
+             PARTITION BY event_type ORDER BY hr
+             ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum,
+           (cum - LEAST(0, MIN(cum) OVER (
+             PARTITION BY event_type ORDER BY hr
+             ROWS UNBOUNDED PRECEDING))) > {CUSUM_H} * total AS is_alarm
+    FROM c ORDER BY event_type, hr
+    """,
+)
+def cusum_events(spark, sf_dir):
+    """Upward CUSUM drift monitor per event type over the dense hour
+    grid: cusum_t = cum_t - min(0, running-min of cum), with cum the
+    prefix sum of the n_hours-scaled deviations cnt*n_hours - total —
+    BIGINT-exact throughout (see block comment: the clamp recurrence's
+    prefix-min identity, the integer ref scaling, and why the grid
+    must be dense).  Alarms when the cumulative excess tops CUSUM_H
+    hourly means: sustained mild elevation that event_rate_spikes'
+    single-bucket ratio never flags.
+
+    100 TB shape: one scan -> one combinable (type, hour) count; the
+    dense grid is |types| x calendar-hours (volume-independent), built
+    with a per-type sequence explode; both cumulative windows run over
+    that bucket table partitioned by type.  The monitor shape for any
+    event rate — the raw stream is only touched by the map-side-
+    combinable count."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+    )
+    b = e.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    span = b.groupBy("event_type").agg(
+        F.min("hr").alias("hr0"),
+        F.sum("cnt").cast("long").alias("total"),
+        (F.max("hr") - F.min("hr") + 1).alias("n_hours"),
+    )
+    grid = span.select(
+        "event_type",
+        "total",
+        "n_hours",
+        "hr0",
+        F.explode(F.expr("sequence(0, n_hours - 1)")).alias("x"),
+    ).select(
+        "event_type",
+        "total",
+        "n_hours",
+        (F.col("hr0") + F.col("x")).alias("hr"),
+    )
+    d = (
+        grid.join(b, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+            (
+                F.coalesce("cnt", F.lit(0)) * F.col("n_hours")
+                - F.col("total")
+            ).alias("dev"),
+            "total",
+        )
+    )
+    cum_w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = d.select(
+        "event_type",
+        "hr",
+        "cnt",
+        "total",
+        F.sum("dev").over(cum_w).cast("long").alias("cum"),
+    )
+    cusum = F.col("cum") - F.least(
+        F.lit(0).cast("long"), F.min("cum").over(cum_w)
+    )
+    return c.select(
+        "event_type",
+        "hr",
+        "cnt",
+        "cum",
+        cusum.cast("long").alias("cusum"),
+        (cusum > CUSUM_H * F.col("total")).alias("is_alarm"),
+    ).orderBy("event_type", "hr")

@@ -739,3 +739,50 @@ def test_mannwhitney_matches_pairwise_counting(spark, docs):
         nt, ne = ref[r["lang"]][0], ref[r["lang"]][1]
         assert r["auc_ppm"] == r["u2"] * 1_000_000 // (2 * nt * ne)
         assert 0 <= r["auc_ppm"] <= 1_000_000
+
+
+def test_cusum_events_matches_sequential_recurrence(spark):
+    """The window-identity CUSUM must equal the classic sequential
+    clamp recurrence S_t = max(0, S_{t-1} + dev_t) replayed over the
+    dense hour grid, empty hours included."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from medical_ocr_pipeline_spark.queries.temporal import (
+        CUSUM_H,
+        cusum_events,
+    )
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, CAST(FLOOR(floor(epoch(ts)) / 3600) AS BIGINT)"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    con.close()
+    buckets = defaultdict(lambda: defaultdict(int))
+    for et, hr in ev:
+        buckets[et][hr] += 1
+    want = {}
+    for et, hrs in buckets.items():
+        hr0, hr1 = min(hrs), max(hrs)
+        n_hours = hr1 - hr0 + 1
+        total = sum(hrs.values())
+        s = 0
+        for hr in range(hr0, hr1 + 1):
+            dev = hrs.get(hr, 0) * n_hours - total
+            s = max(0, s + dev)
+            want[(et, hr)] = (
+                hrs.get(hr, 0),
+                s,
+                s > CUSUM_H * total,
+            )
+    rows = cusum_events(spark, SF).collect()
+    assert len(rows) == len(want)
+    n_alarms = 0
+    for r in rows:
+        cnt, s, alarm = want[(r.event_type, r.hr)]
+        assert (r.cnt, r.cusum, r.is_alarm) == (cnt, s, alarm)
+        assert r.cusum >= 0
+        n_alarms += alarm
+    assert n_alarms > 0  # the sf0.001 stream does drift past 12 means
