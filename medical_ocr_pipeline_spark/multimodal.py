@@ -9,7 +9,11 @@ struct, decoded/feature-extracted inside Arrow batches.
 Decode kernels: REAL pure-python/numpy decoders — PPM P6 / BMP 24-bit,
 8-bit RGB(A) PNG (round 3, stdlib zlib), baseline AND progressive
 JPEG (jpeg.py — from-scratch Huffman + IDCT codec; SOF2 multi-scan
-successive approximation landed round 4), PCM WAV audio (stdlib
+successive approximation landed round 4), baseline TIFF — the
+archival scanned-page format: both byte orders, strip assembly,
+none/PackBits compression, bilevel/gray/RGB (round 4, with an
+encode_tiff round-trip partner; CCITT G3/G4 and TIFF-LZW are the
+documented extension point), PCM WAV audio (stdlib
 `wave`), compressed WAV audio — G.711 mu-law / A-law and IMA ADPCM via
 the from-scratch codecs in audio.py (round 4) — and FLAC (flac.py, a
 full from-scratch lossless decoder+encoder, round 4) produce genuine
@@ -335,14 +339,137 @@ def _decode_gif(payload: bytes):
     raise ValueError("GIF contains no image frame")
 
 
+# --- TIFF (the scanned-document format) --------------------------------------
+# Baseline TIFF 6.0 decode: both byte orders (II/MM), strip-organized
+# bilevel (1-bit) / grayscale (8-bit) / RGB (8,8,8) images, compression
+# 1 (none) and 32773 (PackBits).  That covers the classic scanned-page
+# shapes short of the CCITT fax codes; G3/G4 and TIFF-LZW raise at the
+# documented extension point below.  Reference analogue: the OCR
+# pipeline's page rasters (notebooks/02_ocr_verifier.py) — TIFF is the
+# archival scan format those pages arrive in.
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _tiff_ifd(payload: bytes, e: str):
+    """First IFD as {tag: [values]} (BYTE/SHORT/LONG entries only —
+    the baseline tags this decoder reads are all integral)."""
+    (off,) = struct.unpack(e + "I", payload[4:8])
+    if off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD offset")
+    (n,) = struct.unpack(e + "H", payload[off:off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        ent = payload[off + 2 + 12 * i:off + 14 + 12 * i]
+        if len(ent) < 12:
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+        if typ not in _TIFF_TYPE_SIZE:
+            continue  # RATIONAL/ASCII etc. — not needed for pixels
+        size = _TIFF_TYPE_SIZE[typ] * cnt
+        raw = ent[8:12] if size <= 4 else None
+        if raw is None:
+            (voff,) = struct.unpack(e + "I", ent[8:12])
+            raw = payload[voff:voff + size]
+            if len(raw) < size:
+                raise ValueError("truncated TIFF value block")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(e + fmt * cnt, raw[:size]))
+    return tags
+
+
+def _packbits(data: bytes, expected: int) -> bytes:
+    """Apple PackBits (TIFF compression 32773): n<128 -> copy n+1
+    literals, n>128 -> repeat next byte 257-n times, n=128 no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("PackBits stream shorter than strip")
+    return bytes(out[:expected])
+
+
+def _decode_tiff(payload: bytes):
+    import numpy as np
+
+    e = {b"II": "<", b"MM": ">"}.get(payload[:2])
+    magic = struct.unpack((e or "<") + "H", payload[2:4])[0] if e else 0
+    if e is None or magic != 42:
+        raise ValueError("bad TIFF header")
+    t = _tiff_ifd(payload, e)
+    try:
+        w = t[256][0]
+        h = t[257][0]
+        offsets = t[273]
+        counts = t[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from exc
+    comp = t.get(259, [1])[0]
+    photo = t.get(262, [1])[0]
+    spp = t.get(277, [1])[0]
+    bits = t.get(258, [1] * spp)
+    rows_per_strip = t.get(278, [h])[0] or h
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported (baseline none/"
+            "PackBits only; CCITT G3/G4 and LZW are the documented "
+            "extension point — plug PIL here)"
+        )
+    if (spp, bits) not in ((1, [1]), (1, [8]), (3, [8, 8, 8])):
+        raise NotImplementedError(
+            f"TIFF spp={spp} bits={bits} not supported (bilevel, "
+            "8-bit gray, 8-bit RGB only)"
+        )
+    if t.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    row_bytes = (w + 7) // 8 if bits == [1] else w * spp
+    raw = bytearray()
+    rows_left = h
+    for soff, scnt in zip(offsets, counts):
+        strip_rows = min(rows_per_strip, rows_left)
+        expected = strip_rows * row_bytes
+        chunk = payload[soff:soff + scnt]
+        if len(chunk) < scnt:
+            raise ValueError("truncated TIFF strip")
+        raw += chunk if comp == 1 else _packbits(chunk, expected)
+        rows_left -= strip_rows
+    if len(raw) < h * row_bytes:
+        raise ValueError("TIFF pixel data shorter than dimensions")
+    if bits == [1]:
+        packed = np.frombuffer(
+            bytes(raw[: h * row_bytes]), dtype=np.uint8
+        ).reshape(h, row_bytes)
+        px = np.unpackbits(packed, axis=1)[:, :w] * np.uint8(255)
+        if photo == 0:  # WhiteIsZero
+            px = 255 - px
+        return w, h, np.repeat(px[:, :, None], 3, axis=2)
+    arr = np.frombuffer(bytes(raw[: h * row_bytes]), dtype=np.uint8)
+    if spp == 1:
+        px = arr.reshape(h, w)
+        if photo == 0:
+            px = 255 - px
+        return w, h, np.repeat(px[:, :, None], 3, axis=2)
+    return w, h, arr.reshape(h, w, 3).copy()
+
+
 def decode_image(payload: bytes):
     """Pure-python image decode: PPM P6, 24-bit BMP, 8-bit RGB/RGBA
     PNG, GIF87a/89a (LZW + palette, first frame), and JPEG — baseline
     and progressive (jpeg.py — stream-embedded Huffman/quant tables,
     4:4:4 / 4:2:0 / grayscale, restart intervals, SOF2 spectral
-    selection + successive approximation).  Returns
-    (width, height, HxWx3 uint8 array).  Other formats raise
-    NotImplementedError — plug PIL/opencv here."""
+    selection + successive approximation), and baseline TIFF (both
+    byte orders, strips, none/PackBits, bilevel/gray/RGB — the
+    scanned-document format).  Returns (width, height, HxWx3 uint8
+    array).  Other formats raise NotImplementedError — plug
+    PIL/opencv here."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -355,10 +482,12 @@ def decode_image(payload: bytes):
         from medical_ocr_pipeline_spark.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:2] in (b"II", b"MM") and len(payload) >= 4:
+        return _decode_tiff(payload)
     raise NotImplementedError(
-        "only PPM P6 / 24-bit BMP / 8-bit RGB(A) PNG / GIF / baseline "
-        "JPEG decode natively; other formats need PIL/opencv wired "
-        "into decode_image()"
+        "only PPM P6 / 24-bit BMP / 8-bit RGB(A) PNG / GIF / baseline+"
+        "progressive JPEG / baseline TIFF decode natively; other "
+        "formats need PIL/opencv wired into decode_image()"
     )
 
 
@@ -699,6 +828,33 @@ def encode_png(arr) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(raw, 9))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_tiff(arr) -> bytes:
+    """HxWx3 uint8 -> little-endian uncompressed RGB TIFF (single
+    strip, IFD after the pixel data) — the round-trip partner of
+    _decode_tiff."""
+    h, w = arr.shape[:2]
+    px = arr.tobytes()
+    ifd_off = 8 + len(px)
+    # 8 entries + the out-of-line BitsPerSample triple after the IFD
+    bits_off = ifd_off + 2 + 8 * 12 + 4
+    entries = [
+        (256, 4, 1, w),            # ImageWidth
+        (257, 4, 1, h),            # ImageLength
+        (258, 3, 3, bits_off),     # BitsPerSample -> offset
+        (259, 3, 1, 1),            # Compression: none
+        (262, 3, 1, 2),            # Photometric: RGB
+        (273, 4, 1, 8),            # StripOffsets: right after header
+        (277, 3, 1, 3),            # SamplesPerPixel
+        (279, 4, 1, len(px)),      # StripByteCounts
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)  # no next IFD
+    ifd += struct.pack("<HHH", 8, 8, 8)
+    return b"II*\x00" + struct.pack("<I", ifd_off) + px + ifd
 
 
 def _gif_palette(flat):

@@ -1,0 +1,141 @@
+"""Baseline TIFF codec: encode/decode round trip, both byte orders,
+strip assembly, PackBits (the classic Apple test vector), bilevel
+photometric handling, and the documented unsupported-format guards."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from medical_ocr_pipeline_spark.multimodal import (
+    _decode_tiff,
+    _packbits,
+    decode_image,
+    encode_tiff,
+)
+
+
+def _rgb(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _build_tiff(e, entries, tail, pixel, first_strip_off=None):
+    """Hand-assemble a single-IFD TIFF: header, pixel data at offset 8,
+    IFD after it, `tail` bytes appended after the IFD (out-of-line
+    values referenced by the entries)."""
+    ifd_off = 8 + len(pixel)
+    head = (b"II" if e == "<" else b"MM") + struct.pack(e + "H", 42)
+    ifd = struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3 and cnt == 1:
+            ifd += struct.pack(e + "HHIHH", tag, typ, cnt, val, 0)
+        else:
+            ifd += struct.pack(e + "HHII", tag, typ, cnt, val)
+    ifd += struct.pack(e + "I", 0)
+    return head + struct.pack(e + "I", ifd_off) + pixel + ifd + tail
+
+
+def test_round_trip_rgb():
+    arr = _rgb(13, 7)
+    w, h, out = decode_image(encode_tiff(arr))
+    assert (w, h) == (7, 13)
+    assert np.array_equal(out, arr)
+
+
+def test_packbits_apple_vector():
+    # the canonical PackBits vector from the TIFF 6.0 spec:
+    # FE AA | 02 80 00 2A | FD AA | 03 80 00 2A 22 | F7 AA
+    # -> AA*3, literals 80 00 2A, AA*4, literals 80 00 2A 22, AA*10
+    data = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    want = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22" + "AA" * 10)
+    assert _packbits(data, len(want)) == want
+
+
+def test_gray_big_endian_multistrip_packbits():
+    # 4x6 gray gradient, 2 rows/strip, PackBits per strip, MM order
+    px = np.arange(24, dtype=np.uint8).reshape(4, 6) * 10
+
+    def pb(row_bytes):  # all-literal encoding
+        return bytes([len(row_bytes) - 1]) + row_bytes
+
+    strips = [
+        pb(px[0:2].tobytes()),
+        pb(px[2:4].tobytes()),
+    ]
+    pixel = b"".join(strips)
+    offs = [8, 8 + len(strips[0])]
+    e = ">"
+    ifd_off = 8 + len(pixel)
+    # out-of-line arrays (StripOffsets/ByteCounts, 2 LONGs each) follow
+    # the IFD: 8 entries, 2 + 8*12 + 4 bytes
+    arr_off = ifd_off + 2 + 8 * 12 + 4
+    entries = [
+        (256, 4, 1, 6),
+        (257, 4, 1, 4),
+        (258, 3, 1, 8),
+        (259, 3, 1, 32773),
+        (262, 3, 1, 1),
+        (273, 4, 2, arr_off),
+        (278, 4, 1, 2),
+        (279, 4, 2, arr_off + 8),
+    ]
+    tail = struct.pack(e + "II", *offs) + struct.pack(
+        e + "II", len(strips[0]), len(strips[1])
+    )
+    payload = _build_tiff(e, entries, tail, pixel)
+    w, h, out = _decode_tiff(payload)
+    assert (w, h) == (6, 4)
+    assert np.array_equal(out[:, :, 0], px)
+    assert np.array_equal(out[:, :, 1], px)  # gray replicated
+
+
+def test_bilevel_photometric_inversion():
+    # 2x10 bilevel: row 0 = 1010..., row 1 = all ones; 2-byte rows
+    rows = bytes([0b10101010, 0b10000000, 0b11111111, 0b11000000])
+    for photo, one_val in ((1, 255), (0, 0)):
+        entries = [
+            (256, 4, 1, 10),
+            (257, 4, 1, 2),
+            (258, 3, 1, 1),
+            (259, 3, 1, 1),
+            (262, 3, 1, photo),
+            (273, 4, 1, 8),
+            (279, 4, 1, len(rows)),
+        ]
+        payload = _build_tiff("<", entries, b"", rows)
+        w, h, out = _decode_tiff(payload)
+        assert (w, h) == (10, 2)
+        want0 = [one_val if i % 2 == 0 else 255 - one_val for i in range(10)]
+        assert list(out[0, :, 0]) == want0
+        assert set(out[1, :, 0].tolist()) == {one_val}
+
+
+def test_unsupported_guards():
+    arr = _rgb(4, 4)
+    good = encode_tiff(arr)
+    # flip Compression (tag 259) to CCITT G4 (4): NotImplementedError
+    ifd_off = struct.unpack("<I", good[4:8])[0]
+    n = struct.unpack("<H", good[ifd_off:ifd_off + 2])[0]
+    bad = bytearray(good)
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", good[off:off + 2])[0] == 259:
+            bad[off + 8:off + 10] = struct.pack("<H", 4)
+    with pytest.raises(NotImplementedError):
+        _decode_tiff(bytes(bad))
+    with pytest.raises(ValueError):
+        _decode_tiff(b"II\x00\x00" + good[4:])  # bad magic
+    with pytest.raises(ValueError):
+        _decode_tiff(good[:20])  # truncated
+
+
+def test_decode_image_dispatch_and_features():
+    from medical_ocr_pipeline_spark.multimodal import image_features
+
+    arr = _rgb(9, 9, seed=11)
+    payload = encode_tiff(arr)
+    w, h, out = decode_image(payload)
+    assert (w, h) == (9, 9) and np.array_equal(out, arr)
+    feats = image_features(payload)
+    assert len(feats) > 0
