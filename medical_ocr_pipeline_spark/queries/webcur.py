@@ -1572,3 +1572,70 @@ def host_kcore(spark, sf_dir):
         .select(F.col("vertex").alias("host"), "core_deg")
         .orderBy("host")
     )
+
+
+# --- per-language quality percentile normalization ---------------------------
+# ccnet_buckets cuts the score distribution into three named buckets;
+# downstream samplers (and any cross-language comparison) want the
+# CONTINUOUS rank transform: each doc's quality score mapped to its
+# within-language percentile, so "keep the top 30% of each language"
+# is a single integer predicate and a score of 510 mbp means the same
+# thing in a high-scoring language as in a low-scoring one.  Exact:
+# pct_ppm = (rk - 1) * 1e6 // max(n - 1, 1) over the total
+# (score, doc_id) order — no quantile interpolation, no floats.
+
+
+@register(
+    "quality_percentiles",
+    sql=f"""
+    WITH scored AS ({_CLF_SQL}),
+    r AS (
+      SELECT doc_id, lang, score_mbp,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score_mbp, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    )
+    SELECT doc_id, lang, score_mbp, CAST(rk AS BIGINT) AS rk,
+           CAST(n AS BIGINT) AS n_lang,
+           CAST((rk - 1) * 1000000 // GREATEST(n - 1, 1) AS BIGINT)
+             AS pct_ppm
+    FROM r ORDER BY doc_id
+    """,
+)
+def quality_percentiles(spark, sf_dir):
+    """Within-language percentile rank of the quality-classifier score
+    (rank transform in floor-ppm, (score, doc_id)-tie-broken) — the
+    continuous companion of ccnet_buckets' tertiles: language-balanced
+    quality filtering is then `pct_ppm >= 700000` with no per-language
+    threshold table.
+
+    100 TB shape: classifier serving is the broadcast-join combinable
+    plan of classifier_scores; the rank is a per-language window here
+    (byte-comparable to the oracle) whose megagroup swap-in is the
+    gini two-phase range-partitioned form — documented there, pinned
+    by the same partition-count invariance suite."""
+    scored = classifier_scores(
+        load(spark, sf_dir, "documents"), classifier_weights(spark)
+    ).select("doc_id", "lang", "score_mbp")
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("lang").orderBy("score_mbp", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = scored.select(
+        "doc_id",
+        "lang",
+        "score_mbp",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.select(
+        "doc_id",
+        "lang",
+        "score_mbp",
+        F.col("rk").cast("long").alias("rk"),
+        F.col("n").cast("long").alias("n_lang"),
+        F.expr("(rk - 1) * 1000000 div greatest(n - 1, 1)")
+        .cast("long")
+        .alias("pct_ppm"),
+    ).orderBy("doc_id")

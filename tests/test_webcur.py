@@ -400,3 +400,42 @@ def test_crawl_diff_matches_python_reference(spark):
     # all four classes are exercised by the derived snapshots
     assert set(want.values()) == {"added", "removed", "modified",
                                   "unchanged"}
+
+
+def test_quality_percentiles_is_the_rank_transform(spark):
+    """pct_ppm must be the exact per-language rank transform of the
+    classifier scores, consistent with ccnet_buckets' ordering."""
+    from collections import defaultdict
+
+    from medical_ocr_pipeline_spark.queries.base import REGISTRY
+
+    rows = REGISTRY["quality_percentiles"].fn(spark, SF_DIR).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for lang, rs in by_lang.items():
+        order = sorted(rs, key=lambda r: (r.score_mbp, r.doc_id))
+        n = len(rs)
+        for i, r in enumerate(order, start=1):
+            assert r.rk == i
+            assert r.n_lang == n
+            assert r.pct_ppm == (i - 1) * 1_000_000 // max(n - 1, 1)
+        # bounds + monotonicity of the transform
+        assert order[0].pct_ppm == 0
+        assert order[-1].pct_ppm == 1_000_000
+    # cross-check with ccnet_buckets: a 'head' doc never has a lower
+    # percentile than a 'tail' doc of the same language
+    buckets = {
+        r.doc_id: r.bucket
+        for r in REGISTRY["ccnet_buckets"].fn(spark, SF_DIR).collect()
+    }
+    for lang, rs in by_lang.items():
+        head_min = min(
+            (r.pct_ppm for r in rs if buckets[r.doc_id] == "head"),
+            default=1_000_000,
+        )
+        tail_max = max(
+            (r.pct_ppm for r in rs if buckets[r.doc_id] == "tail"),
+            default=0,
+        )
+        assert head_min >= tail_max
