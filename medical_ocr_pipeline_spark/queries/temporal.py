@@ -716,3 +716,108 @@ def cusum_events(spark, sf_dir):
         cusum.cast("long").alias("cusum"),
         (cusum > CUSUM_H * F.col("total")).alias("is_alarm"),
     ).orderBy("event_type", "hr")
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonality profile per event type
+#
+# The third leg of the rate-monitor family: spikes = point anomalies,
+# cusum = sustained drift, seasonality = the PERIODIC baseline both of
+# them should be judged against (a 9am peak is not an anomaly, it's
+# Tuesday).  Seasonal index per (type, hour-of-day) = the hod's mean
+# hourly rate over the overall mean rate, as the exact integer
+# cross-product cnt_hod * n_hours * 1e6 // (total * n_slots_hod),
+# where n_slots_hod counts that hod's slots in the DENSE span grid
+# (silent 3am hours must drag the 3am index down, same dense-grid
+# rationale as cusum_events).
+
+
+@register(
+    "event_seasonality",
+    sql="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, hr
+    ),
+    span AS (
+      SELECT event_type, MIN(hr) AS hr0,
+             CAST(SUM(cnt) AS BIGINT) AS total,
+             MAX(hr) - MIN(hr) + 1 AS n_hours
+      FROM b GROUP BY event_type
+    ),
+    grid AS (
+      SELECT s.event_type, s.hr0 + g.x AS hr, s.total, s.n_hours
+      FROM span s, LATERAL (SELECT unnest(range(0, s.n_hours)) AS x) g
+    ),
+    d AS (
+      SELECT g.event_type, g.hr % 24 AS hod, COALESCE(b.cnt, 0) AS cnt,
+             g.total, g.n_hours
+      FROM grid g
+      LEFT JOIN b ON b.event_type = g.event_type AND b.hr = g.hr
+    )
+    SELECT event_type, hod,
+           CAST(COUNT(*) AS BIGINT) AS n_slots,
+           CAST(SUM(cnt) AS BIGINT) AS cnt,
+           CAST(SUM(cnt) * MAX(n_hours) * 1000000
+                // GREATEST(MAX(total) * COUNT(*), 1) AS BIGINT)
+             AS season_ppm
+    FROM d GROUP BY event_type, hod
+    ORDER BY event_type, hod
+    """,
+)
+def event_seasonality(spark, sf_dir):
+    """Hour-of-day seasonal index per event type over the dense span
+    grid: season_ppm = (hod mean rate) / (overall mean rate) in exact
+    floor-ppm via cross-multiplication — 1e6 means "an average hour",
+    2e6 "double the average".  Slots are counted on the dense grid so
+    silent hours depress their hod's index (see block comment).
+
+    100 TB shape: identical skeleton to cusum_events — one combinable
+    (type, hour) count, a calendar-bounded dense grid, then a
+    combinable (type, hod) rollup of at most |types| x 24 rows.  No
+    window at all here; the profile is pure groupBy."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+    )
+    b = e.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    span = b.groupBy("event_type").agg(
+        F.min("hr").alias("hr0"),
+        F.sum("cnt").cast("long").alias("total"),
+        (F.max("hr") - F.min("hr") + 1).alias("n_hours"),
+    )
+    grid = span.select(
+        "event_type",
+        "total",
+        "n_hours",
+        "hr0",
+        F.explode(F.expr("sequence(0, n_hours - 1)")).alias("x"),
+    ).select(
+        "event_type",
+        "total",
+        "n_hours",
+        (F.col("hr0") + F.col("x")).alias("hr"),
+    )
+    d = grid.join(b, ["event_type", "hr"], "left").select(
+        "event_type",
+        (F.col("hr") % 24).alias("hod"),
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        "total",
+        "n_hours",
+    )
+    return (
+        d.groupBy("event_type", "hod")
+        .agg(
+            F.count("*").cast("long").alias("n_slots"),
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.expr(
+                "cast(sum(cnt) * max(n_hours) * 1000000"
+                " div greatest(max(total) * count(*), 1) as bigint)"
+            ).alias("season_ppm"),
+        )
+        .orderBy("event_type", "hod")
+    )

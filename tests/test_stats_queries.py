@@ -786,3 +786,53 @@ def test_cusum_events_matches_sequential_recurrence(spark):
         assert r.cusum >= 0
         n_alarms += alarm
     assert n_alarms > 0  # the sf0.001 stream does drift past 12 means
+
+
+def test_event_seasonality_matches_dict_reference(spark):
+    """season_ppm must equal the exact cross-product replayed from the
+    dense grid, and the per-type indices must average to ~1e6."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from medical_ocr_pipeline_spark.queries.temporal import (
+        event_seasonality,
+    )
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, CAST(FLOOR(floor(epoch(ts)) / 3600) AS BIGINT)"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    con.close()
+    buckets = defaultdict(lambda: defaultdict(int))
+    for et, hr in ev:
+        buckets[et][hr] += 1
+    want = {}
+    for et, hrs in buckets.items():
+        hr0, hr1 = min(hrs), max(hrs)
+        n_hours = hr1 - hr0 + 1
+        total = sum(hrs.values())
+        slots = defaultdict(int)
+        cnts = defaultdict(int)
+        for hr in range(hr0, hr1 + 1):
+            slots[hr % 24] += 1
+            cnts[hr % 24] += hrs.get(hr, 0)
+        for hod in slots:
+            want[(et, hod)] = (
+                slots[hod],
+                cnts[hod],
+                cnts[hod] * n_hours * 1_000_000 // (total * slots[hod]),
+            )
+    rows = event_seasonality(spark, SF).collect()
+    assert len(rows) == len(want)
+    weighted = defaultdict(int)
+    slots_sum = defaultdict(int)
+    for r in rows:
+        assert (r.n_slots, r.cnt, r.season_ppm) == want[(r.event_type, r.hod)]
+        weighted[r.event_type] += r.season_ppm * r.n_slots
+        slots_sum[r.event_type] += r.n_slots
+    for et in weighted:
+        # slot-weighted mean index == 1e6 up to floor truncation
+        mean = weighted[et] / slots_sum[et]
+        assert abs(mean - 1_000_000) < 24
