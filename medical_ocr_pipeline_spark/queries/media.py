@@ -135,6 +135,46 @@ def media_features_real(spark, sf_dir):
         {"mime": "video/webm", "width": 640, "height": 360,
          "duration_ms": 2000},
     ))
+    # TIFF rows (round 4, third session): the archival scanned-page
+    # format through the from-scratch baseline decoder — an
+    # uncompressed RGB round-trip of the engine's own encoder, plus a
+    # hand-assembled big-endian PackBits grayscale strip image (the
+    # shape a bilevel/gray document scan actually arrives in)
+    from medical_ocr_pipeline_spark.multimodal import encode_tiff
+
+    tiff_px = np.fromfunction(
+        lambda y, x, c: (41 + 17 * y + 9 * x + 5 * c) % 256, (5, 7, 3)
+    ).astype(np.uint8)
+    rows.append((
+        "img_tiff", "image", encode_tiff(tiff_px),
+        {"mime": "image/tiff", "width": 7, "height": 5,
+         "duration_ms": 0},
+    ))
+    gray = np.arange(24, dtype=np.uint8).reshape(4, 6) * 10
+    strips = [
+        bytes([11]) + gray[0:2].tobytes(),
+        bytes([11]) + gray[2:4].tobytes(),
+    ]
+    pixel = b"".join(strips)
+    ifd_off = 8 + len(pixel)
+    arr_off = ifd_off + 2 + 8 * 12 + 4
+    ifd = struct.pack(">H", 8)
+    for tag, typ, cnt, val in (
+        (256, 4, 1, 6), (257, 4, 1, 4), (258, 3, 1, 8 << 16),
+        (259, 3, 1, 32773 << 16), (262, 3, 1, 1 << 16),
+        (273, 4, 2, arr_off), (278, 4, 1, 2), (279, 4, 2, arr_off + 8),
+    ):
+        ifd += struct.pack(">HHII", tag, typ, cnt, val)
+    ifd += struct.pack(">I", 0)
+    ifd += struct.pack(">II", 8, 8 + len(strips[0]))
+    ifd += struct.pack(">II", len(strips[0]), len(strips[1]))
+    rows.append((
+        "img_tiff_pb", "image",
+        b"MM" + struct.pack(">H", 42) + struct.pack(">I", ifd_off)
+        + pixel + ifd,
+        {"mime": "image/tiff", "width": 6, "height": 4,
+         "duration_ms": 0},
+    ))
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     feats = media_features(media, real_decode=True)
     return feats.select(

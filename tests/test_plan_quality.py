@@ -442,3 +442,98 @@ def test_sample_fixed_k_no_literal_numpartitions(spark):
         spark, SF_DIR
     )._jdf.queryExecution().sparkPlan().toString()
     assert "REPARTITION_BY_NUM" not in plan
+
+
+def test_dp_fold_metrics_no_python_no_blowup(spark):
+    """The DP-fold metrics (WER / ROUGE-L / Smith-Waterman) must be
+    pure Catalyst: no Python evaluation node, no cartesian, and only
+    the pair equi-join's exchanges."""
+    from medical_ocr_pipeline_spark.queries.qa import (
+        qa_local_align,
+        qa_rouge_l,
+        qa_wer_exact,
+    )
+
+    for q in (qa_wer_exact, qa_rouge_l, qa_local_align):
+        plan = final_plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+        assert "MapInArrow" not in plan, q.__name__
+
+
+def test_rank_drift_windows_run_over_bucket_table(spark):
+    """ks/mw windows must consume the aggregated (lang, length) bucket
+    table: a partial (map-side) aggregate appears BELOW the window in
+    the plan, so no window ever sorts raw corpus rows."""
+    from medical_ocr_pipeline_spark.queries.stats import ks_split_drift
+
+    plan = final_plan(ks_split_drift(spark, SF_DIR))
+    assert "Window" in plan
+    win_at = plan.index("Window")
+    # a partial hash aggregate must be deeper in the tree (printed
+    # after) than the window node
+    below = plan[win_at:]
+    assert "HashAggregate" in below and "partial" in below.lower()
+
+
+def test_cusum_windows_over_dense_grid_not_raw_events(spark):
+    from medical_ocr_pipeline_spark.queries.temporal import cusum_events
+
+    plan = final_plan(cusum_events(spark, SF_DIR))
+    assert "Window" in plan
+    below = plan[plan.index("Window"):]
+    assert "HashAggregate" in below and "partial" in below.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_textrank_builds_graph_without_corpus_self_join(spark):
+    """textrank's corpus-touching stages are the two combinable
+    groupBys with the kept-vocab filters applied as broadcast joins.
+    The query's own final plan only shows the post-localCheckpoint
+    tail (the operator truncates lineage every round), so the graph-
+    construction plan is asserted on the edge frame directly."""
+    from medical_ocr_pipeline_spark.queries.base import load
+    from medical_ocr_pipeline_spark.queries.textstats import (
+        _TR_MIN_LEN,
+        _WORD_SPLIT,
+        textrank_keywords,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _WORD_SPLIT),
+        lambda x: F.length(x) >= _TR_MIN_LEN,
+    )
+    w = docs.select(ws.alias("ws"))
+    cnt = (
+        w.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    kept = cnt.where(F.col("c") >= 3).select("word")
+    big = F.expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', ws[i + 1]))"
+    )
+    bg = (
+        w.select(F.explode(big).alias("g"))
+        .select(
+            F.expr("split_part(g, ' ', 1)").alias("a"),
+            F.expr("split_part(g, ' ', 2)").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+    )
+    e = (
+        bg.join(F.broadcast(kept.select(F.col("word").alias("a"))), "a")
+        .join(F.broadcast(kept.select(F.col("word").alias("b"))), "b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("wt"))
+    )
+    plan = final_plan(e)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # and the full query never degenerates to a cartesian either
+    assert "CartesianProduct" not in final_plan(
+        textrank_keywords(spark, SF_DIR)
+    )
