@@ -821,3 +821,144 @@ def event_seasonality(spark, sf_dir):
         )
         .orderBy("event_type", "hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral sequence mining: Markov transitions + frequent paths
+#
+# funnel_conversion matches ONE fixed pattern; these mine the pattern
+# space itself: the first-order event-type transition matrix (where do
+# users go next?) and the most common 3-step paths.  Both reduce to
+# lag windows partitioned per user — high-cardinality partitions, a
+# few rows each, the safe window shape — then combinable counts.
+# Ordering is (ts, event_id): timestamps are unique per user in the
+# testdata, but the event_id tiebreak keeps the sequence total (and
+# the oracle byte-identical) even when they are not.
+
+
+@register(
+    "event_transitions",
+    sql="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    t AS (
+      SELECT prev AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+             AS BIGINT) AS p_ppm
+    FROM t ORDER BY from_type, to_type
+    """,
+)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of event types across all
+    users: per (from, to), the transition count and row-normalized
+    probability in floor-ppm.  The per-from normalizer is a window
+    over the |types|^2 transition matrix, not over events.
+
+    100 TB shape: one lag window partitioned by user (bounded rows per
+    partition, millions of partitions — the orthodox window shape),
+    one combinable pair count, and a 25-row normalization.  The raw
+    stream is touched exactly once."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    t = (
+        s.groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    norm = W.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000").cast("long").alias("_num"),
+        F.sum("n").over(norm).alias("_den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("cast(_num div _den as bigint)").alias("p_ppm"),
+    ).orderBy("from_type", "to_type")
+
+
+PATHS_TOPK = 20
+
+
+@register(
+    "event_paths_topk",
+    sql=f"""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p1,
+             LAG(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p2
+      FROM events
+    ),
+    tri AS (
+      SELECT user_id, p2 || '>' || p1 || '>' || event_type AS path
+      FROM s WHERE p2 IS NOT NULL
+    ),
+    agg AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM tri GROUP BY path
+    )
+    SELECT path, n_users, n_occurrences
+    FROM agg
+    ORDER BY n_users DESC, n_occurrences DESC, path
+    LIMIT {PATHS_TOPK}
+    """,
+)
+def event_paths_topk(spark, sf_dir):
+    """The {k} most common 3-step event-type paths (by distinct users
+    walking them, then total occurrences, then path — a total
+    tie-break): funnel mining without a pre-declared pattern.  Two lag
+    windows per user produce the trigram stream; counts are
+    combinable; the top-k is a TakeOrdered over the bounded
+    |types|^3 path table.
+
+    100 TB shape: same single-scan per-user window as
+    event_transitions; the path table is at most |types|^3 rows, so
+    the distinct-user count is the only stage that scales with users
+    — and it is a combinable two-level groupBy, never a global
+    window.""".replace("{k}", str(PATHS_TOPK))
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).where(F.col("p2").isNotNull())
+    tri = s.select(
+        "user_id",
+        F.concat_ws(">", "p2", "p1", "event_type").alias("path"),
+    )
+    agg = tri.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return (
+        agg.select("path", "n_users", "n_occurrences")
+        .orderBy(
+            F.desc("n_users"), F.desc("n_occurrences"), F.asc("path")
+        )
+        .limit(PATHS_TOPK)
+    )

@@ -836,3 +836,63 @@ def test_event_seasonality_matches_dict_reference(spark):
         # slot-weighted mean index == 1e6 up to floor truncation
         mean = weighted[et] / slots_sum[et]
         assert abs(mean - 1_000_000) < 24
+
+
+def test_event_transitions_and_paths_match_dict_reference(spark):
+    """Transition matrix and trigram paths replayed from per-user
+    (ts, event_id)-ordered sequences."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from medical_ocr_pipeline_spark.queries.temporal import (
+        PATHS_TOPK,
+        event_paths_topk,
+        event_transitions,
+    )
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, event_type, ts, event_id"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        f" ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    con.close()
+    seqs = defaultdict(list)
+    for uid, et, _, _ in ev:
+        seqs[uid].append(et)
+    trans = Counter()
+    paths = Counter()
+    path_users = defaultdict(set)
+    for uid, s in seqs.items():
+        for a, b in zip(s, s[1:]):
+            trans[(a, b)] += 1
+        for a, b, c in zip(s, s[1:], s[2:]):
+            p = f"{a}>{b}>{c}"
+            paths[p] += 1
+            path_users[p].add(uid)
+    out_sums = Counter()
+    for (a, _), n in trans.items():
+        out_sums[a] += n
+    rows = event_transitions(spark, SF).collect()
+    assert len(rows) == len(trans)
+    for r in rows:
+        n = trans[(r.from_type, r.to_type)]
+        assert r.n == n
+        assert r.p_ppm == n * 1_000_000 // out_sums[r.from_type]
+    # row-normalization sums to ~1e6 per from_type (floor truncation)
+    by_from = defaultdict(int)
+    for r in rows:
+        by_from[r.from_type] += r.p_ppm
+    for tot in by_from.values():
+        assert 1_000_000 - 25 < tot <= 1_000_000
+
+    want = sorted(
+        ((len(path_users[p]), paths[p], p) for p in paths),
+        key=lambda t: (-t[0], -t[1], t[2]),
+    )[:PATHS_TOPK]
+    got = [
+        (r.n_users, r.n_occurrences, r.path)
+        for r in event_paths_topk(spark, SF).collect()
+    ]
+    assert got == want
