@@ -364,8 +364,13 @@ def _tiff_ifd(payload: bytes, e: str):
         if len(ent) < 12:
             raise ValueError("truncated TIFF IFD entry")
         tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
-        if typ not in _TIFF_TYPE_SIZE:
-            continue  # RATIONAL/ASCII etc. — not needed for pixels
+        if typ not in _TIFF_TYPE_SIZE or cnt == 0:
+            # RATIONAL/ASCII etc. aren't needed for pixels; a zero
+            # count would store an empty list whose [0] access later
+            # raises IndexError — which is NOT in media_features'
+            # per-row catch tuple and would kill the task instead of
+            # costing one row
+            continue
         size = _TIFF_TYPE_SIZE[typ] * cnt
         raw = ent[8:12] if size <= 4 else None
         if raw is None:
@@ -439,7 +444,10 @@ def _decode_tiff(payload: bytes):
         chunk = payload[soff:soff + scnt]
         if len(chunk) < scnt:
             raise ValueError("truncated TIFF strip")
-        raw += chunk if comp == 1 else _packbits(chunk, expected)
+        # truncate uncompressed strips to the row payload too: writers
+        # may pad StripByteCounts to a word boundary, and an untrimmed
+        # pad byte would shift every subsequent row silently
+        raw += chunk[:expected] if comp == 1 else _packbits(chunk, expected)
         rows_left -= strip_rows
     if len(raw) < h * row_bytes:
         raise ValueError("TIFF pixel data shorter than dimensions")

@@ -79,9 +79,14 @@ _PROMOTE_TO_WINDOW = [
     "qa_wer_exact",
     "qa_rouge_l",
     "textrank_keywords",
-    # (qa_local_align, the third DP-fold metric, stays past the window:
-    # its two in-window family twins exercise the identical fold
-    # machinery, and it keeps an exact local-gate row + SW fixtures)
+    "cusum_events",
+    "quality_percentiles",
+    # Third-session entries deliberately left PAST the window (each
+    # holds an exact local-gate row + reference tests): qa_local_align
+    # shares the DP-fold machinery with its two in-window twins;
+    # event_seasonality / event_transitions / event_paths_topk share
+    # the dense-grid / per-user-lag skeletons with the in-window
+    # cusum_events and r2-rowed w4/funnel family.
     # --- round-4 first-session wave (new oracles, no prior rows) ---
     "sketch_hll_distinct",
     "sketch_cms_heavy",
@@ -90,8 +95,6 @@ _PROMOTE_TO_WINDOW = [
     "pmi_bigrams",
     "qa_edit_distance",
     "pq_codebook_assign",
-    "ann_pq_topk",
-    "sketch_hll_union",
     "sketch_kmv_distinct",
     "qa_rouge_overlap",
     "ngram_novelty",
@@ -124,6 +127,13 @@ _PROMOTE_TO_WINDOW = [
     # rolling_active_users, host_assortativity, split_length_quantiles)
     # and the two rows-only unigram entries keep exact local-gate rows
     # + pure-python reference pins, no VERDICT closure riding on them.
+    # ann_pq_topk and sketch_hll_union relegate for cusum_events /
+    # quality_percentiles: each is the direct composition of an
+    # in-window sibling's machinery (ann_pq_topk reuses
+    # pq_codebook_assign's codebook/ADC chain; sketch_hll_union merges
+    # the registers sketch_hll_distinct builds).
+    "ann_pq_topk",
+    "sketch_hll_union",
     "iqr_outliers",
     "ols_chars_vs_words",
     "kmeans_embeddings",

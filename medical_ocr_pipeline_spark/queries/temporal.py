@@ -573,34 +573,38 @@ def rolling_active_users(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# CUSUM change-point detection per event type
+# CUSUM change-point detection + hour-of-day seasonality
 #
 # event_rate_spikes flags POINT anomalies (one loud hour);
 # event_burstiness summarizes dispersion; CUSUM detects SUSTAINED rate
-# drift — many slightly-elevated hours that no single-bucket test sees.
-# The classic clamp recurrence S_t = max(0, S_{t-1} + x_t - ref) is
-# sequential, but the standard identity S_t = cum_t - min(0,
-# min_{k<=t} cum_k) (cum = prefix sums of the deviations) turns it
-# into two cumulative windows — the same prefix-trick family as the
-# qa.py DP folds, here degenerating to plain running aggregates.
-# Deviations are scaled by n_hours so ref = total/n_hours (the
-# per-type span mean) never becomes a float: dev = cnt*n_hours - total
-# exactly, and the alarm threshold of CUSUM_H hourly means cross-
-# multiplies to cusum > CUSUM_H * total.
+# drift — many slightly-elevated hours that no single-bucket test sees
+# — and the seasonality profile is the PERIODIC baseline all of them
+# should be judged against (a 9am peak is not an anomaly, it's
+# Tuesday).
 #
-# The windows run over the DENSE per-type hour grid — span rows are
-# generated with sequence() so silent hours contribute their negative
-# deviation (a stream that stops must BLEED cusum, not freeze it) —
-# bounded by calendar span x |types|, never by event volume.
+# Both run over the same DENSE per-type hour grid — span rows are
+# generated with sequence() so silent hours participate (a stream that
+# stops must BLEED cusum and depress its hod's seasonal index) —
+# bounded by calendar span x |types|, never by event volume.  The grid
+# is defined ONCE below (_HOUR_GRID_SQL / _dense_hour_counts), shared
+# by both queries in both engines.
+#
+# CUSUM exactness: the classic clamp recurrence
+# S_t = max(0, S_{t-1} + x_t - ref) is sequential, but the standard
+# identity S_t = cum_t - min(0, min_{k<=t} cum_k) (cum = prefix sums
+# of the deviations) turns it into two cumulative windows — the same
+# prefix-trick family as the qa.py DP folds, degenerating to plain
+# running aggregates.  Deviations are scaled by n_hours so
+# ref = total/n_hours never becomes a float: dev = cnt*n_hours - total
+# exactly, and the alarm threshold of CUSUM_H hourly means
+# cross-multiplies to cusum > CUSUM_H * total.
 
 CUSUM_H = 12  # alarm at a cumulative excess of 12 hourly means
 
-
-@register(
-    "cusum_events",
-    sql=f"""
-    WITH b AS (
+# shared dense-grid CTE chain: (event_type, hr, cnt, total, n_hours)
+# with one row per type per calendar hour of that type's span
+_HOUR_GRID_SQL = """
+    b AS (
       SELECT event_type,
              CAST(FLOOR(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
              CAST(COUNT(*) AS BIGINT) AS cnt
@@ -618,16 +622,58 @@ CUSUM_H = 12  # alarm at a cumulative excess of 12 hourly means
     ),
     d AS (
       SELECT g.event_type, g.hr, COALESCE(b.cnt, 0) AS cnt,
-             COALESCE(b.cnt, 0) * g.n_hours - g.total AS dev,
-             g.total
+             g.total, g.n_hours
       FROM grid g
       LEFT JOIN b ON b.event_type = g.event_type AND b.hr = g.hr
-    ),
+    )
+"""
+
+
+def _dense_hour_counts(spark, sf_dir):
+    """Spark twin of _HOUR_GRID_SQL: (event_type, hr, cnt, total,
+    n_hours) over the dense per-type hour grid."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+    )
+    b = e.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    span = b.groupBy("event_type").agg(
+        F.min("hr").alias("hr0"),
+        F.sum("cnt").cast("long").alias("total"),
+        (F.max("hr") - F.min("hr") + 1).alias("n_hours"),
+    )
+    grid = span.select(
+        "event_type",
+        "total",
+        "n_hours",
+        "hr0",
+        F.explode(F.expr("sequence(0, n_hours - 1)")).alias("x"),
+    ).select(
+        "event_type",
+        "total",
+        "n_hours",
+        (F.col("hr0") + F.col("x")).alias("hr"),
+    )
+    return grid.join(b, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        "total",
+        "n_hours",
+    )
+
+
+@register(
+    "cusum_events",
+    sql=f"""
+    WITH {_HOUR_GRID_SQL},
     c AS (
       SELECT event_type, hr, cnt, total,
-             CAST(SUM(dev) OVER (PARTITION BY event_type ORDER BY hr
-                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
-               AS cum
+             CAST(SUM(cnt * n_hours - total) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       FROM d
     )
     SELECT event_type, hr, cnt, cum,
@@ -656,42 +702,8 @@ def cusum_events(spark, sf_dir):
     that bucket table partitioned by type.  The monitor shape for any
     event rate — the raw stream is only touched by the map-side-
     combinable count."""
-    e = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
-    )
-    b = e.groupBy("event_type", "hr").agg(
-        F.count("*").cast("long").alias("cnt")
-    )
-    span = b.groupBy("event_type").agg(
-        F.min("hr").alias("hr0"),
-        F.sum("cnt").cast("long").alias("total"),
-        (F.max("hr") - F.min("hr") + 1).alias("n_hours"),
-    )
-    grid = span.select(
-        "event_type",
-        "total",
-        "n_hours",
-        "hr0",
-        F.explode(F.expr("sequence(0, n_hours - 1)")).alias("x"),
-    ).select(
-        "event_type",
-        "total",
-        "n_hours",
-        (F.col("hr0") + F.col("x")).alias("hr"),
-    )
-    d = (
-        grid.join(b, ["event_type", "hr"], "left")
-        .select(
-            "event_type",
-            "hr",
-            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
-            (
-                F.coalesce("cnt", F.lit(0)) * F.col("n_hours")
-                - F.col("total")
-            ).alias("dev"),
-            "total",
-        )
+    d = _dense_hour_counts(spark, sf_dir).withColumn(
+        "dev", F.col("cnt") * F.col("n_hours") - F.col("total")
     )
     cum_w = (
         W.partitionBy("event_type")
@@ -718,94 +730,41 @@ def cusum_events(spark, sf_dir):
     ).orderBy("event_type", "hr")
 
 
-# ---------------------------------------------------------------------------
-# Hour-of-day seasonality profile per event type
-#
-# The third leg of the rate-monitor family: spikes = point anomalies,
-# cusum = sustained drift, seasonality = the PERIODIC baseline both of
-# them should be judged against (a 9am peak is not an anomaly, it's
-# Tuesday).  Seasonal index per (type, hour-of-day) = the hod's mean
-# hourly rate over the overall mean rate, as the exact integer
-# cross-product cnt_hod * n_hours * 1e6 // (total * n_slots_hod),
-# where n_slots_hod counts that hod's slots in the DENSE span grid
-# (silent 3am hours must drag the 3am index down, same dense-grid
-# rationale as cusum_events).
-
-
 @register(
     "event_seasonality",
-    sql="""
-    WITH b AS (
-      SELECT event_type,
-             CAST(FLOOR(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM events GROUP BY event_type, hr
-    ),
-    span AS (
-      SELECT event_type, MIN(hr) AS hr0,
-             CAST(SUM(cnt) AS BIGINT) AS total,
-             MAX(hr) - MIN(hr) + 1 AS n_hours
-      FROM b GROUP BY event_type
-    ),
-    grid AS (
-      SELECT s.event_type, s.hr0 + g.x AS hr, s.total, s.n_hours
-      FROM span s, LATERAL (SELECT unnest(range(0, s.n_hours)) AS x) g
-    ),
-    d AS (
-      SELECT g.event_type, g.hr % 24 AS hod, COALESCE(b.cnt, 0) AS cnt,
-             g.total, g.n_hours
-      FROM grid g
-      LEFT JOIN b ON b.event_type = g.event_type AND b.hr = g.hr
-    )
-    SELECT event_type, hod,
+    sql=f"""
+    WITH {_HOUR_GRID_SQL}
+    SELECT event_type, hr % 24 AS hod,
            CAST(COUNT(*) AS BIGINT) AS n_slots,
            CAST(SUM(cnt) AS BIGINT) AS cnt,
-           CAST(SUM(cnt) * MAX(n_hours) * 1000000
-                // GREATEST(MAX(total) * COUNT(*), 1) AS BIGINT)
-             AS season_ppm
+           CAST(FLOOR(CAST(SUM(cnt) * MAX(n_hours) AS DOUBLE)
+                      * 1000000.0
+                      / (CAST(MAX(total) AS DOUBLE) * COUNT(*)))
+             AS BIGINT) AS season_ppm
     FROM d GROUP BY event_type, hod
     ORDER BY event_type, hod
     """,
 )
 def event_seasonality(spark, sf_dir):
     """Hour-of-day seasonal index per event type over the dense span
-    grid: season_ppm = (hod mean rate) / (overall mean rate) in exact
-    floor-ppm via cross-multiplication — 1e6 means "an average hour",
-    2e6 "double the average".  Slots are counted on the dense grid so
-    silent hours depress their hod's index (see block comment).
+    grid: season_ppm = (hod mean rate) / (overall mean rate) in
+    floor-ppm — 1e6 means "an average hour", 2e6 "double the average".
+    Slots are counted on the dense grid so silent hours depress their
+    hod's index (see block comment).  The numerator sum(cnt)*n_hours
+    is BIGINT-exact; the *1e6 scaling and the division go through the
+    identical double expression in both engines (the gini/corr
+    discipline) because scaling first would overflow BIGINT at
+    ~1e9 events/type/year — the denominator is >= 1 by construction
+    (the type exists and has slots), so the double division is total.
 
     100 TB shape: identical skeleton to cusum_events — one combinable
     (type, hour) count, a calendar-bounded dense grid, then a
     combinable (type, hod) rollup of at most |types| x 24 rows.  No
     window at all here; the profile is pure groupBy."""
-    e = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
-    )
-    b = e.groupBy("event_type", "hr").agg(
-        F.count("*").cast("long").alias("cnt")
-    )
-    span = b.groupBy("event_type").agg(
-        F.min("hr").alias("hr0"),
-        F.sum("cnt").cast("long").alias("total"),
-        (F.max("hr") - F.min("hr") + 1).alias("n_hours"),
-    )
-    grid = span.select(
-        "event_type",
-        "total",
-        "n_hours",
-        "hr0",
-        F.explode(F.expr("sequence(0, n_hours - 1)")).alias("x"),
-    ).select(
-        "event_type",
-        "total",
-        "n_hours",
-        (F.col("hr0") + F.col("x")).alias("hr"),
-    )
-    d = grid.join(b, ["event_type", "hr"], "left").select(
+    d = _dense_hour_counts(spark, sf_dir).select(
         "event_type",
         (F.col("hr") % 24).alias("hod"),
-        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        "cnt",
         "total",
         "n_hours",
     )
@@ -814,10 +773,13 @@ def event_seasonality(spark, sf_dir):
         .agg(
             F.count("*").cast("long").alias("n_slots"),
             F.sum("cnt").cast("long").alias("cnt"),
-            F.expr(
-                "cast(sum(cnt) * max(n_hours) * 1000000"
-                " div greatest(max(total) * count(*), 1) as bigint)"
-            ).alias("season_ppm"),
+            F.floor(
+                (F.sum("cnt") * F.max("n_hours")).cast("double")
+                * 1000000.0
+                / (F.max("total").cast("double") * F.count("*"))
+            )
+            .cast("long")
+            .alias("season_ppm"),
         )
         .orderBy("event_type", "hod")
     )
@@ -925,8 +887,8 @@ PATHS_TOPK = 20
     """,
 )
 def event_paths_topk(spark, sf_dir):
-    """The {k} most common 3-step event-type paths (by distinct users
-    walking them, then total occurrences, then path — a total
+    """The PATHS_TOPK most common 3-step event-type paths (by distinct
+    users walking them, then total occurrences, then path — a total
     tie-break): funnel mining without a pre-declared pattern.  Two lag
     windows per user produce the trigram stream; counts are
     combinable; the top-k is a TakeOrdered over the bounded
@@ -936,7 +898,7 @@ def event_paths_topk(spark, sf_dir):
     event_transitions; the path table is at most |types|^3 rows, so
     the distinct-user count is the only stage that scales with users
     — and it is a combinable two-level groupBy, never a global
-    window.""".replace("{k}", str(PATHS_TOPK))
+    window."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )

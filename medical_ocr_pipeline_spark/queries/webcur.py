@@ -1598,8 +1598,8 @@ def host_kcore(spark, sf_dir):
     )
     SELECT doc_id, lang, score_mbp, CAST(rk AS BIGINT) AS rk,
            CAST(n AS BIGINT) AS n_lang,
-           CAST((rk - 1) * 1000000 // GREATEST(n - 1, 1) AS BIGINT)
-             AS pct_ppm
+           CAST((CAST(rk AS BIGINT) - 1) * 1000000
+                // GREATEST(n - 1, 1) AS BIGINT) AS pct_ppm
     FROM r ORDER BY doc_id
     """,
 )
@@ -1635,7 +1635,13 @@ def quality_percentiles(spark, sf_dir):
         "score_mbp",
         F.col("rk").cast("long").alias("rk"),
         F.col("n").cast("long").alias("n_lang"),
-        F.expr("(rk - 1) * 1000000 div greatest(n - 1, 1)")
+        # rk is row_number's IntegerType: the BIGINT cast must happen
+        # BEFORE the *1e6, or a language of >= 2149 docs overflows
+        # 32-bit under ANSI (caught in review; tests only reach ~100
+        # docs per language)
+        F.expr(
+            "(cast(rk as bigint) - 1) * 1000000 div greatest(n - 1, 1)"
+        )
         .cast("long")
         .alias("pct_ppm"),
     ).orderBy("doc_id")

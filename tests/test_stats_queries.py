@@ -819,10 +819,19 @@ def test_event_seasonality_matches_dict_reference(spark):
             slots[hr % 24] += 1
             cnts[hr % 24] += hrs.get(hr, 0)
         for hod in slots:
+            # mirror the engines' double expression exactly (the
+            # BIGINT product cnt*n_hours*1e6 would overflow at ~1e9
+            # events/type/year, so both engines scale in doubles)
+            import math
+
             want[(et, hod)] = (
                 slots[hod],
                 cnts[hod],
-                cnts[hod] * n_hours * 1_000_000 // (total * slots[hod]),
+                math.floor(
+                    float(cnts[hod] * n_hours)
+                    * 1_000_000.0
+                    / (float(total) * float(slots[hod]))
+                ),
             )
     rows = event_seasonality(spark, SF).collect()
     assert len(rows) == len(want)

@@ -139,3 +139,41 @@ def test_decode_image_dispatch_and_features():
     assert (w, h) == (9, 9) and np.array_equal(out, arr)
     feats = image_features(payload)
     assert len(feats) > 0
+
+
+def test_zero_count_ifd_entry_raises_valueerror_not_indexerror():
+    """A malformed IFD whose required tag has count=0 must surface as
+    ValueError (in media_features' per-row catch tuple), never
+    IndexError (which would kill the whole task)."""
+    # tag 256 with cnt=0 -> skipped -> missing required tag
+    entries = [(256, 4, 0, 0), (257, 4, 1, 2)]
+    payload = _build_tiff("<", entries, b"", b"\x00" * 4)
+    with pytest.raises(ValueError):
+        _decode_tiff(payload)
+
+
+def test_padded_uncompressed_strip_does_not_shift_rows():
+    """Writers may pad StripByteCounts past the row payload; the pad
+    byte must be trimmed or every subsequent row shifts silently."""
+    px = np.arange(12, dtype=np.uint8).reshape(2, 6) * 9
+    strips = [px[0:1].tobytes() + b"\xee", px[1:2].tobytes()]  # padded
+    pixel = b"".join(strips)
+    ifd_off = 8 + len(pixel)
+    arr_off = ifd_off + 2 + 8 * 12 + 4
+    entries = [
+        (256, 4, 1, 6),
+        (257, 4, 1, 2),
+        (258, 3, 1, 8),
+        (259, 3, 1, 1),
+        (262, 3, 1, 1),
+        (273, 4, 2, arr_off),
+        (278, 4, 1, 1),
+        (279, 4, 2, arr_off + 8),
+    ]
+    tail = struct.pack("<II", 8, 8 + len(strips[0])) + struct.pack(
+        "<II", len(strips[0]), len(strips[1])
+    )
+    payload = _build_tiff("<", entries, tail, pixel)
+    w, h, out = _decode_tiff(payload)
+    assert (w, h) == (6, 2)
+    assert np.array_equal(out[:, :, 0], px)
