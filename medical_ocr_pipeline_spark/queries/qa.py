@@ -11,7 +11,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from medical_ocr_pipeline_spark.queries.base import ROUND_DIGITS, load, register
+from medical_ocr_pipeline_spark.queries.base import (
+    ROUND_DIGITS,
+    fanout,
+    load,
+    register,
+)
 
 R = ROUND_DIGITS
 
@@ -623,8 +628,13 @@ def qa_wer_exact(spark, sf_dir):
         .otherwise(F.expr(_WER_DP_SPARK))
         .cast("long")
     )
+    # fanout before the fold: at test scale the documents table is ONE
+    # parquet split, so without a key redistribution all 250 per-pair
+    # DP folds run serially on one core (measured 12 s vs ~1 s); at
+    # production scale the join output is already key-distributed and
+    # this is the same hash exchange
     return (
-        a.join(b, "doc_a")
+        fanout(a.join(b, "doc_a"), "doc_a")
         .select(
             "doc_a",
             "doc_b",
@@ -769,8 +779,13 @@ def qa_rouge_l(spark, sf_dir):
         .otherwise(F.expr(_LCS_DP_SPARK))
         .cast("long")
     )
+    # fanout before the fold: at test scale the documents table is ONE
+    # parquet split, so without a key redistribution all 250 per-pair
+    # DP folds run serially on one core (measured 12 s vs ~1 s); at
+    # production scale the join output is already key-distributed and
+    # this is the same hash exchange
     return (
-        a.join(b, "doc_a")
+        fanout(a.join(b, "doc_a"), "doc_a")
         .select(
             "doc_a",
             "doc_b",
@@ -937,8 +952,13 @@ def qa_local_align(spark, sf_dir):
         .otherwise(F.expr(_SW_DP_SPARK))
         .cast("long")
     )
+    # fanout before the fold: at test scale the documents table is ONE
+    # parquet split, so without a key redistribution all 250 per-pair
+    # DP folds run serially on one core (measured 12 s vs ~1 s); at
+    # production scale the join output is already key-distributed and
+    # this is the same hash exchange
     return (
-        a.join(b, "doc_a")
+        fanout(a.join(b, "doc_a"), "doc_a")
         .select(
             "doc_a",
             "doc_b",
