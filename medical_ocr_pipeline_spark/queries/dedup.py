@@ -2002,3 +2002,120 @@ def dedup_containment(spark, sf_dir):
         )
         .orderBy("contained_doc", "container_doc")
     )
+
+
+# --- LSH candidate verification by edit similarity ---------------------------
+# The production near-dup stack is two-stage: CANDIDATE GENERATION
+# (minhash banding — dedup_minhash_lsh) then VERIFICATION on the K
+# collided pairs only.  The banding tier's false positives (two docs
+# sharing one lucky band) must never reach the dedup verdict; the
+# verify stage scores each candidate with true character-level edit
+# similarity and keeps pairs above a threshold.  Cost discipline:
+# levenshtein is O(L^2) per pair, so the comparison runs on a fixed
+# VERIFY_CAP-char prefix (identical cap in both engines — the
+# qa_edit_distance banded-variant note); the pair count K, not the
+# corpus, bounds total work.
+
+VERIFY_CAP = 400
+VERIFY_SIM_PPM = 600_000  # keep pairs with >= 60% prefix similarity
+
+
+@register(
+    "dedup_edit_verify",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    sig AS (
+      SELECT doc_id,
+             [ list_min(list_transform(shingles,
+                 s -> ((1 + 2 * k) * ({MD5_INT48_DUCK.format(x="s")}
+                       % {_MINHASH_P}) + k) % {_MINHASH_P} )
+               ) FOR k IN range(0, {N_HASHES}) ] AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b AS band,
+             md5(array_to_string(
+               sig[b * {_LSH_RPB} + 1 : (b + 1) * {_LSH_RPB}], ','))
+               AS bucket
+      FROM sig, range({_LSH_BANDS}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT c.doc_a, c.doc_b,
+             levenshtein(substr(coalesce(da.text, ''), 1, {VERIFY_CAP}),
+                         substr(coalesce(db.text, ''), 1, {VERIFY_CAP}))
+               AS lev,
+             GREATEST(length(substr(coalesce(da.text, ''), 1,
+                                    {VERIFY_CAP})),
+                      length(substr(coalesce(db.text, ''), 1,
+                                    {VERIFY_CAP})), 1) AS maxlen
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.doc_a
+      JOIN documents db ON db.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(lev AS BIGINT) AS lev,
+           CAST((maxlen - lev) * 1000000 // maxlen AS BIGINT) AS sim_ppm,
+           (maxlen - lev) * 1000000 >= {VERIFY_SIM_PPM} * maxlen
+             AS verified
+    FROM v ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_edit_verify(spark, sf_dir):
+    """Edit-similarity verification of the MinHash-LSH candidate pairs:
+    per collided pair, the exact Levenshtein distance over the first
+    VERIFY_CAP characters, prefix similarity in floor-ppm, and the
+    cross-multiplied verified flag at VERIFY_SIM_PPM — the stage that
+    keeps banding false positives out of the dedup verdict.  The
+    oracle replays the full two-stage chain (the dedup_minhash_lsh
+    banding SQL verbatim + the verify join) so the candidate set and
+    the verdicts are both cross-engine exact.
+
+    100 TB shape: verification touches only the K candidate pairs (two
+    broadcast-or-shuffle equi-joins back to the docs table for the
+    capped prefixes), never the corpus cross product; per-pair cost is
+    bounded by VERIFY_CAP^2 inside whole-stage codegen.  This is the
+    composition the SW docstring promises: generation bounds the pair
+    count, verification bounds the per-pair cost."""
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.expr(
+            f"substr(coalesce(text, ''), 1, {VERIFY_CAP})"
+        ).alias("text_a"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.expr(
+            f"substr(coalesce(text, ''), 1, {VERIFY_CAP})"
+        ).alias("text_b"),
+    )
+    v = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("long").alias("lev"),
+            F.expr(
+                "greatest(length(text_a), length(text_b), 1)"
+            ).alias("maxlen"),
+        )
+    )
+    return v.select(
+        "doc_a",
+        "doc_b",
+        "lev",
+        F.expr("(maxlen - lev) * 1000000 div maxlen")
+        .cast("long")
+        .alias("sim_ppm"),
+        (
+            (F.col("maxlen") - F.col("lev")) * 1_000_000
+            >= VERIFY_SIM_PPM * F.col("maxlen")
+        ).alias("verified"),
+    ).orderBy("doc_a", "doc_b")

@@ -645,3 +645,49 @@ def test_containment_registry_rows_are_oriented_and_thresholded(spark):
         assert r.containment_bp >= CONTAIN_THR_BP
         assert r.n_common <= r.n_small
         assert r.containment_bp == r.n_common * 10000 // r.n_small
+
+
+def test_dedup_edit_verify_matches_python_replay(spark):
+    """The verify stage's lev/sim/verdict must equal a python replay of
+    capped-prefix Levenshtein over exactly the LSH candidate set."""
+    from medical_ocr_pipeline_spark.queries.base import REGISTRY
+    from medical_ocr_pipeline_spark.queries.dedup import (
+        VERIFY_CAP,
+        VERIFY_SIM_PPM,
+    )
+
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR).collect()
+    }
+    texts = {
+        r.doc_id: (r.text or "")[:VERIFY_CAP]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(
+                    prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+                )
+            prev = cur
+        return prev[len(b)]
+
+    rows = REGISTRY["dedup_edit_verify"].fn(spark, SF_DIR).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == cand
+    n_verified = 0
+    for r in rows:
+        a, b = texts[r.doc_a], texts[r.doc_b]
+        d = lev(a, b)
+        m = max(len(a), len(b), 1)
+        assert r.lev == d
+        assert r.sim_ppm == (m - d) * 1_000_000 // m
+        assert r.verified == ((m - d) * 1_000_000 >= VERIFY_SIM_PPM * m)
+        n_verified += r.verified
+    # the synthetic near-dup plants give both verdict classes
+    assert 0 < n_verified < len(rows)
