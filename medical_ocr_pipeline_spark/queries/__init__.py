@@ -86,7 +86,9 @@ _PROMOTE_TO_WINDOW = [
     # shares the DP-fold machinery with its two in-window twins;
     # event_seasonality / event_transitions / event_paths_topk share
     # the dense-grid / per-user-lag skeletons with the in-window
-    # cusum_events and r2-rowed w4/funnel family.
+    # cusum_events and r2-rowed w4/funnel family; dedup_edit_verify
+    # composes the r3-rowed dedup_minhash_lsh banding chain with the
+    # builtin levenshtein already driver-covered by qa_edit_distance.
     # --- round-4 first-session wave (new oracles, no prior rows) ---
     "sketch_hll_distinct",
     "sketch_cms_heavy",
