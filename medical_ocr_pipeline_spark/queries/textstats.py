@@ -2213,3 +2213,75 @@ def textrank_keywords(spark, sf_dir):
         )
         .orderBy(F.desc("rank"), F.asc("word"))
     )
+
+
+# --- language-ID confidence margins ------------------------------------------
+# CCNet-style pipelines threshold the LID classifier's CONFIDENCE, not
+# just its argmax (a doc the model barely prefers as 'en' over 'es' is
+# rejected or routed to review).  For the trigram profile classifier
+# the natural confidence is the integer margin top1 - top2 over the
+# per-language intersection scores — margin 0 is an exact tie broken
+# only by the fixed precedence order, the rows a production gate
+# refuses to trust.  This query is the margin histogram per predicted
+# language: the table a curation pipeline reads to pick its rejection
+# threshold.
+
+
+@register(
+    "langid_margin",
+    sql=f"""
+    WITH tri AS (
+      SELECT lang AS true_lang, {_tri_sql_duck("lower(text)")} AS tri
+      FROM documents
+    ), scored AS (
+      SELECT true_lang, {_LANGID_DUCK_SCORES} FROM tri
+    ), m AS (
+      SELECT true_lang, {_LANGID_DUCK_WINNER} AS pred_lang,
+             list_sort([s_en, s_es, s_de, s_fr]) AS srt
+      FROM scored
+    )
+    SELECT pred_lang,
+           CAST(srt[4] - srt[3] AS BIGINT) AS margin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct
+    FROM m GROUP BY pred_lang, margin
+    ORDER BY pred_lang, margin
+    """,
+)
+def langid_margin(spark, sf_dir):
+    """Confidence-margin histogram of the trigram language classifier:
+    per (predicted language, top1 - top2 score margin), the doc count
+    and how many of them the true label confirms — the calibration
+    table behind a rejection threshold (margin-0 rows are exact ties
+    resolved only by precedence; accuracy should rise with margin).
+    All integer: the scores are intersection sizes, the margin is the
+    difference of the two largest after an array sort (identical
+    4-element sort in both engines).
+
+    100 TB shape: the scoring is langid_ngram's per-row expression
+    chain (array ops inside whole-stage codegen, no UDF, no shuffle);
+    the histogram is one combinable groupBy of at most
+    |langs| x max_profile_size rows."""
+    docs = _langid_pred_frame(load(spark, sf_dir, "documents"))
+    srt = F.array_sort(
+        F.array(*[F.col(f"s_{lg}") for lg in _LANG_ORDER])
+    )
+    m = docs.select(
+        "true_lang",
+        "pred_lang",
+        (F.element_at(srt, 4) - F.element_at(srt, 3)).alias("margin"),
+    )
+    return (
+        m.groupBy("pred_lang", F.col("margin").cast("long").alias("margin"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("pred_lang") == F.col("true_lang"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .orderBy("pred_lang", "margin")
+    )

@@ -905,3 +905,53 @@ def test_event_transitions_and_paths_match_dict_reference(spark):
         for r in event_paths_topk(spark, SF).collect()
     ]
     assert got == want
+
+
+def test_langid_margin_matches_replayed_classifier(spark):
+    """Margins replayed from the python trigram classifier; counts
+    reconcile with langid_eval's totals."""
+    import duckdb
+
+    from medical_ocr_pipeline_spark.queries.textstats import (
+        _LANG_ORDER,
+        _LANG_PROFILES,
+    )
+    from medical_ocr_pipeline_spark.queries.base import REGISTRY
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, lower(coalesce(text, ''))"
+        f" FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    from collections import Counter
+
+    want = Counter()
+    want_correct = Counter()
+    for lang, t in docs:
+        # mirror the engines' generator: substrings start at positions
+        # 1..max(len-2, 1), so a 1-2 char text yields itself and an
+        # empty text yields one empty string
+        tri = {t[i:i + 3] for i in range(max(len(t) - 2, 1))} if t else {""}
+        scores = [
+            len(tri & set(_LANG_PROFILES[lg])) for lg in _LANG_ORDER
+        ]
+        s = dict(zip(_LANG_ORDER, scores))
+        if s["en"] >= s["es"] and s["en"] >= s["de"] and s["en"] >= s["fr"]:
+            pred = "en"
+        elif s["es"] >= s["de"] and s["es"] >= s["fr"]:
+            pred = "es"
+        elif s["de"] >= s["fr"]:
+            pred = "de"
+        else:
+            pred = "fr"
+        srt = sorted(scores)
+        margin = srt[3] - srt[2]
+        want[(pred, margin)] += 1
+        want_correct[(pred, margin)] += pred == lang
+    rows = REGISTRY["langid_margin"].fn(spark, SF).collect()
+    got = {(r.pred_lang, r.margin): (r.n_docs, r.n_correct) for r in rows}
+    assert got == {
+        k: (want[k], want_correct[k]) for k in want
+    }
+    assert sum(n for n, _ in got.values()) == len(docs)
