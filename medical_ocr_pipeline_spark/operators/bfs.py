@@ -6,9 +6,10 @@ hop-from-seed as a frontier/depth feature and link-spam heuristic.
 Shape per round: one equi-join (current frontier rank flows along
 edges, shuffled on src) + one combinable groupBy MIN — no windows, no
 cartesian.  Per-round lineage truncation and the small-graph AQE policy
-follow operators/pagerank.py (AQE's per-stage re-plan rounds cost a
+go through operators/iterloop (AQE's per-stage re-plan rounds cost a
 tiny graph far more than they save; on a billion-edge graph they're
-worth it).
+worth it) — pass `checkpoint_dir` for cluster-safe reliable
+checkpoints with round rotation, as in operators/pagerank.py.
 """
 
 from __future__ import annotations
@@ -16,9 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from medical_ocr_pipeline_spark.operators.iterloop import (
+    RoundCheckpointer,
+    aqe_disabled,
+)
+
 
 def bfs_hops(edges: DataFrame, seed: DataFrame, max_hops: int = 8,
-             aqe: str = "auto") -> DataFrame:
+             aqe: str = "auto", checkpoint_dir: str | None = None) -> DataFrame:
     """edges: (src, dst), directed — pass a symmetrized frame for
     undirected semantics.  seed: 1-column 1-row frame (vertex) holding
     the start vertex.  Returns (vertex, hops:long) for every vertex
@@ -38,44 +44,42 @@ def bfs_hops(edges: DataFrame, seed: DataFrame, max_hops: int = 8,
     )
     n = verts.count()
     spark = edges.sparkSession
-    aqe_conf = "spark.sql.adaptive.enabled"
-    old_aqe = spark.conf.get(aqe_conf)
-    if aqe == "off" or (aqe == "auto" and n < 1_000_000):
-        spark.conf.set(aqe_conf, "false")
-    dist = (
-        seed.select(F.col(seed.columns[0]).alias("vertex"))
-        .withColumn("hops", F.lit(0).cast("long"))
-        .localCheckpoint()
-    )
+    turn_off = aqe == "off" or (aqe == "auto" and n < 1_000_000)
+    ckpt = RoundCheckpointer(spark, checkpoint_dir, name="bfs_rounds")
     try:
-        n_reached = dist.count()
-        for _ in range(max_hops):
-            nxt = (
-                dist.join(edges, dist["vertex"] == edges["src"])
-                .select(
-                    edges["dst"].alias("vertex"),
-                    (dist["hops"] + 1).alias("hops"),
+        with aqe_disabled(spark, turn_off):
+            dist = ckpt.truncate(
+                seed.select(F.col(seed.columns[0]).alias("vertex"))
+                .withColumn("hops", F.lit(0).cast("long"))
+            )
+            n_reached = dist.count()
+            for _ in range(max_hops):
+                nxt = (
+                    dist.join(edges, dist["vertex"] == edges["src"])
+                    .select(
+                        edges["dst"].alias("vertex"),
+                        (dist["hops"] + 1).alias("hops"),
+                    )
                 )
-            )
-            dist = (
-                dist.unionByName(nxt)
-                .groupBy("vertex")
-                .agg(F.min("hops").alias("hops"))
-                .localCheckpoint()  # eager: truncates per-round lineage
-            )
-            now = dist.count()
-            if now == n_reached:  # frontier empty -> fixpoint
-                break
-            n_reached = now
+                dist = ckpt.truncate(  # eager: truncates per-round lineage
+                    dist.unionByName(nxt)
+                    .groupBy("vertex")
+                    .agg(F.min("hops").alias("hops"))
+                )
+                now = dist.count()
+                if now == n_reached:  # frontier empty -> fixpoint
+                    break
+                n_reached = now
+            ckpt.finish(keep=1)
     finally:
-        spark.conf.set(aqe_conf, old_aqe)
+        ckpt.restore()
         verts.unpersist()
     return dist
 
 
 def multi_source_bfs_hops(edges: DataFrame, seeds: DataFrame,
-                          max_hops: int = 8,
-                          aqe: str = "auto") -> DataFrame:
+                          max_hops: int = 8, aqe: str = "auto",
+                          checkpoint_dir: str | None = None) -> DataFrame:
     """All-sources BFS: seeds is a 1-column frame of start vertices and
     the result is (seed, vertex, hops) for every (seed, vertex) pair
     reachable within max_hops.  The state frame carries the seed as a
@@ -88,44 +92,42 @@ def multi_source_bfs_hops(edges: DataFrame, seeds: DataFrame,
     run on the contracted host graph (millions of vertices), while
     sampled-seed variants bound it on the page graph."""
     spark = edges.sparkSession
-    aqe_conf = "spark.sql.adaptive.enabled"
-    old_aqe = spark.conf.get(aqe_conf)
     n_verts = (
         edges.select(F.col("src").alias("v"))
         .union(edges.select(F.col("dst").alias("v")))
         .distinct()
         .count()
     )
-    if aqe == "off" or (aqe == "auto" and n_verts < 1_000_000):
-        spark.conf.set(aqe_conf, "false")
-    dist = (
-        seeds.select(F.col(seeds.columns[0]).alias("seed"))
-        .distinct()
-        .select("seed", F.col("seed").alias("vertex"),
-                F.lit(0).cast("long").alias("hops"))
-        .localCheckpoint()
-    )
+    turn_off = aqe == "off" or (aqe == "auto" and n_verts < 1_000_000)
+    ckpt = RoundCheckpointer(spark, checkpoint_dir, name="msbfs_rounds")
     try:
-        n_pairs = dist.count()
-        for _ in range(max_hops):
-            nxt = (
-                dist.join(edges, dist["vertex"] == edges["src"])
-                .select(
-                    dist["seed"].alias("seed"),
-                    edges["dst"].alias("vertex"),
-                    (dist["hops"] + 1).alias("hops"),
+        with aqe_disabled(spark, turn_off):
+            dist = ckpt.truncate(
+                seeds.select(F.col(seeds.columns[0]).alias("seed"))
+                .distinct()
+                .select("seed", F.col("seed").alias("vertex"),
+                        F.lit(0).cast("long").alias("hops"))
+            )
+            n_pairs = dist.count()
+            for _ in range(max_hops):
+                nxt = (
+                    dist.join(edges, dist["vertex"] == edges["src"])
+                    .select(
+                        dist["seed"].alias("seed"),
+                        edges["dst"].alias("vertex"),
+                        (dist["hops"] + 1).alias("hops"),
+                    )
                 )
-            )
-            dist = (
-                dist.unionByName(nxt)
-                .groupBy("seed", "vertex")
-                .agg(F.min("hops").alias("hops"))
-                .localCheckpoint()
-            )
-            now = dist.count()
-            if now == n_pairs:
-                break
-            n_pairs = now
+                dist = ckpt.truncate(
+                    dist.unionByName(nxt)
+                    .groupBy("seed", "vertex")
+                    .agg(F.min("hops").alias("hops"))
+                )
+                now = dist.count()
+                if now == n_pairs:
+                    break
+                n_pairs = now
+            ckpt.finish(keep=1)
     finally:
-        spark.conf.set(aqe_conf, old_aqe)
+        ckpt.restore()
     return dist

@@ -134,6 +134,7 @@ def _select_batch(rows, m: int,
 
 
 def bpe_train(docs, n_merges: int = 10, batch_size: int = 16,
+              checkpoint_dir: str | None = None,
               _stats: dict | None = None) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges from a documents frame.  Returns the
     rank-ordered merge list.  Ties break lexicographically on (a, b) so
@@ -148,15 +149,26 @@ def bpe_train(docs, n_merges: int = 10, batch_size: int = 16,
     and ~4k at a real 32k-merge vocab.  batch_size=1 is exactly the
     classic one-merge-per-iteration trainer (the equivalence tests pin
     batched == 1-at-a-time).  The table is re-persisted each pass and
-    its predecessor unpersisted, so lineage stays one pass deep.
+    its predecessor unpersisted — note persist only CACHES: the logical
+    plan still chains one fold batch deeper per pass, and a lost cache
+    block recomputes through the whole chain.  `checkpoint_dir`
+    switches the per-pass refresh to RELIABLE checkpoints with round
+    rotation (iterloop.RoundCheckpointer), the cluster-safe form for
+    real 32k-merge runs; the caller owns deleting the dir afterwards.
 
     _stats (tests/diagnostics): receives {"passes": <n>} — the number
     of count->select->apply rounds actually executed."""
+    from medical_ocr_pipeline_spark.operators.iterloop import (
+        RoundCheckpointer,
+    )
+
     wc = word_freq_table(docs).persist()
     wc.count()  # materialize before the loop
     merges: list[tuple[str, str]] = []
     created: set[str] = set()
     passes = 0
+    ckpt = RoundCheckpointer(docs.sparkSession, checkpoint_dir,
+                             name="bpe_rounds")
     try:
         while len(merges) < n_merges:
             m = min(batch_size, n_merges - len(merges))
@@ -175,11 +187,16 @@ def bpe_train(docs, n_merges: int = 10, batch_size: int = 16,
             nxt = wc
             for a, b in batch:
                 nxt = _apply_merge(nxt, a, b)
-            nxt = nxt.persist()
-            nxt.count()
+            if checkpoint_dir is not None:
+                nxt = ckpt.truncate(nxt)
+            else:
+                nxt = nxt.persist()
+                nxt.count()
             wc.unpersist()
             wc = nxt
+        ckpt.finish(keep=0)
     finally:
+        ckpt.restore()
         wc.unpersist()
         if _stats is not None:
             _stats["passes"] = passes

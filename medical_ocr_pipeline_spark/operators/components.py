@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from medical_ocr_pipeline_spark.operators.iterloop import RoundCheckpointer
+
 
 def connected_components(edges: DataFrame, max_iter: int = 20,
                          checkpoint_dir: str | None = None) -> DataFrame:
@@ -44,76 +46,34 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     long prefix-dup chains).  Non-convergence at the cap RAISES instead
     of returning wrong labels.
 
-    Checkpointing (VERDICT r02 demerit #4): each round truncates lineage
-    so the plan doesn't grow exponentially.  With `checkpoint_dir` set
-    the truncation uses RELIABLE checkpoints written under that
-    directory — the cluster-safe form, because a localCheckpoint lives
-    in executor block storage and an executor loss mid-loop makes the
-    labels frame unrecomputable.  Without a dir (this sandbox / tests /
-    single-JVM local mode) it falls back to localCheckpoint, which is
-    faster and safe when executors can't be lost independently.
-
-    Spark never deletes reliable checkpoint files on its own
-    (spark.cleaner.referenceTracking.cleanCheckpoints defaults to
-    false), so each round writes under its own
-    `{checkpoint_dir}/cc_rounds/round_i` subdirectory and round i-1 is
-    deleted as soon as round i is materialized AND the convergence
-    count (which still reads round i-1) has run — a 20-round dedup
-    graph leaves ONE labels snapshot on cluster storage, not 20.  The
-    final round's files back the returned DataFrame and must outlive
-    it: the caller owns deleting `checkpoint_dir` after consuming the
-    result.  setCheckpointDir is global to the SparkContext; the
-    previous checkpoint dir (if any) is restored before returning, but
-    when none was set the last round's subdir necessarily remains the
-    context's checkpoint dir."""
-    sc = edges.sparkSession.sparkContext
-    rounds_base = None
-    restore_dir = None
-    if checkpoint_dir is not None:
-        rounds_base = checkpoint_dir.rstrip("/") + "/cc_rounds"
-        restore_dir = sc.getCheckpointDir()
-
-    def _truncate(df: DataFrame, rnd: int) -> DataFrame:
-        if checkpoint_dir is not None:
-            sc.setCheckpointDir(f"{rounds_base}/round_{rnd}")
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
-    def _drop_round(rnd: int) -> None:
-        """Delete round `rnd`'s checkpoint subdir via the Hadoop FS API
-        (works for HDFS/S3A/local alike, unlike os-level removal)."""
-        if checkpoint_dir is None or rnd < 0:
-            return
-        jpath = sc._jvm.org.apache.hadoop.fs.Path(
-            f"{rounds_base}/round_{rnd}"
-        )
-        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
-        fs.delete(jpath, True)
-
+    Lineage truncation + reliable checkpointing (VERDICT r02 demerit
+    #4) live in operators/iterloop.RoundCheckpointer, the shared home
+    of this file's original pattern: with `checkpoint_dir` each round
+    checkpoints under `{checkpoint_dir}/cc_rounds/round_i` and rounds
+    older than the newest two are reclaimed eagerly (the convergence
+    count still reads round i-1 after round i lands); finish() prunes
+    to ONE snapshot before returning.  The final round's files back the
+    returned DataFrame — the caller owns deleting `checkpoint_dir`
+    after consuming the result.  Without a dir the truncation is a
+    localCheckpoint (single-JVM-safe fallback)."""
     sym = (
         edges.selectExpr("src AS a", "dst AS b")
         .unionByName(edges.selectExpr("dst AS a", "src AS b"))
         .distinct()
     )
-    try:
-        return _propagate(sym, max_iter, _truncate, _drop_round)
-    finally:
-        # the restore must survive the non-convergence RuntimeError and
-        # any mid-loop Spark failure — otherwise the context's GLOBAL
-        # checkpoint dir is left pointing inside {checkpoint_dir}/
-        # cc_rounds/round_N, a directory the caller is told to delete.
-        # Note: setCheckpointDir appends a random UUID, so restore_dir
-        # is the prior dir's UUID-resolved path and re-setting it nests
-        # one more UUID level under the original — functionally sound
-        # (later checkpoints still land under the caller's original
-        # base), just one directory deeper per pass through this path.
-        if restore_dir is not None:
-            sc.setCheckpointDir(restore_dir)
+    # the context manager restores the SparkContext's global checkpoint
+    # dir on EVERY exit path (non-convergence RuntimeError included)
+    with RoundCheckpointer(
+        edges.sparkSession, checkpoint_dir, name="cc_rounds"
+    ) as ckpt:
+        labels = _propagate(sym, max_iter, ckpt.truncate)
+        ckpt.finish(keep=1)
+        return labels
 
 
-def _propagate(sym, max_iter, _truncate, _drop_round):
+def _propagate(sym, max_iter, _truncate):
     """Min-label + pointer-jumping loop, split out so the caller's
-    try/finally checkpoint-dir restore wraps every exit path."""
+    checkpoint-dir restore wraps every exit path."""
     changed = -1
     labels = (
         sym.select(F.col("a").alias("vertex"))
@@ -151,16 +111,13 @@ def _propagate(sym, max_iter, _truncate, _drop_round):
                 ).alias("component"),
             )
         )
-        new_labels = _truncate(new_labels, it)
+        new_labels = _truncate(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "vertex")
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        # the changed-count above was the last reader of round it-1's
-        # checkpoint — reclaim it now
-        _drop_round(it - 1)
         labels = new_labels
         if changed == 0:
             break

@@ -8,9 +8,10 @@ from content pages, which a single eigenvector can't).
 Shape per iteration: two equi-joins (scores flow along edges, shuffled
 on the join key) + two combinable groupBy sums + two 1-row L1-norm
 aggregates folded back via broadcast cross joins — no windows, no
-cartesian, no per-round driver collect.  Small-graph AQE policy and
-per-round localCheckpoint lineage truncation follow
-operators/pagerank.py.
+cartesian, no per-round driver collect.  Small-graph AQE policy
+(thread-safe refcounted guard) and per-round lineage truncation go
+through operators/iterloop — pass `checkpoint_dir` for cluster-safe
+reliable checkpoints with round rotation, as in operators/pagerank.py.
 """
 
 from __future__ import annotations
@@ -18,8 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from medical_ocr_pipeline_spark.operators.iterloop import (
+    RoundCheckpointer,
+    aqe_disabled,
+)
 
-def hits(edges: DataFrame, n_iters: int = 8, aqe: str = "auto") -> DataFrame:
+
+def hits(edges: DataFrame, n_iters: int = 8, aqe: str = "auto",
+         checkpoint_dir: str | None = None) -> DataFrame:
     """edges: (src, dst) directed (multi-edges count with multiplicity,
     matching operators/pagerank.py).  Returns (vertex, auth, hub) for
     every vertex appearing as src or dst; each vector is L1-normalized
@@ -44,54 +51,56 @@ def hits(edges: DataFrame, n_iters: int = 8, aqe: str = "auto") -> DataFrame:
     e = edges.persist()
     e.count()
     spark = edges.sparkSession
-    aqe_conf = "spark.sql.adaptive.enabled"
-    old_aqe = spark.conf.get(aqe_conf)
-    if aqe == "off" or (aqe == "auto" and n < 1_000_000):
-        spark.conf.set(aqe_conf, "false")
-    hub = verts.withColumn("hub", F.lit(1.0 / n)).localCheckpoint()
+    turn_off = aqe == "off" or (aqe == "auto" and n < 1_000_000)
+    # keep_last=2: the returned frame joins the LAST auth and hub
+    # checkpoints, so both must stay on storage (no finish-prune to 1)
+    ckpt = RoundCheckpointer(spark, checkpoint_dir, name="hits_rounds",
+                             keep_last=2)
     auth = None
     try:
-        for _ in range(n_iters):
-            # authority update: a(v) = sum_{u->v} h(u), then L1 norm
-            a_raw = (
-                verts.join(
-                    e.join(hub, e["src"] == hub["vertex"])
-                    .groupBy(e["dst"].alias("vertex"))
-                    .agg(F.sum("hub").alias("s")),
-                    "vertex",
-                    "left",
+        with aqe_disabled(spark, turn_off):
+            hub = ckpt.truncate(verts.withColumn("hub", F.lit(1.0 / n)))
+            for _ in range(n_iters):
+                # authority update: a(v) = sum_{u->v} h(u), then L1 norm
+                a_raw = (
+                    verts.join(
+                        e.join(hub, e["src"] == hub["vertex"])
+                        .groupBy(e["dst"].alias("vertex"))
+                        .agg(F.sum("hub").alias("s")),
+                        "vertex",
+                        "left",
+                    )
+                    .select("vertex", F.coalesce("s", F.lit(0.0)).alias("s"))
                 )
-                .select("vertex", F.coalesce("s", F.lit(0.0)).alias("s"))
-            )
-            a_norm = a_raw.agg(F.sum("s").alias("norm"))
-            auth = (
-                a_raw.crossJoin(F.broadcast(a_norm))
-                .select(
-                    "vertex", (F.col("s") / F.col("norm")).alias("auth")
+                a_norm = a_raw.agg(F.sum("s").alias("norm"))
+                auth = (
+                    a_raw.crossJoin(F.broadcast(a_norm))
+                    .select(
+                        "vertex", (F.col("s") / F.col("norm")).alias("auth")
+                    )
                 )
-                .localCheckpoint()
-            )
-            # hub update: h(u) = sum_{u->v} a(v), then L1 norm
-            h_raw = (
-                verts.join(
-                    e.join(auth, e["dst"] == auth["vertex"])
-                    .groupBy(e["src"].alias("vertex"))
-                    .agg(F.sum("auth").alias("s")),
-                    "vertex",
-                    "left",
+                auth = ckpt.truncate(auth)
+                # hub update: h(u) = sum_{u->v} a(v), then L1 norm
+                h_raw = (
+                    verts.join(
+                        e.join(auth, e["dst"] == auth["vertex"])
+                        .groupBy(e["src"].alias("vertex"))
+                        .agg(F.sum("auth").alias("s")),
+                        "vertex",
+                        "left",
+                    )
+                    .select("vertex", F.coalesce("s", F.lit(0.0)).alias("s"))
                 )
-                .select("vertex", F.coalesce("s", F.lit(0.0)).alias("s"))
-            )
-            h_norm = h_raw.agg(F.sum("s").alias("norm"))
-            hub = (
-                h_raw.crossJoin(F.broadcast(h_norm))
-                .select(
-                    "vertex", (F.col("s") / F.col("norm")).alias("hub")
+                h_norm = h_raw.agg(F.sum("s").alias("norm"))
+                hub = (
+                    h_raw.crossJoin(F.broadcast(h_norm))
+                    .select(
+                        "vertex", (F.col("s") / F.col("norm")).alias("hub")
+                    )
                 )
-                .localCheckpoint()
-            )
+                hub = ckpt.truncate(hub)
     finally:
-        spark.conf.set(aqe_conf, old_aqe)
+        ckpt.restore()
         verts.unpersist()
         e.unpersist()
     return auth.join(hub, "vertex").select("vertex", "auth", "hub")

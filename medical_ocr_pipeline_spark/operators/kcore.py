@@ -8,8 +8,9 @@ from peripheral link chaff.
 Shape per round: one combinable degree groupBy + two LEFT SEMI joins
 filtering the adjacency list to surviving endpoints — no windows, no
 cartesian, state bounded by the (shrinking) edge list.  Per-round
-lineage truncation and the small-graph AQE policy follow
-operators/bfs.py; the loop early-exits at the fixpoint (peeling is
+lineage truncation and the small-graph AQE policy go through
+operators/iterloop (pass `checkpoint_dir` for cluster-safe reliable
+checkpoints with round rotation); the loop early-exits at the fixpoint (peeling is
 monotone: once a round removes nothing, no later round can), which is
 what lets a bounded unrolled-CTE oracle replay it exactly.
 """
@@ -19,9 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from medical_ocr_pipeline_spark.operators.iterloop import (
+    RoundCheckpointer,
+    aqe_disabled,
+)
+
 
 def kcore(edges: DataFrame, k: int, max_rounds: int = 16,
-          aqe: str = "auto") -> DataFrame:
+          aqe: str = "auto", checkpoint_dir: str | None = None) -> DataFrame:
     """edges: (src, dst) directed; symmetrized and de-duplicated here,
     so multi-edges and direction never inflate degrees.  Returns
     (vertex, core_deg:long) for every vertex of the k-core reached
@@ -42,42 +48,41 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 16,
         .distinct()
     )
     spark = edges.sparkSession
-    aqe_conf = "spark.sql.adaptive.enabled"
-    old_aqe = spark.conf.get(aqe_conf)
-    # checkpoint BEFORE counting: the count and the first peel round
-    # both consume the symmetrize+distinct shuffle, and an eager
-    # localCheckpoint after a separate count() would run that most
-    # expensive stage twice (the flow.persist(); flow.count()
-    # discipline of operators/textrank.py)
-    adj = adj.localCheckpoint()
-    n_edges = adj.count()
-    if aqe == "off" or (aqe == "auto" and n_edges < 1_000_000):
-        spark.conf.set(aqe_conf, "false")
+    ckpt = RoundCheckpointer(spark, checkpoint_dir, name="kcore_rounds")
     try:
-        for _ in range(max_rounds):
-            keep = (
-                adj.groupBy("v")
-                .agg(F.count("*").alias("deg"))
-                .where(F.col("deg") >= k)
-                .select("v")
-            )
-            nxt = (
-                adj.join(keep, "v", "left_semi")
-                .join(
-                    keep.select(F.col("v").alias("w")), "w", "left_semi"
+        # checkpoint BEFORE counting: the count and the first peel round
+        # both consume the symmetrize+distinct shuffle, and an eager
+        # truncation after a separate count() would run that most
+        # expensive stage twice (the flow.persist(); flow.count()
+        # discipline of operators/textrank.py)
+        adj = ckpt.truncate(adj)
+        n_edges = adj.count()
+        turn_off = aqe == "off" or (aqe == "auto" and n_edges < 1_000_000)
+        with aqe_disabled(spark, turn_off):
+            for _ in range(max_rounds):
+                keep = (
+                    adj.groupBy("v")
+                    .agg(F.count("*").alias("deg"))
+                    .where(F.col("deg") >= k)
+                    .select("v")
                 )
-                .select("v", "w")
-                .localCheckpoint()
+                nxt = ckpt.truncate(
+                    adj.join(keep, "v", "left_semi")
+                    .join(
+                        keep.select(F.col("v").alias("w")), "w", "left_semi"
+                    )
+                    .select("v", "w")
+                )
+                n_next = nxt.count()
+                adj = nxt
+                if n_next == n_edges:
+                    break  # fixpoint: later rounds are no-ops
+                n_edges = n_next
+            ckpt.finish(keep=1)
+            return (
+                adj.groupBy("v")
+                .agg(F.count("*").cast("long").alias("core_deg"))
+                .select(F.col("v").alias("vertex"), "core_deg")
             )
-            n_next = nxt.count()
-            adj = nxt
-            if n_next == n_edges:
-                break  # fixpoint: later rounds are no-ops
-            n_edges = n_next
-        return (
-            adj.groupBy("v")
-            .agg(F.count("*").cast("long").alias("core_deg"))
-            .select(F.col("v").alias("vertex"), "core_deg")
-        )
     finally:
-        spark.conf.set(aqe_conf, old_aqe)
+        ckpt.restore()

@@ -176,56 +176,60 @@ def lloyd_kmeans(emb: DataFrame, k: int, n_iters: int = 4,
     combinable agg; there is nothing to re-plan), while on a
     billion-row corpus its coalescing is worth keeping.  'auto'
     disables AQE for the loop when the input is small (< 1e6 rows) and
-    restores the conf either way."""
+    restores the conf either way — via the shared refcounted
+    iterloop.aqe_disabled guard, so concurrent queries on one session
+    compose instead of racing the restore.
+
+    No checkpoint_dir here by design: the only cross-iteration state
+    is the driver-side centroid dict (the emb frame is static and
+    persisted), so lineage never grows and executor loss just
+    recomputes the static input — nothing to checkpoint."""
+    from medical_ocr_pipeline_spark.operators.iterloop import aqe_disabled
+
     emb = emb.persist()
     spark = emb.sparkSession
-    aqe_conf = "spark.sql.adaptive.enabled"
-    old_aqe = spark.conf.get(aqe_conf)
     turn_off = aqe == "off" or (aqe == "auto" and emb.count() < 1_000_000)
-    if turn_off:
-        spark.conf.set(aqe_conf, "false")
     cents = _seed_centroids(emb, k, id_col, vec_col)
     try:
-        for _ in range(n_iters):
-            assigned = assign_clusters(emb, cents, id_col, vec_col,
-                                       via=assign_via)
-            # integer-exact per-(cluster, dim) mean: BIGINT sum of
-            # floor(v * 1e8), ONE double division — partial-aggregation
-            # order cannot move a bit, so the collected centroids are
-            # exactly the oracle's
-            rows = (
-                assigned.select(
-                    "cluster_id", F.posexplode(F.col(vec_col))
+        with aqe_disabled(spark, turn_off):
+            for _ in range(n_iters):
+                assigned = assign_clusters(emb, cents, id_col, vec_col,
+                                           via=assign_via)
+                # integer-exact per-(cluster, dim) mean: BIGINT sum of
+                # floor(v * 1e8), ONE double division — partial-aggregation
+                # order cannot move a bit, so the collected centroids are
+                # exactly the oracle's
+                rows = (
+                    assigned.select(
+                        "cluster_id", F.posexplode(F.col(vec_col))
+                    )
+                    .groupBy("cluster_id", "pos")
+                    .agg(
+                        (
+                            F.sum(
+                                F.floor(F.col("col") * MEAN_SCALE).cast("long")
+                            ).cast("double")
+                            / F.count("*")
+                        ).alias("v")
+                    )
+                    .collect()
                 )
-                .groupBy("cluster_id", "pos")
-                .agg(
-                    (
-                        F.sum(
-                            F.floor(F.col("col") * MEAN_SCALE).cast("long")
-                        ).cast("double")
-                        / F.count("*")
-                    ).alias("v")
-                )
-                .collect()
+                nxt: dict[int, dict[int, float]] = {}
+                for r in rows:
+                    nxt.setdefault(r["cluster_id"], {})[r["pos"]] = (
+                        r["v"] / MEAN_SCALE
+                    )
+                cents = {
+                    cid: (
+                        [by_pos[p] for p in sorted(by_pos)]
+                        if (by_pos := nxt.get(cid))
+                        else prev  # empty cluster keeps its centroid
+                    )
+                    for cid, prev in cents.items()
+                }
+            return (
+                assign_clusters(emb, cents, id_col, vec_col, via=assign_via),
+                cents,
             )
-            nxt: dict[int, dict[int, float]] = {}
-            for r in rows:
-                nxt.setdefault(r["cluster_id"], {})[r["pos"]] = (
-                    r["v"] / MEAN_SCALE
-                )
-            cents = {
-                cid: (
-                    [by_pos[p] for p in sorted(by_pos)]
-                    if (by_pos := nxt.get(cid))
-                    else prev  # empty cluster keeps its centroid
-                )
-                for cid, prev in cents.items()
-            }
-        return (
-            assign_clusters(emb, cents, id_col, vec_col, via=assign_via),
-            cents,
-        )
     finally:
-        if turn_off:
-            spark.conf.set(aqe_conf, old_aqe)
         emb.unpersist()

@@ -16,8 +16,9 @@ Shape per round: one equi-join of the label frame onto the weighted
 edge list (shuffled on the join key), one combinable (vertex, label)
 weight sum, one combinable per-vertex min_by argmax — NO windows, no
 cartesian, no per-round driver collect.  Small-graph AQE policy and
-per-round localCheckpoint lineage truncation follow
-operators/pagerank.py.
+per-round lineage truncation go through operators/iterloop (pass
+`checkpoint_dir` for cluster-safe reliable checkpoints with round
+rotation), as in operators/pagerank.py.
 
 Reference analogue: the repo-wide link-analysis family (see
 SURVEY.md §2 graph notes); the reference pipeline has no graph stage —
@@ -29,9 +30,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from medical_ocr_pipeline_spark.operators.iterloop import (
+    RoundCheckpointer,
+    aqe_disabled,
+)
+
 
 def label_propagation(
-    edges: DataFrame, n_iters: int = 5, aqe: str = "auto"
+    edges: DataFrame, n_iters: int = 5, aqe: str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges: (src, dst) directed; treated as UNDIRECTED with
     multiplicity (each directed edge contributes weight 1 in both
@@ -55,39 +62,40 @@ def label_propagation(
     verts = und.select(F.col("src").alias("vertex")).distinct().persist()
     n = verts.count()
     spark = edges.sparkSession
-    aqe_conf = "spark.sql.adaptive.enabled"
-    old_aqe = spark.conf.get(aqe_conf)
-    if aqe == "off" or (aqe == "auto" and n < 1_000_000):
-        spark.conf.set(aqe_conf, "false")
-    labels = verts.withColumn("label", F.col("vertex")).localCheckpoint()
+    turn_off = aqe == "off" or (aqe == "auto" and n < 1_000_000)
+    ckpt = RoundCheckpointer(spark, checkpoint_dir, name="lpa_rounds")
     try:
-        for _ in range(n_iters):
-            # support(v, L) = sum of edge weights from neighbors holding L
-            support = (
-                und.join(
-                    labels.select(
-                        F.col("vertex").alias("src"), "label"
-                    ),
-                    "src",
-                )
-                .groupBy(F.col("dst").alias("vertex"), "label")
-                .agg(F.sum("w").alias("wt"))
+        with aqe_disabled(spark, turn_off):
+            labels = ckpt.truncate(
+                verts.withColumn("label", F.col("vertex"))
             )
-            # argmax by weight, ties -> smallest label: a combinable
-            # min_by over (-wt, label) — no window, partial-aggregates
-            # map-side even when one vertex has millions of neighbor
-            # labels.
-            labels = (
-                support.groupBy("vertex")
-                .agg(
-                    F.expr(
-                        "min_by(label, struct(-wt, label))"
-                    ).alias("label")
+            for _ in range(n_iters):
+                # support(v, L) = sum of edge weights from neighbors holding L
+                support = (
+                    und.join(
+                        labels.select(
+                            F.col("vertex").alias("src"), "label"
+                        ),
+                        "src",
+                    )
+                    .groupBy(F.col("dst").alias("vertex"), "label")
+                    .agg(F.sum("w").alias("wt"))
                 )
-                .localCheckpoint()
-            )
+                # argmax by weight, ties -> smallest label: a combinable
+                # min_by over (-wt, label) — no window, partial-aggregates
+                # map-side even when one vertex has millions of neighbor
+                # labels.
+                labels = ckpt.truncate(
+                    support.groupBy("vertex")
+                    .agg(
+                        F.expr(
+                            "min_by(label, struct(-wt, label))"
+                        ).alias("label")
+                    )
+                )
+        ckpt.finish(keep=1)
     finally:
-        spark.conf.set(aqe_conf, old_aqe)
+        ckpt.restore()
         und.unpersist()
         verts.unpersist()
     return labels

@@ -7,8 +7,10 @@ reverse out-edge), so the per-iteration dangling aggregate disappears
 and each round is exactly one equi-join (rank flows along edges,
 shuffled on src) plus one combinable weighted-inflow groupBy.
 
-Lineage truncation and the small-graph AQE policy follow
-operators/pagerank.py; determinism note there applies too (IEEE double
+Lineage truncation and the small-graph AQE policy go through
+operators/iterloop (pass `checkpoint_dir` for cluster-safe reliable
+checkpoints with round rotation), as in operators/pagerank.py;
+determinism note there applies too (IEEE double
 inflow sums carry ~1e-14 partition-order noise after 10 iterations —
 callers round well above it; the registry query rounds to 8 decimals).
 """
@@ -18,9 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from medical_ocr_pipeline_spark.operators.iterloop import (
+    RoundCheckpointer,
+    aqe_disabled,
+)
+
 
 def textrank(edges: DataFrame, n_iters: int = 10,
-             damping: float = 0.85, aqe: str = "auto") -> DataFrame:
+             damping: float = 0.85, aqe: str = "auto",
+             checkpoint_dir: str | None = None) -> DataFrame:
     """edges: (src, dst, w) — MUST be symmetric (both directions
     present with equal weight) and self-loop-free; build it with a
     union of both directions + groupBy sum, as the registry query
@@ -44,40 +52,37 @@ def textrank(edges: DataFrame, n_iters: int = 10,
     flow = edges.join(wsum, "src").persist()
     flow.count()
     spark = edges.sparkSession
-    aqe_conf = "spark.sql.adaptive.enabled"
-    old_aqe = spark.conf.get(aqe_conf)
     turn_off = aqe == "off" or (aqe == "auto" and n < 1_000_000)
-    if turn_off:
-        spark.conf.set(aqe_conf, "false")
-    ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    ckpt = RoundCheckpointer(spark, checkpoint_dir, name="textrank_rounds")
     try:
-        for _ in range(n_iters):
-            inflow = (
-                flow.join(ranks, flow["src"] == ranks["vertex"])
-                .select(
-                    F.col("dst").alias("vertex"),
-                    (F.col("rank") * F.col("w") / F.col("wu")).alias(
-                        "contrib"
-                    ),
+        with aqe_disabled(spark, turn_off):
+            ranks = ckpt.truncate(verts.withColumn("rank", F.lit(1.0 / n)))
+            for _ in range(n_iters):
+                inflow = (
+                    flow.join(ranks, flow["src"] == ranks["vertex"])
+                    .select(
+                        F.col("dst").alias("vertex"),
+                        (F.col("rank") * F.col("w") / F.col("wu")).alias(
+                            "contrib"
+                        ),
+                    )
+                    .groupBy("vertex")
+                    .agg(F.sum("contrib").alias("inflow"))
                 )
-                .groupBy("vertex")
-                .agg(F.sum("contrib").alias("inflow"))
-            )
-            ranks = (
-                verts.join(inflow, "vertex", "left")
-                .select(
-                    "vertex",
-                    (
-                        F.lit((1.0 - damping) / n)
-                        + F.lit(damping)
-                        * F.coalesce("inflow", F.lit(0.0))
-                    ).alias("rank"),
+                ranks = ckpt.truncate(
+                    verts.join(inflow, "vertex", "left")
+                    .select(
+                        "vertex",
+                        (
+                            F.lit((1.0 - damping) / n)
+                            + F.lit(damping)
+                            * F.coalesce("inflow", F.lit(0.0))
+                        ).alias("rank"),
+                    )
                 )
-                .localCheckpoint()
-            )
+        ckpt.finish(keep=1)
     finally:
-        if turn_off:
-            spark.conf.set(aqe_conf, old_aqe)
+        ckpt.restore()
         flow.unpersist()
         verts.unpersist()
     return ranks
