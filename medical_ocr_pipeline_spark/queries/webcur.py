@@ -1585,6 +1585,42 @@ def host_kcore(spark, sf_dir):
 # (score, doc_id) order — no quantile interpolation, no floats.
 
 
+def quality_percentiles_frame(scored):
+    """Frame-level core: scored(doc_id, lang, score_mbp) -> within-
+    language percentile rank (rk, n_lang, pct_ppm) via the TWO-PHASE
+    range-partitioned rank (stats._ranked_by_lang — rank locally per
+    contiguous range slice, broadcast per-(slice, lang) prefix counts),
+    never Window.partitionBy(lang): one language can be 40% of a
+    100 TB corpus and a per-language window would sort all of it in a
+    handful of tasks (VERDICT r04 item #2 — the exact ntile
+    anti-pattern ccnet_buckets documents).  The rank is a pure function
+    of the total (score_mbp, doc_id) order, so the output is
+    bit-identical to the window form at every partition count
+    (invariance + plan tests); n_lang is one combinable groupBy
+    broadcast back."""
+    from medical_ocr_pipeline_spark.queries.stats import _ranked_by_lang
+
+    d = scored.select("doc_id", "lang", F.col("score_mbp").alias("x"))
+    ranked = _ranked_by_lang(d)
+    nl = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_lang"))
+    return (
+        ranked.join(F.broadcast(nl), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("x").alias("score_mbp"),
+            # _ranked_by_lang's i is already BIGINT, so the *1e6 cannot
+            # overflow 32-bit under ANSI (the old window form had to
+            # cast row_number's IntegerType first)
+            F.col("i").alias("rk"),
+            "n_lang",
+            F.expr("(i - 1) * 1000000 div greatest(n_lang - 1, 1)")
+            .cast("long")
+            .alias("pct_ppm"),
+        )
+    )
+
+
 @register(
     "quality_percentiles",
     sql=f"""
@@ -1611,37 +1647,11 @@ def quality_percentiles(spark, sf_dir):
     threshold table.
 
     100 TB shape: classifier serving is the broadcast-join combinable
-    plan of classifier_scores; the rank is a per-language window here
-    (byte-comparable to the oracle) whose megagroup swap-in is the
-    gini two-phase range-partitioned form — documented there, pinned
-    by the same partition-count invariance suite."""
+    plan of classifier_scores; the rank is the two-phase
+    range-partitioned form (quality_percentiles_frame) — the
+    per-language window exists only in the DuckDB oracle SQL, where it
+    is the clearest exact specification of the same total order."""
     scored = classifier_scores(
         load(spark, sf_dir, "documents"), classifier_weights(spark)
     ).select("doc_id", "lang", "score_mbp")
-    from pyspark.sql import Window
-
-    wr = Window.partitionBy("lang").orderBy("score_mbp", "doc_id")
-    wn = Window.partitionBy("lang")
-    r = scored.select(
-        "doc_id",
-        "lang",
-        "score_mbp",
-        F.row_number().over(wr).alias("rk"),
-        F.count("*").over(wn).alias("n"),
-    )
-    return r.select(
-        "doc_id",
-        "lang",
-        "score_mbp",
-        F.col("rk").cast("long").alias("rk"),
-        F.col("n").cast("long").alias("n_lang"),
-        # rk is row_number's IntegerType: the BIGINT cast must happen
-        # BEFORE the *1e6, or a language of >= 2149 docs overflows
-        # 32-bit under ANSI (caught in review; tests only reach ~100
-        # docs per language)
-        F.expr(
-            "(cast(rk as bigint) - 1) * 1000000 div greatest(n - 1, 1)"
-        )
-        .cast("long")
-        .alias("pct_ppm"),
-    ).orderBy("doc_id")
+    return quality_percentiles_frame(scored).orderBy("doc_id")

@@ -37,6 +37,10 @@ QUERIES = [
                              # + reassembly must not move with layout
     "unimax_sample",         # waterfilling over the lang summary + coin
                              # sample — allocation is layout-free math
+    "quality_percentiles",   # two-phase range-partitioned per-lang rank
+                             # (no per-lang window) — rank must be a pure
+                             # function of the (score, doc_id) total order
+    "gini_doc_lengths",      # same two-phase rank core, moment sums
 ]
 
 

@@ -537,3 +537,24 @@ def test_textrank_builds_graph_without_corpus_self_join(spark):
     assert "CartesianProduct" not in final_plan(
         textrank_keywords(spark, SF_DIR)
     )
+
+
+def test_quality_percentiles_no_corpus_wide_lang_window(spark):
+    """quality_percentiles' production path must never sort the corpus
+    inside Window.partitionBy(lang) — with a handful of languages that
+    is a ~n_langs-partition global sort at 100 TB.  The two-phase form
+    may window only WITHIN a range slice (partition spec carries the
+    slice id _pid next to lang)."""
+    from medical_ocr_pipeline_spark.queries.webcur import (
+        quality_percentiles,
+    )
+
+    plan = final_plan(quality_percentiles(spark, SF_DIR))
+    for ln in plan.splitlines():
+        if "windowspecdefinition" not in ln:
+            continue
+        if "lang#" in ln:
+            assert "_pid#" in ln, (
+                "per-language window over the corpus in the production "
+                "path:\n" + ln
+            )
