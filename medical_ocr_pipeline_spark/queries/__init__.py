@@ -81,6 +81,11 @@ _PROMOTE_TO_WINDOW = [
     "textrank_keywords",
     "cusum_events",
     "quality_percentiles",
+    # --- round-5 rows-only -> full-oracle upgrades (VERDICT r04 item
+    # #5): both semantically re-founded on the documents table, each
+    # needs its first driver record as the upgraded form ---
+    "a7_deep_merge",
+    "j7_layout_preservation",
     # Third-session entries deliberately left PAST the window (each
     # holds an exact local-gate row + reference tests): qa_local_align
     # shares the DP-fold machinery with its two in-window twins;
@@ -108,10 +113,13 @@ _PROMOTE_TO_WINDOW = [
     "length_quantile_sketch",
     "crawl_diff",
     "dq_profile",
-    "zorder_layout",
-    "dedup_containment",
     "kmeans_silhouette",
     # ---------------- window boundary (slot 50) ------------------
+    # Round-5 relegations for the a7/j7 upgrades: zorder_layout and
+    # dedup_containment each hold a GREEN r04 driver row (all three
+    # checks) with unchanged code this round.
+    "zorder_layout",
+    "dedup_containment",
     # Everything below is PAST the driver's 50-entry window and is
     # covered by the committed LOCAL_GATE_r04.md full-registry run
     # (exact oracles, zero failures) plus its own reference tests.
