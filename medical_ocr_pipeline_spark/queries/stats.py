@@ -251,13 +251,31 @@ def _ranked_by_lang(d):
     broadcast-sized frame of n_parts x n_langs rows.  The range
     partition count follows spark.sql.shuffle.partitions (cluster-
     tuned, never a literal baked into the query body); the result is a
-    pure function of the global order either way (invariance test)."""
+    pure function of the global order (invariance test).
+
+    The ranged slice is MATERIALIZED (eager localCheckpoint) before
+    anything derives from it — a correctness requirement, not an
+    optimization: repartitionByRange picks its boundaries by SAMPLING
+    with an RDD-id-derived seed, so the two consumers of the slice
+    (local ranks and the prefix-count table) would otherwise each
+    re-execute the exchange and can see DIFFERENT boundaries whenever
+    the optimizer does not reuse the exchange (observed under
+    job_monitor's persisted-input plan: per-row _pid assignments
+    diverged between the two subtrees and the stitched ranks were
+    silently wrong — caught by bench_scaling_monitor's cross-size
+    checksum, round 5).  A plain persist would NOT be enough: a lost
+    cache block recomputes under fresh boundaries and corrupts ranks
+    silently, whereas the severed-lineage checkpoint fails fast.  The
+    materialized projection is the 3-column (lang, x, doc_id) order
+    frame, not the corpus text, so the extra write is narrow."""
     n_parts = int(
         d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ranged = d.repartitionByRange(
-        n_parts, "lang", "x", "doc_id"
-    ).withColumn("_pid", F.spark_partition_id())
+    ranged = (
+        d.repartitionByRange(n_parts, "lang", "x", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     local_w = Window.partitionBy("_pid", "lang").orderBy("x", "doc_id")
     local = ranged.withColumn("_lrk", F.row_number().over(local_w))
     counts = (

@@ -121,10 +121,23 @@ def global_running_offset(d: DataFrame, order_cols=("h", "doc_id"),
     boundaries (which repartitionByRange picks by sampling) cannot
     change it, only how it is computed.  At 100 TB this is the shape
     that works: each task sorts its own range, and the prefix frame is
-    one row per partition."""
+    one row per partition.
+
+    The ranged slice is MATERIALIZED (eager localCheckpoint) before
+    the local cumsum and the per-partition totals both derive from it
+    — a correctness requirement: the range boundaries come from an
+    RDD-id-seeded SAMPLE, so if the optimizer does not reuse the
+    exchange, the two consumers re-execute it under different
+    boundaries and the stitched offsets are silently wrong (the
+    failure stats._ranked_by_lang hit in round 5 under job_monitor's
+    persisted-input plan; a plain persist is insufficient — a lost
+    cache block recomputes under fresh boundaries, while the
+    severed-lineage checkpoint fails fast instead of corrupting)."""
     cols = list(order_cols)
-    ranged = d.repartitionByRange(n_parts, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        d.repartitionByRange(n_parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local_w = (
         Window.partitionBy("_pid")
