@@ -89,6 +89,8 @@ STAGES = (
 
 
 def run_monitors(spark, args, out: str) -> None:
+    from concurrent.futures import ThreadPoolExecutor
+
     from medical_ocr_pipeline_spark.pipeline import (
         stage_is_complete,
         write_stage,
@@ -98,14 +100,37 @@ def run_monitors(spark, args, out: str) -> None:
     docs = spark.read.parquet(args.input).persist()
     n_docs = docs.count()
 
-    for name, core in STAGES:
+    def run_stage(item):
+        name, core = item
         path = f"{out}/{name}"
         if args.resume and stage_is_complete(spark, path):
             print(f"PHASE {name} resumed", flush=True)
-            continue
+            return
         ts = time.time()
         write_stage(core(docs), path)
         print(f"PHASE {name} secs={time.time() - ts:.1f}", flush=True)
+
+    # The monitors are INDEPENDENT single-scan aggregations over the
+    # same persisted input, so they run as concurrent Spark jobs from a
+    # driver-side thread pool: each stage's serial slice (driver
+    # planning, AQE re-optimization, parquet commit) overlaps another
+    # stage's compute, and task slots a narrow stage leaves idle are
+    # filled by its neighbors.  Sequentially, eleven stages pay eleven
+    # serial floors back-to-back — the measured difference is ~2x wall
+    # clock at 32 cores (BENCH.md, job_monitor scaling run).  Results
+    # are unaffected: stages share nothing but the read-only cached
+    # frame and write to disjoint paths (checksum-pinned by
+    # scripts/bench_scaling_monitor.py across sizes AND trials).
+    # --parallel-stages 1 restores strictly sequential PHASE output.
+    # getattr: callers that build a bare Namespace (tests) default to 4
+    workers = max(1, getattr(args, "parallel_stages", 4))
+    if workers == 1:
+        for item in STAGES:
+            run_stage(item)
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            # list() re-raises the first stage failure, if any
+            list(pool.map(run_stage, STAGES))
 
     chi2 = spark.read.parquet(f"{out}/monitor_chi2")
     drift = spark.read.parquet(f"{out}/monitor_drift")
@@ -170,6 +195,10 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--master", default="local[32]")
     ap.add_argument("--run-id", default="monitor_run")
+    ap.add_argument("--parallel-stages", type=int, default=4,
+                    help="concurrent monitor stages (independent Spark "
+                         "jobs over the shared cached input; 1 = strictly "
+                         "sequential)")
     ap.add_argument("--resume", action="store_true",
                     help="skip monitors whose _SUCCESS marker exists")
     args = ap.parse_args()

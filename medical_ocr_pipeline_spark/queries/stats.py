@@ -535,6 +535,11 @@ def drift_frame(docs):
             .cast("long")
             .alias("b"),
         )
+        # consumed twice (the broadcast total subquery + the main
+        # path): without the persist each consumer re-runs the full
+        # corpus tokenize+agg — measured 2x the stage cost at 1.28M
+        # docs.  |vocab| rows, bounded.
+        .persist()
     )
     t = c.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
     num = F.col("a") * F.col("tb") - F.col("b") * F.col("ta")
@@ -688,7 +693,17 @@ def oov_rate(spark, sf_dir):
 
 
 def oov_frame(docs):
-    """Frame-level core of oov_rate (job_monitor surface)."""
+    """Frame-level core of oov_rate (job_monitor surface).
+
+    One tokenize pass: tokens collapse to the (lang, split, word) TYPE
+    table first (combinable partial agg), which is then persisted and
+    consumed by both the train-vocabulary side and the test side — the
+    original shape derived both from the raw exploded token frame, so
+    each consumer re-ran the full corpus tokenize (measured 2x stage
+    cost) and the seen-join keyed on TOKENS instead of types.  On the
+    type table, (lang, word) is unique per split, so the per-lang type
+    counts are plain count(*)/sums — values identical to the
+    countDistinct originals (oracle-pinned)."""
     from medical_ocr_pipeline_spark.queries.training import split_expr
 
     d = docs.select(
@@ -696,34 +711,40 @@ def oov_frame(docs):
         split_expr().alias("split"),
         F.explode(words_expr()).alias("word"),
     )
-    trainv = d.where(F.col("split") == "train").select("word").distinct()
+    g = (
+        d.where(F.col("split") != "val")
+        .groupBy("lang", "split", "word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
+    trainv = (
+        g.where(F.col("split") == "train").select("word").distinct()
+    )
     t = (
-        d.where(F.col("split") == "test")
-        .join(
-            trainv.withColumn("seen", F.lit(True)), "word", "left"
+        g.where(F.col("split") == "test")
+        .join(trainv.withColumn("seen", F.lit(True)), "word", "left")
+        .select(
+            "lang", "word", "n",
+            F.coalesce("seen", F.lit(False)).alias("seen"),
         )
-        .select("lang", "word", F.coalesce("seen", F.lit(False)).alias("seen"))
     )
-    oov_tok = F.sum(F.when(F.col("seen"), 0).otherwise(1))
-    oov_typ = F.countDistinct(
-        F.when(~F.col("seen"), F.col("word"))
-    )
+    oov_typ = F.sum(F.when(F.col("seen"), 0).otherwise(1))
     return (
         t.groupBy("lang")
         .agg(
-            F.count("*").alias("n_test_tokens"),
-            oov_tok.cast("long").alias("n_oov_tokens"),
+            F.sum("n").cast("long").alias("n_test_tokens"),
+            F.sum(F.when(F.col("seen"), 0).otherwise(F.col("n")))
+            .cast("long")
+            .alias("n_oov_tokens"),
             F.expr(
-                "sum(case when seen then 0 else 1 end) * 1000000"
-                " div count(*)"
+                "sum(case when seen then 0 else n end) * 1000000"
+                " div sum(n)"
             )
             .cast("long")
             .alias("oov_ppm"),
-            F.countDistinct("word").cast("long").alias("n_test_types"),
+            F.count("*").cast("long").alias("n_test_types"),
             oov_typ.cast("long").alias("n_oov_types"),
-            (
-                oov_typ * 1000000
-            ).alias("_oovt_scaled"),
+            (oov_typ * 1000000).alias("_oovt_scaled"),
         )
         .select(
             "lang",

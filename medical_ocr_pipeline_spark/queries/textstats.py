@@ -2028,6 +2028,9 @@ def head_coverage_frame(docs):
         docs.select(F.explode(words_expr()).alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
+        # consumed twice (grand total + top-k): without the persist
+        # each consumer re-runs the corpus tokenize.  |vocab| rows.
+        .persist()
     )
     t = c.agg(F.sum("cnt").alias("tot"))
     top = (

@@ -5,7 +5,7 @@ bench_scaling.py covers the extraction job).
 Protocol mirrors bench_scaling.py: each "cluster size" is a
 taskset-pinned fresh spark-submit of the REAL job over the SAME
 pre-materialized deterministic input (sf0.1 documents replicated
-REPLICAS times with offset doc_ids — ~80k docs, enough that the
+REPLICAS times with offset doc_ids — ~1.3M docs, enough that the
 monitors' combinable aggregations dominate the fixed per-stage setup),
 best-of-TRIALS interleaved fresh-JVM legs per size, slots = cores -
 cores/8 (the production executor layout), and an order-insensitive
@@ -40,7 +40,7 @@ SIZES = tuple(
     for c in os.environ.get("SPARK_GRAFT_SCALING_SIZES", "8,32").split(",")
 )
 TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
-REPLICAS = int(os.environ.get("SPARK_GRAFT_MONITOR_REPLICAS", "16"))
+REPLICAS = int(os.environ.get("SPARK_GRAFT_MONITOR_REPLICAS", "256"))
 SRC = os.environ.get(
     "SPARK_GRAFT_MONITOR_SRC", "/root/testdata/sf0.1/documents.parquet"
 )
@@ -112,6 +112,13 @@ def run_once(cores: int, tag: str) -> dict:
             "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
             "--conf", "spark.driver.extraJavaOptions=-XX:+UseG1GC",
             "--conf", f"spark.sql.shuffle.partitions={slots}",
+            # the replicated input is a few hundred MB compressed: the
+            # default 128 MB maxPartitionBytes would scan (and CACHE)
+            # it as <10 partitions, capping every downstream stage's
+            # map parallelism at that count regardless of slots — the
+            # same spill-aware read sizing bench_scaling.py applies
+            "--conf", "spark.sql.files.maxPartitionBytes=4m",
+            "--conf", "spark.sql.files.openCostInBytes=262144",
             "--py-files", _package_zip(),
             job,
         ]
@@ -120,6 +127,9 @@ def run_once(cores: int, tag: str) -> dict:
     cmd += [
         "--input", INPUT_PATH, "--out", out_dir,
         "--master", f"local[{slots}]", "--run-id", f"scal_{cores}_{tag}",
+        # same rule both sizes: 4 concurrent monitor stages (measured
+        # best at both sizes — 11 oversubscribes shuffle memory)
+        "--parallel-stages", "4",
     ]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
