@@ -422,11 +422,11 @@ def _decode_tiff(payload: bytes):
     spp = t.get(277, [1])[0]
     bits = t.get(258, [1] * spp)
     rows_per_strip = t.get(278, [h])[0] or h
-    if comp not in (1, 32773):
+    if comp not in (1, 2, 4, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} not supported (baseline none/"
-            "PackBits only; CCITT G3/G4 and LZW are the documented "
-            "extension point — plug PIL here)"
+            f"TIFF compression {comp} not supported (none/PackBits/"
+            "CCITT MH/CCITT G4; G3-with-EOL (3) and LZW (5) are the "
+            "remaining extension points — plug PIL here)"
         )
     if (spp, bits) not in ((1, [1]), (1, [8]), (3, [8, 8, 8])):
         raise NotImplementedError(
@@ -435,6 +435,35 @@ def _decode_tiff(payload: bytes):
         )
     if t.get(284, [1])[0] != 1:
         raise NotImplementedError("planar TIFF not supported")
+    if comp in (2, 4):
+        # CCITT bilevel (ccitt.py): MH 1-D (2) / G4 2-D (4).  Fax
+        # semantics: bit 1 = black; PhotometricInterpretation 0
+        # (WhiteIsZero, the fax default) maps black -> 0, white -> 255.
+        from medical_ocr_pipeline_spark.ccitt import decode_g4, decode_mh
+
+        if bits != [1]:
+            raise ValueError(f"CCITT TIFF must be bilevel, got {bits}")
+        if t.get(266, [1])[0] != 1:
+            raise NotImplementedError(
+                "FillOrder 2 (LSB-first) CCITT not supported"
+            )
+        dec = decode_g4 if comp == 4 else decode_mh
+        rows = []
+        rows_left = h
+        for soff, scnt in zip(offsets, counts):
+            strip_rows = min(rows_per_strip, rows_left)
+            chunk = payload[soff:soff + scnt]
+            if len(chunk) < scnt:
+                raise ValueError("truncated TIFF strip")
+            # each strip is an independent CCITT stream (reference
+            # line resets per strip, per TIFF 6.0 §Section 11)
+            rows.append(dec(chunk, w, strip_rows))
+            rows_left -= strip_rows
+        black = np.concatenate(rows, axis=0)[:h]
+        px = (1 - black) * np.uint8(255)  # 1=black -> 0
+        if photo == 1:  # BlackIsZero: inverted fax polarity
+            px = 255 - px
+        return w, h, np.repeat(px[:, :, None], 3, axis=2)
     row_bytes = (w + 7) // 8 if bits == [1] else w * spp
     raw = bytearray()
     rows_left = h
@@ -862,6 +891,37 @@ def encode_tiff(arr) -> bytes:
         ifd += struct.pack("<HHII", tag, typ, cnt, val)
     ifd += struct.pack("<I", 0)  # no next IFD
     ifd += struct.pack("<HHH", 8, 8, 8)
+    return b"II*\x00" + struct.pack("<I", ifd_off) + px + ifd
+
+
+def encode_tiff_ccitt(bits, g4: bool = True) -> bytes:
+    """(h, w) 0/1 array (1 = black) -> little-endian bilevel CCITT TIFF
+    (single strip, WhiteIsZero fax polarity): compression 4 (G4 /
+    T.6) by default, compression 2 (MH 1-D) with g4=False — the
+    round-trip partner of the CCITT branch in _decode_tiff."""
+    from medical_ocr_pipeline_spark.ccitt import encode_g4, encode_mh
+
+    h, w = bits.shape[:2]
+    px = encode_g4(bits) if g4 else encode_mh(bits)
+    ifd_off = 8 + len(px)
+    entries = [
+        (256, 4, 1, w),            # ImageWidth
+        (257, 4, 1, h),            # ImageLength
+        (258, 3, 1, 1),            # BitsPerSample: 1
+        (259, 3, 1, 4 if g4 else 2),  # Compression: G4 / MH
+        (262, 3, 1, 0),            # Photometric: WhiteIsZero (fax)
+        (273, 4, 1, 8),            # StripOffsets
+        (277, 3, 1, 1),            # SamplesPerPixel
+        (278, 4, 1, h),            # RowsPerStrip: single strip
+        (279, 4, 1, len(px)),      # StripByteCounts
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3:
+            ifd += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
     return b"II*\x00" + struct.pack("<I", ifd_off) + px + ifd
 
 

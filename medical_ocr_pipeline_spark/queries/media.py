@@ -175,6 +175,27 @@ def media_features_real(spark, sf_dir):
         {"mime": "image/tiff", "width": 6, "height": 4,
          "duration_ms": 0},
     ))
+    # CCITT rows (round 5): the fax compressions a medical scan archive
+    # actually uses — a G4 (T.6 2-D) and an MH (T.4 1-D) bilevel page
+    # through the from-scratch ccitt.py codecs, text-like row pattern
+    # so vertical, horizontal AND pass modes all execute
+    from medical_ocr_pipeline_spark.multimodal import encode_tiff_ccitt
+
+    bil = np.zeros((10, 40), dtype=np.uint8)
+    for y in range(10):
+        for s in range(3 + y % 2):
+            x0 = (7 * y + 11 * s) % 34
+            bil[y, x0:x0 + 2 + (y + s) % 4] = 1
+    rows.append((
+        "img_tiff_g4", "image", encode_tiff_ccitt(bil, g4=True),
+        {"mime": "image/tiff", "width": 40, "height": 10,
+         "duration_ms": 0},
+    ))
+    rows.append((
+        "img_tiff_mh", "image", encode_tiff_ccitt(bil, g4=False),
+        {"mime": "image/tiff", "width": 40, "height": 10,
+         "duration_ms": 0},
+    ))
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     feats = media_features(media, real_decode=True)
     return feats.select(

@@ -114,16 +114,25 @@ def test_bilevel_photometric_inversion():
 def test_unsupported_guards():
     arr = _rgb(4, 4)
     good = encode_tiff(arr)
-    # flip Compression (tag 259) to CCITT G4 (4): NotImplementedError
+    # flip Compression (tag 259) to G3-with-EOL (3), still the
+    # documented extension point: NotImplementedError.  (G4 (4) is a
+    # real codec since round 5 — on this RGB file it raises ValueError
+    # instead, because CCITT requires bilevel.)
     ifd_off = struct.unpack("<I", good[4:8])[0]
     n = struct.unpack("<H", good[ifd_off:ifd_off + 2])[0]
-    bad = bytearray(good)
-    for i in range(n):
-        off = ifd_off + 2 + 12 * i
-        if struct.unpack("<H", good[off:off + 2])[0] == 259:
-            bad[off + 8:off + 10] = struct.pack("<H", 4)
+
+    def with_compression(comp: int) -> bytes:
+        bad = bytearray(good)
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            if struct.unpack("<H", good[off:off + 2])[0] == 259:
+                bad[off + 8:off + 10] = struct.pack("<H", comp)
+        return bytes(bad)
+
     with pytest.raises(NotImplementedError):
-        _decode_tiff(bytes(bad))
+        _decode_tiff(with_compression(3))
+    with pytest.raises(ValueError, match="bilevel"):
+        _decode_tiff(with_compression(4))
     with pytest.raises(ValueError):
         _decode_tiff(b"II\x00\x00" + good[4:])  # bad magic
     with pytest.raises(ValueError):
