@@ -402,6 +402,117 @@ def _packbits(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+def _tiff_lzw(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW: variable-width codes packed MSB-FIRST (the
+    opposite bit order of GIF's LZW), table = 256 literals + Clear(256)
+    + EOI(257), width starts at 9 and grows with EarlyChange (one code
+    early: when the NEXT code to be added would be 2^width - 1), stream
+    opens with Clear."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW first code after clear not "
+                                 "a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += entry
+        prev = entry
+        # EarlyChange: bump when the next code to ADD would need more
+        # bits than `width` can hold minus one (TIFF writers' default)
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("TIFF LZW data shorter than strip")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """The §13 encoder twin (EarlyChange, Clear at 4094, MSB-first)."""
+    CLEAR, EOI = 256, 257
+    bits: list[tuple[int, int]] = []  # (code, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    bits.append((CLEAR, width))
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        bits.append((table[w], width))
+        if nxt < 4094:
+            table[wc] = nxt
+            nxt += 1
+            # the decoder's table lags ONE entry behind (its first
+            # post-clear code adds nothing), so its EarlyChange bump at
+            # len == 2^w - 1 lines up with the encoder's at nxt == 2^w
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        else:
+            bits.append((CLEAR, width))
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        bits.append((table[w], width))
+    bits.append((EOI, width))
+    acc = 0
+    nacc = 0
+    out = bytearray()
+    for code, cw in bits:
+        acc = (acc << cw) | code
+        nacc += cw
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _undo_predictor2(raw: bytearray, h: int, row_bytes: int,
+                     spp: int) -> None:
+    """TIFF Predictor 2 (horizontal differencing, 8-bit samples):
+    cumulative sum across each row per sample channel, in place."""
+    for y in range(h):
+        base = y * row_bytes
+        for i in range(spp, row_bytes):
+            raw[base + i] = (raw[base + i] + raw[base + i - spp]) & 0xFF
+
+
 def _decode_tiff(payload: bytes):
     import numpy as np
 
@@ -422,11 +533,11 @@ def _decode_tiff(payload: bytes):
     spp = t.get(277, [1])[0]
     bits = t.get(258, [1] * spp)
     rows_per_strip = t.get(278, [h])[0] or h
-    if comp not in (1, 2, 4, 32773):
+    if comp not in (1, 2, 4, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} not supported (none/PackBits/"
-            "CCITT MH/CCITT G4; G3-with-EOL (3) and LZW (5) are the "
-            "remaining extension points — plug PIL here)"
+            f"TIFF compression {comp} not supported (none/CCITT MH/"
+            "CCITT G4/LZW/PackBits; G3-with-EOL (3) and JPEG-in-TIFF "
+            "are the remaining extension points — plug PIL here)"
         )
     if (spp, bits) not in ((1, [1]), (1, [8]), (3, [8, 8, 8])):
         raise NotImplementedError(
@@ -464,6 +575,13 @@ def _decode_tiff(payload: bytes):
         if photo == 1:  # BlackIsZero: inverted fax polarity
             px = 255 - px
         return w, h, np.repeat(px[:, :, None], 3, axis=2)
+    predictor = t.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} not supported (none/horizontal)"
+        )
+    if predictor == 2 and bits == [1]:
+        raise ValueError("predictor 2 requires 8-bit samples")
     row_bytes = (w + 7) // 8 if bits == [1] else w * spp
     raw = bytearray()
     rows_left = h
@@ -476,7 +594,17 @@ def _decode_tiff(payload: bytes):
         # truncate uncompressed strips to the row payload too: writers
         # may pad StripByteCounts to a word boundary, and an untrimmed
         # pad byte would shift every subsequent row silently
-        raw += chunk[:expected] if comp == 1 else _packbits(chunk, expected)
+        if comp == 1:
+            strip = chunk[:expected]
+        elif comp == 5:
+            strip = _tiff_lzw(chunk, expected)
+        else:
+            strip = _packbits(chunk, expected)
+        if predictor == 2:
+            s = bytearray(strip)
+            _undo_predictor2(s, strip_rows, row_bytes, spp)
+            strip = bytes(s)
+        raw += strip
         rows_left -= strip_rows
     if len(raw) < h * row_bytes:
         raise ValueError("TIFF pixel data shorter than dimensions")
@@ -867,25 +995,42 @@ def encode_png(arr) -> bytes:
     )
 
 
-def encode_tiff(arr) -> bytes:
-    """HxWx3 uint8 -> little-endian uncompressed RGB TIFF (single
-    strip, IFD after the pixel data) — the round-trip partner of
-    _decode_tiff."""
+def encode_tiff(arr, compression: int = 1, predictor: int = 1) -> bytes:
+    """HxWx3 uint8 -> little-endian RGB TIFF (single strip, IFD after
+    the pixel data) — the round-trip partner of _decode_tiff.
+    compression 1 (none) or 5 (LZW §13, optionally with predictor 2
+    horizontal differencing, the photographic-scan combination)."""
+    if compression not in (1, 5):
+        raise ValueError("encode_tiff supports compression 1 or 5")
+    if predictor not in (1, 2) or (predictor == 2 and compression != 5):
+        raise ValueError("predictor 2 only rides LZW here")
     h, w = arr.shape[:2]
-    px = arr.tobytes()
+    raw = arr.tobytes()
+    if predictor == 2:
+        import numpy as np
+
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w * 3).copy()
+        a[:, 3:] = (
+            a[:, 3:].astype(np.int16) - a[:, :-3].astype(np.int16)
+        ).astype(np.uint8)
+        raw = a.tobytes()
+    px = raw if compression == 1 else _tiff_lzw_encode(raw)
     ifd_off = 8 + len(px)
-    # 8 entries + the out-of-line BitsPerSample triple after the IFD
-    bits_off = ifd_off + 2 + 8 * 12 + 4
+    n_entries = 8 + (1 if predictor == 2 else 0)
+    # entries + the out-of-line BitsPerSample triple after the IFD
+    bits_off = ifd_off + 2 + n_entries * 12 + 4
     entries = [
         (256, 4, 1, w),            # ImageWidth
         (257, 4, 1, h),            # ImageLength
         (258, 3, 3, bits_off),     # BitsPerSample -> offset
-        (259, 3, 1, 1),            # Compression: none
+        (259, 3, 1, compression),  # Compression
         (262, 3, 1, 2),            # Photometric: RGB
         (273, 4, 1, 8),            # StripOffsets: right after header
         (277, 3, 1, 3),            # SamplesPerPixel
         (279, 4, 1, len(px)),      # StripByteCounts
     ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))  # Predictor: horizontal
     ifd = struct.pack("<H", len(entries))
     for tag, typ, cnt, val in entries:
         ifd += struct.pack("<HHII", tag, typ, cnt, val)

@@ -196,6 +196,14 @@ def media_features_real(spark, sf_dir):
         {"mime": "image/tiff", "width": 40, "height": 10,
          "duration_ms": 0},
     ))
+    # LZW + horizontal predictor (round 5): the photographic-scan
+    # combination, through the from-scratch §13 codec
+    rows.append((
+        "img_tiff_lzw", "image",
+        encode_tiff(tiff_px, compression=5, predictor=2),
+        {"mime": "image/tiff", "width": 7, "height": 5,
+         "duration_ms": 0},
+    ))
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     feats = media_features(media, real_decode=True)
     return feats.select(

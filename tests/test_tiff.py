@@ -186,3 +186,56 @@ def test_padded_uncompressed_strip_does_not_shift_rows():
     w, h, out = _decode_tiff(payload)
     assert (w, h) == (6, 2)
     assert np.array_equal(out[:, :, 0], px)
+
+
+def test_lzw_round_trip_small():
+    from medical_ocr_pipeline_spark.multimodal import (
+        _tiff_lzw,
+        _tiff_lzw_encode,
+    )
+
+    for data in (b"", b"A", b"TOBEORNOTTOBEORTOBEORNOT" * 3,
+                 bytes(range(256)) * 2, b"\x00" * 500):
+        enc = _tiff_lzw_encode(data)
+        assert _tiff_lzw(enc, len(data)) == data
+
+
+def test_lzw_round_trip_wide_codes_and_clear():
+    """Enough distinct material to grow the code width to 12 bits and
+    force the mid-stream Clear at table size 4094 — plus the KwKwK
+    chain from long constant runs."""
+    from medical_ocr_pipeline_spark.multimodal import (
+        _tiff_lzw,
+        _tiff_lzw_encode,
+    )
+
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, size=40000, dtype=np.uint8).tobytes()
+    data += b"\xaa" * 1000
+    enc = _tiff_lzw_encode(data)
+    assert _tiff_lzw(enc, len(data)) == data
+    # random bytes are incompressible: 12-bit codes over ~1.2-byte
+    # strings cap the expansion at ~1.5x
+    assert len(enc) < len(data) * 1.55
+
+
+def test_tiff_lzw_integration_with_and_without_predictor():
+    arr = _rgb(21, 17, seed=5)
+    for pred in (1, 2):
+        payload = encode_tiff(arr, compression=5, predictor=pred)
+        w, h, out = decode_image(payload)
+        assert (w, h) == (17, 21)
+        assert np.array_equal(out, arr)
+    # predictor 2 helps smooth gradients (the reason scanners use it)
+    grad = np.zeros((32, 64, 3), dtype=np.uint8)
+    grad[:] = np.arange(64, dtype=np.uint8)[None, :, None] * 3
+    assert len(encode_tiff(grad, 5, 2)) < len(encode_tiff(grad, 5, 1))
+
+
+def test_tiff_lzw_truncated_raises():
+    arr = _rgb(9, 9, seed=6)
+    payload = encode_tiff(arr, compression=5)
+    # chop bytes out of the strip: ValueError (per-row catch tuple)
+    bad = payload[:40] + payload[60:]
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(bad)
