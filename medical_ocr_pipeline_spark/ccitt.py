@@ -369,6 +369,70 @@ def decode_mh(data: bytes, width: int, height: int):
     return out
 
 
+def decode_g3_1d(data: bytes, width: int, height: int):
+    """T.4 Group 3 one-dimensional with EOL codes (TIFF compression 3,
+    T4Options bit0 = 0): every line is preceded by an EOL
+    (000000000001), possibly with fill zeros before it for byte
+    alignment; runs are the same MH alphabet.  2-D G3 (EOL + tag bit)
+    is not emitted by this family — the tag-bit variant raises."""
+    import numpy as np
+
+    br = _BitReader(data)
+    out = np.zeros((height, width), dtype=np.uint8)
+
+    def expect_eol():
+        # consume fill zeros then the 12-bit EOL: scan for 11+ zeros
+        # followed by a one
+        zeros = 0
+        while True:
+            b = br.read_bit()
+            if b == 0:
+                zeros += 1
+                continue
+            if zeros < 11:
+                raise ValueError(
+                    f"G3 expected EOL, got a 1 after {zeros} zeros"
+                )
+            return
+
+    for y in range(height):
+        expect_eol()
+        x = 0
+        color = 0
+        while x < width:
+            run = _read_run(br, color)
+            if x + run > width:
+                raise ValueError("G3 run overflows row")
+            if color:
+                out[y, x:x + run] = 1
+            x += run
+            color ^= 1
+    return out
+
+
+def encode_g3_1d(bits) -> bytes:
+    """T.4 G3 1-D encoder twin: EOL before every line, then MH runs;
+    RTC (6 EOLs) appended, byte-padded."""
+    h, w = bits.shape
+    out: list[str] = []
+    for y in range(h):
+        out.append(EOL)
+        x = 0
+        color = 0
+        row = bits[y]
+        while x < w:
+            run = x
+            while run < w and row[run] == color:
+                run += 1
+            _emit_run(out, run - x, color)
+            x = run
+            color ^= 1
+    out.append(EOL * 6)  # return-to-control
+    s = "".join(out)
+    s += "0" * (-len(s) % 8)
+    return int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
+
+
 def encode_mh(bits) -> bytes:
     """(h, w) 0/1 array -> TIFF compression-2 stream (byte-aligned
     rows)."""

@@ -533,11 +533,11 @@ def _decode_tiff(payload: bytes):
     spp = t.get(277, [1])[0]
     bits = t.get(258, [1] * spp)
     rows_per_strip = t.get(278, [h])[0] or h
-    if comp not in (1, 2, 4, 5, 32773):
+    if comp not in (1, 2, 3, 4, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported (none/CCITT MH/"
-            "CCITT G4/LZW/PackBits; G3-with-EOL (3) and JPEG-in-TIFF "
-            "are the remaining extension points — plug PIL here)"
+            "CCITT G3 1-D/CCITT G4/LZW/PackBits; JPEG-in-TIFF is the "
+            "remaining extension point — plug PIL here)"
         )
     if (spp, bits) not in ((1, [1]), (1, [8]), (3, [8, 8, 8])):
         raise NotImplementedError(
@@ -546,11 +546,16 @@ def _decode_tiff(payload: bytes):
         )
     if t.get(284, [1])[0] != 1:
         raise NotImplementedError("planar TIFF not supported")
-    if comp in (2, 4):
-        # CCITT bilevel (ccitt.py): MH 1-D (2) / G4 2-D (4).  Fax
+    if comp in (2, 3, 4):
+        # CCITT bilevel (ccitt.py): MH 1-D (2) / G3-with-EOL (3, 1-D
+        # only: T4Options bit0 = 2-D raises) / G4 2-D (4).  Fax
         # semantics: bit 1 = black; PhotometricInterpretation 0
         # (WhiteIsZero, the fax default) maps black -> 0, white -> 255.
-        from medical_ocr_pipeline_spark.ccitt import decode_g4, decode_mh
+        from medical_ocr_pipeline_spark.ccitt import (
+            decode_g3_1d,
+            decode_g4,
+            decode_mh,
+        )
 
         if bits != [1]:
             raise ValueError(f"CCITT TIFF must be bilevel, got {bits}")
@@ -558,7 +563,12 @@ def _decode_tiff(payload: bytes):
             raise NotImplementedError(
                 "FillOrder 2 (LSB-first) CCITT not supported"
             )
-        dec = decode_g4 if comp == 4 else decode_mh
+        if comp == 3 and t.get(292, [0])[0] & 1:
+            raise NotImplementedError(
+                "2-D G3 (T4Options bit 0) not supported — G4 covers "
+                "the 2-D case"
+            )
+        dec = {2: decode_mh, 3: decode_g3_1d, 4: decode_g4}[comp]
         rows = []
         rows_left = h
         for soff, scnt in zip(offsets, counts):
@@ -1039,21 +1049,33 @@ def encode_tiff(arr, compression: int = 1, predictor: int = 1) -> bytes:
     return b"II*\x00" + struct.pack("<I", ifd_off) + px + ifd
 
 
-def encode_tiff_ccitt(bits, g4: bool = True) -> bytes:
+def encode_tiff_ccitt(bits, g4: bool = True,
+                      mode: str | None = None) -> bytes:
     """(h, w) 0/1 array (1 = black) -> little-endian bilevel CCITT TIFF
-    (single strip, WhiteIsZero fax polarity): compression 4 (G4 /
-    T.6) by default, compression 2 (MH 1-D) with g4=False — the
-    round-trip partner of the CCITT branch in _decode_tiff."""
-    from medical_ocr_pipeline_spark.ccitt import encode_g4, encode_mh
+    (single strip, WhiteIsZero fax polarity): mode 'g4' (T.6, the
+    default), 'mh' (compression 2), or 'g3' (compression 3, 1-D with
+    EOLs) — the round-trip partner of the CCITT branch in
+    _decode_tiff.  The g4 bool is the backward-compatible spelling of
+    g4/mh."""
+    from medical_ocr_pipeline_spark.ccitt import (
+        encode_g3_1d,
+        encode_g4,
+        encode_mh,
+    )
 
+    mode = mode or ("g4" if g4 else "mh")
+    enc, comp = {
+        "g4": (encode_g4, 4), "mh": (encode_mh, 2),
+        "g3": (encode_g3_1d, 3),
+    }[mode]
     h, w = bits.shape[:2]
-    px = encode_g4(bits) if g4 else encode_mh(bits)
+    px = enc(bits)
     ifd_off = 8 + len(px)
     entries = [
         (256, 4, 1, w),            # ImageWidth
         (257, 4, 1, h),            # ImageLength
         (258, 3, 1, 1),            # BitsPerSample: 1
-        (259, 3, 1, 4 if g4 else 2),  # Compression: G4 / MH
+        (259, 3, 1, comp),         # Compression
         (262, 3, 1, 0),            # Photometric: WhiteIsZero (fax)
         (273, 4, 1, 8),            # StripOffsets
         (277, 3, 1, 1),            # SamplesPerPixel

@@ -219,3 +219,43 @@ def test_fill_order_2_guarded():
     with pytest.raises(NotImplementedError, match="FillOrder"):
         decode_image(bad)
     assert payload  # the unpatched G4 file itself stays decodable
+
+
+def test_g3_1d_round_trip_and_tiff():
+    from medical_ocr_pipeline_spark.ccitt import decode_g3_1d, encode_g3_1d
+
+    rng = np.random.default_rng(11)
+    img = (rng.random((9, 33)) < 0.35).astype(np.uint8)
+    assert np.array_equal(decode_g3_1d(encode_g3_1d(img), 33, 9), img)
+    w, h, px = decode_image(encode_tiff_ccitt(img, mode="g3"))
+    assert (w, h) == (33, 9)
+    assert np.array_equal(px[:, :, 0], (1 - img) * np.uint8(255))
+
+
+def test_g3_2d_option_guarded():
+    """T4Options bit 0 (2-D G3) raises the documented guard."""
+    bil = np.zeros((2, 8), dtype=np.uint8)
+    payload = bytearray(encode_tiff_ccitt(bil, mode="g3"))
+    # patch in a T4Options (292) = 1 entry is intrusive; easier to
+    # hand-build via the multistrip builder pattern
+    from medical_ocr_pipeline_spark.ccitt import encode_g3_1d
+
+    pixel = encode_g3_1d(bil)
+    ifd_off = 8 + len(pixel)
+    entries = [
+        (256, 4, 1, 8), (257, 4, 1, 2), (258, 3, 1, 1),
+        (259, 3, 1, 3), (262, 3, 1, 0), (273, 4, 1, 8),
+        (277, 3, 1, 1), (279, 4, 1, len(pixel)),
+        (292, 4, 1, 1),  # T4Options: 2-D
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3:
+            ifd += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    bad = b"II*\x00" + struct.pack("<I", ifd_off) + pixel + ifd
+    with pytest.raises(NotImplementedError, match="2-D G3"):
+        decode_image(bad)
+    assert payload

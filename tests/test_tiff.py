@@ -114,10 +114,10 @@ def test_bilevel_photometric_inversion():
 def test_unsupported_guards():
     arr = _rgb(4, 4)
     good = encode_tiff(arr)
-    # flip Compression (tag 259) to G3-with-EOL (3), still the
-    # documented extension point: NotImplementedError.  (G4 (4) is a
-    # real codec since round 5 — on this RGB file it raises ValueError
-    # instead, because CCITT requires bilevel.)
+    # flip Compression (tag 259) to old-style JPEG-in-TIFF (6), still
+    # the documented extension point: NotImplementedError.  (G3 (3)
+    # and G4 (4) are real codecs since round 5 — on this RGB file they
+    # raise ValueError instead, because CCITT requires bilevel.)
     ifd_off = struct.unpack("<I", good[4:8])[0]
     n = struct.unpack("<H", good[ifd_off:ifd_off + 2])[0]
 
@@ -130,9 +130,10 @@ def test_unsupported_guards():
         return bytes(bad)
 
     with pytest.raises(NotImplementedError):
-        _decode_tiff(with_compression(3))
-    with pytest.raises(ValueError, match="bilevel"):
-        _decode_tiff(with_compression(4))
+        _decode_tiff(with_compression(6))
+    for ccitt_comp in (3, 4):
+        with pytest.raises(ValueError, match="bilevel"):
+            _decode_tiff(with_compression(ccitt_comp))
     with pytest.raises(ValueError):
         _decode_tiff(b"II\x00\x00" + good[4:])  # bad magic
     with pytest.raises(ValueError):
