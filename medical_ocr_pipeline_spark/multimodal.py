@@ -814,6 +814,17 @@ def real_decode_features(kind: str, payload: bytes) -> list[float]:
     point."""
     if kind == "image":
         return image_features(payload)
+    if kind == "audio" and (
+        payload[:3] == b"ID3"
+        or (len(payload) > 1 and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0)
+    ):
+        # MPEG audio: frame-walk CONTAINER triage (mp3.py) — duration/
+        # bitrate/VBR shape with zero DSP; sample decode stays the
+        # documented external-codec extension point
+        from medical_ocr_pipeline_spark.mp3 import mp3_container_features
+
+        return mp3_container_features(payload)
     if kind == "audio":
         return audio_features(payload)
     if kind == "video" and payload[:6] in (b"GIF87a", b"GIF89a"):

@@ -204,6 +204,16 @@ def media_features_real(spark, sf_dir):
         {"mime": "image/tiff", "width": 7, "height": 5,
          "duration_ms": 0},
     ))
+    # MPEG audio (round 5): frame-walk container triage — a VBR Layer
+    # III chain with an ID3v2 prefix (mp3.py; no sample decode)
+    from medical_ocr_pipeline_spark.mp3 import encode_mp3_skeleton
+
+    rows.append((
+        "aud_mp3", "audio",
+        encode_mp3_skeleton(24, [96, 128, 160], id3=True),
+        {"mime": "audio/mpeg", "width": 0, "height": 0,
+         "duration_ms": 24 * 1152 * 1000 // 44100},
+    ))
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     feats = media_features(media, real_decode=True)
     return feats.select(
