@@ -9,20 +9,21 @@ struct, decoded/feature-extracted inside Arrow batches.
 Decode kernels: REAL pure-python/numpy decoders — PPM P6 / BMP 24-bit,
 8-bit RGB(A) PNG (round 3, stdlib zlib), baseline AND progressive
 JPEG (jpeg.py — from-scratch Huffman + IDCT codec; SOF2 multi-scan
-successive approximation landed round 4), baseline TIFF — the
-archival scanned-page format: both byte orders, strip assembly,
-none/PackBits compression, bilevel/gray/RGB (round 4, with an
-encode_tiff round-trip partner; CCITT G3/G4 and TIFF-LZW are the
-documented extension point), PCM WAV audio (stdlib
+successive approximation landed round 4), TIFF — the archival
+scanned-page format: both byte orders, strip assembly, bilevel/gray/
+RGB, compressions none / CCITT MH (2) / CCITT G3 1-D (3) / CCITT G4
+(4, ccitt.py — the fax compression medical scan archives actually
+ship) / LZW §13 with horizontal predictor (5) / PackBits (32773),
+with encode round-trip partners for each — PCM WAV audio (stdlib
 `wave`), compressed WAV audio — G.711 mu-law / A-law and IMA ADPCM via
 the from-scratch codecs in audio.py (round 4) — and FLAC (flac.py, a
 full from-scratch lossless decoder+encoder, round 4) produce genuine
 pixel/sample-derived features through
-`media_features(real_decode=True)`.  MP4 and Matroska/WebM video get
-CONTAINER-level triage features (mp4.py / webm.py — no pixel decode);
-formats whose features require an external codec (MP3/OGG lossy
-audio, the codec payloads inside video containers) still raise
-NotImplementedError at the same documented extension point;
+`media_features(real_decode=True)`.  MP4 and Matroska/WebM video and
+MPEG audio (mp3.py frame-walk, round 5) get CONTAINER-level triage
+features (no pixel/sample decode); the remaining external-codec
+extension points are the codec payloads inside video containers
+(H.264/VP9), MP3 sample decode, JPEG-in-TIFF, and OGG;
 `deterministic_fake_decode` remains for plumbing tests that want
 payload-seeded reproducible rows.
 """
