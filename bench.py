@@ -69,6 +69,13 @@ HEADLINE = [
     "qa_wer_exact",
     "ks_split_drift",
     "host_kcore",
+    # round 5: the megagroup-safe per-language percentile rank (now the
+    # two-phase range-partitioned production path, ~1 s) and the
+    # re-founded per-document spatial best-match join (doc_id-bounded
+    # line-block IoU argmax, ~1 s); adds ~2 s to headline_queries_total
+    # vs r4 — compare per-query across rounds
+    "quality_percentiles",
+    "j7_layout_preservation",
 ]
 
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
