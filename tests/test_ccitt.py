@@ -259,3 +259,38 @@ def test_g3_2d_option_guarded():
     with pytest.raises(NotImplementedError, match="2-D G3"):
         decode_image(bad)
     assert payload
+
+
+# ---------------------------------------------------------------- fuzz
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _bilevel(draw):
+    h = draw(st.integers(1, 12))
+    w = draw(st.integers(1, 80))
+    density = draw(st.sampled_from([0.02, 0.3, 0.5, 0.8, 0.98]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return (rng.random((h, w)) < density).astype(np.uint8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_bilevel())
+def test_fuzz_g4_round_trip(img):
+    assert np.array_equal(
+        decode_g4(encode_g4(img), img.shape[1], img.shape[0]), img
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(_bilevel())
+def test_fuzz_mh_and_g3_round_trip(img):
+    from medical_ocr_pipeline_spark.ccitt import decode_g3_1d, encode_g3_1d
+
+    h, w = img.shape
+    assert np.array_equal(decode_mh(encode_mh(img), w, h), img)
+    assert np.array_equal(decode_g3_1d(encode_g3_1d(img), w, h), img)

@@ -240,3 +240,20 @@ def test_tiff_lzw_truncated_raises():
     bad = payload[:40] + payload[60:]
     with pytest.raises((ValueError, NotImplementedError)):
         decode_image(bad)
+
+
+def test_fuzz_lzw_round_trip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from medical_ocr_pipeline_spark.multimodal import (
+        _tiff_lzw,
+        _tiff_lzw_encode,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=3000))
+    def inner(data):
+        assert _tiff_lzw(_tiff_lzw_encode(data), len(data)) == data
+
+    inner()
