@@ -86,6 +86,9 @@ _PROMOTE_TO_WINDOW = [
     # needs its first driver record as the upgraded form ---
     "a7_deep_merge",
     "j7_layout_preservation",
+    # --- round-5 new operator: the stream-stream interval join's
+    # oracle-checked batch twin (one frame function serves both paths)
+    "interval_join_view_purchase",
     # Third-session entries deliberately left PAST the window (each
     # holds an exact local-gate row + reference tests): qa_local_align
     # shares the DP-fold machinery with its two in-window twins;
@@ -113,11 +116,12 @@ _PROMOTE_TO_WINDOW = [
     "length_quantile_sketch",
     "crawl_diff",
     "dq_profile",
-    "kmeans_silhouette",
     # ---------------- window boundary (slot 50) ------------------
-    # Round-5 relegations for the a7/j7 upgrades: zorder_layout and
-    # dedup_containment each hold a GREEN r04 driver row (all three
-    # checks) with unchanged code this round.
+    # Round-5 relegations for the a7/j7/interval-join promotions:
+    # zorder_layout, dedup_containment and kmeans_silhouette each hold
+    # a GREEN r04 driver row (all three checks) with unchanged code
+    # this round.
+    "kmeans_silhouette",
     "zorder_layout",
     "dedup_containment",
     # Everything below is PAST the driver's 50-entry window and is

@@ -86,6 +86,45 @@ def asof_view_to_purchase(spark, sf_dir):
 
 
 @register(
+    "interval_join_view_purchase",
+    sql="""
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT)
+             AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY user_id, purchase_id, view_id
+    """,
+)
+def interval_join_view_purchase(spark, sf_dir):
+    """Event-time interval join: EVERY view within the attribution
+    window (1 h) before each purchase — the pair table the as-of query
+    reduces (asof keeps only the latest; multi-touch attribution wants
+    them all) and the BATCH TWIN of the watermarked stream-stream join
+    in streaming/joins.py: one frame function serves both paths, so
+    the streaming operator's semantics are pinned by this oracle plus
+    the stream == batch equivalence test (tests/test_streaming_joins.py).
+
+    100 TB shape: an equi-join on user_id with a two-sided event-time
+    band; row amplification is bounded by views-per-user-per-hour (the
+    window), not stream length — the same bound that makes the
+    streaming form's state finite under watermarks."""
+    from medical_ocr_pipeline_spark.streaming.joins import interval_pairs
+
+    ev = load(spark, sf_dir, "events")
+    return interval_pairs(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        window_s=3600,
+    ).orderBy("user_id", "purchase_id", "view_id")
+
+
+@register(
     "range_join_event_pairs",
     sql=f"""
     SELECT a.user_id AS user_id,

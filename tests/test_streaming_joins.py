@@ -1,0 +1,94 @@
+"""Watermarked stream-stream interval join (streaming/joins.py):
+stream == batch on the same backlog, checkpointed rerun adds nothing,
+and the watermark actually expires late rows (the state-bound
+semantic)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sides(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    return (
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """AvailableNow over the whole backlog with a watermark wider than
+    the data span: pair-for-pair equal to the batch twin (which is the
+    oracle-checked registry query interval_join_view_purchase)."""
+    from medical_ocr_pipeline_spark.streaming.joins import (
+        interval_pairs,
+        stream_interval_join,
+    )
+
+    feed = f"{tmp_path}/feed"
+    out = f"{tmp_path}/out"
+    ckpt = f"{tmp_path}/ckpt"
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.write.parquet(feed)
+    # data spans days; "3650 days" makes every backlog row on-time so
+    # the equivalence is exact (production uses tight watermarks and
+    # accepts the documented late-drop semantics, tested below)
+    stream_interval_join(spark, feed, out, ckpt, watermark="3650 days")
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    views, purchases = _sides(spark)
+    want = sorted(
+        tuple(r) for r in interval_pairs(views, purchases).collect()
+    )
+    assert got == want and len(want) > 0
+
+    # rerun with the same checkpoint: nothing reprocessed
+    stream_interval_join(spark, feed, out, ckpt, watermark="3650 days")
+    again = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert again == got
+
+
+def test_watermark_expires_late_rows(spark, tmp_path):
+    """A view arriving after the watermark has passed its window must
+    NOT produce a pair: run 1 advances the watermark past the old
+    view's expiry, run 2 delivers the late view."""
+    from medical_ocr_pipeline_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    feed = f"{tmp_path}/feed"
+    out = f"{tmp_path}/out"
+    ckpt = f"{tmp_path}/ckpt"
+    rows1 = [
+        # recent on-time traffic that drags the watermark forward
+        (1, 900, "view", "2026-01-10 12:00:00"),
+        (1, 901, "purchase", "2026-01-10 12:30:00"),
+        (2, 910, "purchase", "2026-01-10 12:45:00"),
+    ]
+    rows2 = [
+        # a view 10 days late: its join window [ts, ts+1h] is far
+        # behind the checkpointed watermark -> state never admits it
+        (2, 800, "view", "2026-01-01 00:00:00"),
+        (2, 801, "purchase", "2026-01-01 00:10:00"),
+    ]
+
+    def write(rows, path):
+        spark.createDataFrame(
+            [(u, e, t, ts) for u, e, t, ts in rows],
+            "user_id long, event_id long, event_type string, ts_s string",
+        ).select(
+            "user_id", "event_id", "event_type",
+            F.to_timestamp("ts_s").alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    write(rows1, feed)
+    stream_interval_join(spark, feed, out, ckpt, watermark="1 hour")
+    write(rows2, feed)
+    stream_interval_join(spark, feed, out, ckpt, watermark="1 hour")
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (901, 900) in got          # on-time pair joined
+    assert (801, 800) not in got      # late pair expired by watermark
