@@ -125,6 +125,43 @@ def interval_join_view_purchase(spark, sf_dir):
 
 
 @register(
+    "interval_join_unattributed",
+    sql="""
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_id IS NULL
+    ORDER BY user_id, purchase_id
+    """,
+)
+def interval_join_unattributed(spark, sf_dir):
+    """Purchases with NO view inside the attribution window — the
+    left-outer complement of interval_join_view_purchase, and the
+    batch twin of streaming/joins.py's how='left_outer' mode (where
+    the null-matched row may only be emitted once the view-side
+    watermark proves a match impossible — pinned by the streaming
+    tests).  Same join shape and bounds as the inner form."""
+    from medical_ocr_pipeline_spark.streaming.joins import interval_pairs
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        interval_pairs(
+            ev.where(F.col("event_type") == "view"),
+            ev.where(F.col("event_type") == "purchase"),
+            window_s=3600,
+            how="left_outer",
+        )
+        .where(F.col("view_id").isNull())
+        .select("user_id", "purchase_id")
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+@register(
     "range_join_event_pairs",
     sql=f"""
     SELECT a.user_id AS user_id,

@@ -32,11 +32,18 @@ INTERVAL_JOIN_WINDOW_S = 3600  # attribute purchases to views <= 1 h old
 
 
 def interval_pairs(views: DataFrame, purchases: DataFrame,
-                   window_s: int = INTERVAL_JOIN_WINDOW_S) -> DataFrame:
+                   window_s: int = INTERVAL_JOIN_WINDOW_S,
+                   how: str = "inner") -> DataFrame:
     """(user_id, purchase_id, view_id, gap_sec) for every view whose
     timestamp is within [p.ts - window_s, p.ts].  Works unchanged on
     batch OR streaming frames; streaming callers must put watermarks on
-    both inputs first (stream_interval_join does)."""
+    both inputs first (stream_interval_join does).
+
+    how='left_outer' preserves UNATTRIBUTED purchases (view_id and
+    gap_sec null) — in streaming, the null-matched row is emitted only
+    once the view-side watermark passes purchase.ts (a match is then
+    provably impossible), the outer-join semantic Structured Streaming
+    requires the watermark + range bound for."""
     v = views.select(
         F.col("user_id").alias("v_user"),
         F.col("event_id").alias("view_id"),
@@ -55,6 +62,7 @@ def interval_pairs(views: DataFrame, purchases: DataFrame,
             F.col("p_ts")
             <= F.col("v_ts") + F.expr(f"interval {window_s} seconds")
         ),
+        how,
     )
     return joined.select(
         F.col("p_user").alias("user_id"),
@@ -73,6 +81,7 @@ def stream_interval_join(
     checkpoint: str,
     window_s: int = INTERVAL_JOIN_WINDOW_S,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> None:
     """AvailableNow end-to-end: read an events parquet feed as a
     stream, split it into the two sides, interval-join with watermarks
@@ -96,7 +105,7 @@ def stream_interval_join(
         "ts", watermark
     )
     q = (
-        interval_pairs(views, purchases, window_s)
+        interval_pairs(views, purchases, window_s, how)
         .writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)

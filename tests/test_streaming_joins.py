@@ -92,3 +92,59 @@ def test_watermark_expires_late_rows(spark, tmp_path):
     }
     assert (901, 900) in got          # on-time pair joined
     assert (801, 800) not in got      # late pair expired by watermark
+
+
+def test_outer_join_emits_unattributed_after_watermark(spark, tmp_path):
+    """how='left_outer': a purchase with no view in its window emits a
+    null-matched row — but only once the view-side watermark proves no
+    match can arrive (run 2's newer traffic advances it)."""
+    from medical_ocr_pipeline_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    feed = f"{tmp_path}/feed"
+    out = f"{tmp_path}/out"
+    ckpt = f"{tmp_path}/ckpt"
+
+    def write(rows):
+        spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, event_type string, ts_s string",
+        ).select(
+            "user_id", "event_id", "event_type",
+            F.to_timestamp("ts_s").alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(feed)
+
+    write([
+        (1, 100, "view", "2026-01-10 12:00:00"),
+        (1, 101, "purchase", "2026-01-10 12:30:00"),   # attributed
+        (2, 200, "purchase", "2026-01-10 12:40:00"),   # no view at all
+    ])
+    stream_interval_join(spark, feed, out, ckpt, watermark="10 minutes",
+                         how="left_outer")
+    first = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # the unattributed purchase may not have emitted yet: the watermark
+    # has not passed its timestamp within run 1
+    assert (101, 100) in first
+
+    # newer traffic on BOTH sides pushes the GLOBAL watermark (Spark
+    # takes the MINIMUM across the two inputs) well past purchase 200;
+    # a third batch then flushes the expired outer row (outer results
+    # emit in a batch AFTER the watermark passes, not the same one)
+    write([(3, 300, "view", "2026-01-11 09:00:00"),
+           (3, 301, "purchase", "2026-01-11 09:05:00")])
+    stream_interval_join(spark, feed, out, ckpt, watermark="10 minutes",
+                         how="left_outer")
+    write([(3, 310, "view", "2026-01-11 10:00:00"),
+           (3, 311, "purchase", "2026-01-11 10:05:00")])
+    stream_interval_join(spark, feed, out, ckpt, watermark="10 minutes",
+                         how="left_outer")
+    final = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (101, 100) in final
+    assert (200, None) in final, final
