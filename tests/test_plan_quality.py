@@ -558,3 +558,28 @@ def test_quality_percentiles_no_corpus_wide_lang_window(spark):
                 "per-language window over the corpus in the production "
                 "path:\n" + ln
             )
+
+
+def test_j7_block_join_is_equi_not_theta(spark):
+    """The spatial best-match join must key on doc_id (pairs bounded by
+    lines-per-document squared) — never a cartesian/broadcast
+    nested-loop over the corpus."""
+    from medical_ocr_pipeline_spark.queries.qa import j7_layout_preservation
+
+    plan = final_plan(j7_layout_preservation(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_is_equi_with_band(spark):
+    """The event-time interval join must shuffle on user_id with the
+    time band as a post-join filter — an equi join, not a nested
+    loop."""
+    from medical_ocr_pipeline_spark.queries.temporal import (
+        interval_join_view_purchase,
+    )
+
+    plan = final_plan(interval_join_view_purchase(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
