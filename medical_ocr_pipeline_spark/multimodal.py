@@ -21,9 +21,10 @@ full from-scratch lossless decoder+encoder, round 4) produce genuine
 pixel/sample-derived features through
 `media_features(real_decode=True)`.  MP4 and Matroska/WebM video and
 MPEG audio (mp3.py frame-walk, round 5) get CONTAINER-level triage
-features (no pixel/sample decode); the remaining external-codec
-extension points are the codec payloads inside video containers
-(H.264/VP9), MP3 sample decode, JPEG-in-TIFF, and OGG;
+features (no pixel/sample decode); JPEG-in-TIFF (compression 7,
+including JPEGTables abbreviated streams) decodes through jpeg.py;
+the remaining external-codec extension points are the codec payloads
+inside video containers (H.264/VP9), MP3 sample decode, and OGG;
 `deterministic_fake_decode` remains for plumbing tests that want
 payload-seeded reproducible rows.
 """
@@ -349,7 +350,7 @@ def _decode_gif(payload: bytes):
 # pipeline's page rasters (notebooks/02_ocr_verifier.py) — TIFF is the
 # archival scan format those pages arrive in.
 
-_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 7: 1}  # BYTE, SHORT, LONG, UNDEFINED
 
 
 def _tiff_ifd(payload: bytes, e: str):
@@ -379,7 +380,7 @@ def _tiff_ifd(payload: bytes, e: str):
             raw = payload[voff:voff + size]
             if len(raw) < size:
                 raise ValueError("truncated TIFF value block")
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         tags[tag] = list(struct.unpack(e + fmt * cnt, raw[:size]))
     return tags
 
@@ -534,12 +535,46 @@ def _decode_tiff(payload: bytes):
     spp = t.get(277, [1])[0]
     bits = t.get(258, [1] * spp)
     rows_per_strip = t.get(278, [h])[0] or h
-    if comp not in (1, 2, 3, 4, 5, 32773):
+    if comp not in (1, 2, 3, 4, 5, 7, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported (none/CCITT MH/"
-            "CCITT G3 1-D/CCITT G4/LZW/PackBits; JPEG-in-TIFF is the "
-            "remaining extension point — plug PIL here)"
+            "CCITT G3 1-D/CCITT G4/LZW/new-style JPEG/PackBits; "
+            "old-style JPEG (6) and deflate are the remaining "
+            "extension points — plug PIL here)"
         )
+    if comp == 7:
+        # New-style JPEG-in-TIFF (TechNote 2): every strip is a JPEG
+        # stream decoded by the from-scratch jpeg.py codec.  With a
+        # JPEGTables tag (347) the strips are ABBREVIATED streams —
+        # the shared tables ride the tag as SOI <tables> EOI and are
+        # spliced after each strip's SOI before decoding.
+        from medical_ocr_pipeline_spark.jpeg import decode_jpeg
+
+        tables = bytes(t.get(347, []))
+        body = b""
+        if tables:
+            if tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+                raise ValueError("malformed JPEGTables payload")
+            body = tables[2:-2]
+        parts = []
+        rows_left = h
+        for soff, scnt in zip(offsets, counts):
+            strip_rows = min(rows_per_strip, rows_left)
+            chunk = payload[soff:soff + scnt]
+            if len(chunk) < scnt:
+                raise ValueError("truncated TIFF strip")
+            if chunk[:2] != b"\xff\xd8":
+                raise ValueError("JPEG strip missing SOI")
+            stream = b"\xff\xd8" + body + chunk[2:] if body else chunk
+            sw, sh, arr = decode_jpeg(stream)
+            if sw != w or sh < strip_rows:
+                raise ValueError(
+                    f"JPEG strip {sw}x{sh} disagrees with IFD "
+                    f"{w}x{strip_rows}"
+                )
+            parts.append(arr[:strip_rows])
+            rows_left -= strip_rows
+        return w, h, np.concatenate(parts, axis=0)[:h]
     if (spp, bits) not in ((1, [1]), (1, [8]), (3, [8, 8, 8])):
         raise NotImplementedError(
             f"TIFF spp={spp} bits={bits} not supported (bilevel, "
@@ -1102,6 +1137,59 @@ def encode_tiff_ccitt(bits, g4: bool = True,
             ifd += struct.pack("<HHII", tag, typ, cnt, val)
     ifd += struct.pack("<I", 0)
     return b"II*\x00" + struct.pack("<I", ifd_off) + px + ifd
+
+
+def encode_tiff_jpeg(arr, quality: int = 90,
+                     rows_per_strip: int | None = None) -> bytes:
+    """HxWx3 uint8 -> new-style JPEG-in-TIFF (compression 7): each
+    strip is a complete JFIF stream from the from-scratch jpeg.py
+    encoder.  The abbreviated-stream (JPEGTables) variant is exercised
+    by tests via segment splitting; this builder emits self-contained
+    strips, the common writer shape."""
+    from medical_ocr_pipeline_spark.jpeg import encode_jpeg
+
+    h, w = arr.shape[:2]
+    rps = rows_per_strip or h
+    strips = [
+        encode_jpeg(arr[y0:y0 + rps], quality=quality)
+        for y0 in range(0, h, rps)
+    ]
+    pixel = b"".join(strips)
+    n_strips = len(strips)
+    multi = n_strips > 1
+    ifd_off = 8 + len(pixel)
+    n_entries = 9
+    bits_off = ifd_off + 2 + n_entries * 12 + 4
+    arr_off = bits_off + 6
+    entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 3, bits_off),
+        (259, 3, 1, 7),            # Compression: new-style JPEG
+        (262, 3, 1, 6),            # Photometric: YCbCr
+        (273, 4, n_strips, arr_off if multi else 8),
+        (277, 3, 1, 3),
+        (278, 4, 1, rps),
+        (279, 4, n_strips,
+         arr_off + 4 * n_strips if multi else len(pixel)),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3 and cnt == 1:
+            ifd += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    ifd += struct.pack("<HHH", 8, 8, 8)
+    if multi:
+        offs = []
+        pos = 8
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        ifd += struct.pack(f"<{n_strips}I", *offs)
+        ifd += struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
+    return b"II*\x00" + struct.pack("<I", ifd_off) + pixel + ifd
 
 
 def _gif_palette(flat):

@@ -204,6 +204,18 @@ def media_features_real(spark, sf_dir):
         {"mime": "image/tiff", "width": 7, "height": 5,
          "duration_ms": 0},
     ))
+    # JPEG-in-TIFF (round 5): compression 7, two strips, each a full
+    # JFIF stream through the from-scratch jpeg.py codec
+    from medical_ocr_pipeline_spark.multimodal import encode_tiff_jpeg
+
+    jt = np.fromfunction(
+        lambda y, x, c: (50 + 13 * y + 7 * x + 9 * c) % 256, (12, 10, 3)
+    ).astype(np.uint8)
+    rows.append((
+        "img_tiff_jpeg", "image", encode_tiff_jpeg(jt, rows_per_strip=6),
+        {"mime": "image/tiff", "width": 10, "height": 12,
+         "duration_ms": 0},
+    ))
     # MPEG audio (round 5): frame-walk container triage — a VBR Layer
     # III chain with an ID3v2 prefix (mp3.py; no sample decode)
     from medical_ocr_pipeline_spark.mp3 import encode_mp3_skeleton

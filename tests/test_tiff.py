@@ -257,3 +257,96 @@ def test_fuzz_lzw_round_trip():
         assert _tiff_lzw(_tiff_lzw_encode(data), len(data)) == data
 
     inner()
+
+
+def _smooth(h, w, seed=0):
+    y, x = np.mgrid[0:h, 0:w]
+    base = (40 + 14 * np.sin(y / 3 + seed) + 11 * np.cos(x / 4)) % 256
+    return np.stack([base, base + 30, base + 60], axis=2).astype(np.uint8)
+
+
+def test_jpeg_in_tiff_single_strip_exact_vs_direct():
+    """Compression 7, self-contained strip: pixel-identical to decoding
+    the same JFIF stream directly (same codec, same bytes)."""
+    from medical_ocr_pipeline_spark.jpeg import decode_jpeg, encode_jpeg
+    from medical_ocr_pipeline_spark.multimodal import encode_tiff_jpeg
+
+    arr = _smooth(24, 16)
+    w, h, out = decode_image(encode_tiff_jpeg(arr))
+    assert (w, h) == (16, 24)
+    ref = decode_jpeg(encode_jpeg(arr, quality=90))[2]
+    assert np.array_equal(out, ref)
+
+
+def test_jpeg_in_tiff_multistrip():
+    from medical_ocr_pipeline_spark.multimodal import encode_tiff_jpeg
+
+    arr = _smooth(24, 16, seed=2)
+    w, h, out = decode_image(encode_tiff_jpeg(arr, rows_per_strip=8))
+    assert (w, h, out.shape) == (16, 24, (24, 16, 3))
+    # strips decode independently; content stays close to the source
+    assert float(np.abs(out.astype(int) - arr.astype(int)).mean()) < 12
+
+
+def test_jpeg_in_tiff_abbreviated_streams_with_jpegtables():
+    """The JPEGTables (347) variant: DQT/DHT segments move into the
+    tag payload, strips keep only SOF/SOS — the decoder splices the
+    tables back after each strip's SOI.  Result must equal the
+    self-contained form bit for bit."""
+    from medical_ocr_pipeline_spark.jpeg import encode_jpeg
+    from medical_ocr_pipeline_spark.multimodal import encode_tiff_jpeg
+
+    arr = _smooth(16, 16, seed=5)
+    full = encode_jpeg(arr, quality=90)
+
+    # split the JFIF stream: DQT (FFDB) + DHT (FFC4) -> tables
+    tables, rest = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(full):
+        marker = full[pos:pos + 2]
+        if marker == b"\xff\xd9":
+            rest += marker
+            break
+        seg_len = struct.unpack(">H", full[pos + 2:pos + 4])[0]
+        seg = full[pos:pos + 2 + seg_len]
+        if marker in (b"\xff\xdb", b"\xff\xc4"):
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + seg_len
+        if marker == b"\xff\xda":  # SOS: rest of stream is entropy data
+            rest += full[pos:]
+            break
+    tables += b"\xff\xd9"
+
+    strip = bytes(rest)
+    ifd_off = 8 + len(strip)
+    entries = [
+        (256, 4, 1, 16), (257, 4, 1, 16), (258, 3, 1, 8),
+        (259, 3, 1, 7), (262, 3, 1, 6), (273, 4, 1, 8),
+        (277, 3, 1, 3), (279, 4, 1, len(strip)),
+        (347, 7, len(tables), ifd_off + 2 + 9 * 12 + 4),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3 and cnt == 1:
+            ifd += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    ifd += bytes(tables)
+    payload = b"II*\x00" + struct.pack("<I", ifd_off) + strip + ifd
+    w, h, out = decode_image(payload)
+    _, _, want = decode_image(encode_tiff_jpeg(arr))
+    assert (w, h) == (16, 16)
+    assert np.array_equal(out, want)
+
+
+def test_jpeg_in_tiff_bad_strip_raises():
+    from medical_ocr_pipeline_spark.multimodal import encode_tiff_jpeg
+
+    arr = _smooth(8, 8)
+    payload = bytearray(encode_tiff_jpeg(arr))
+    payload[8] = 0x00  # clobber the strip's SOI
+    with pytest.raises(ValueError, match="SOI"):
+        decode_image(bytes(payload))
