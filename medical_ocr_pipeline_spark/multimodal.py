@@ -850,6 +850,13 @@ def real_decode_features(kind: str, payload: bytes) -> list[float]:
     point."""
     if kind == "image":
         return image_features(payload)
+    if kind == "audio" and payload[:4] == b"OggS":
+        # Ogg Vorbis/Opus: page-walk CONTAINER triage (ogg.py, CRC
+        # verified); packet-level audio decode stays the documented
+        # external-codec extension point
+        from medical_ocr_pipeline_spark.ogg import ogg_container_features
+
+        return ogg_container_features(payload)
     if kind == "audio" and (
         payload[:3] == b"ID3"
         or (len(payload) > 1 and payload[0] == 0xFF

@@ -226,6 +226,16 @@ def media_features_real(spark, sf_dir):
         {"mime": "audio/mpeg", "width": 0, "height": 0,
          "duration_ms": 24 * 1152 * 1000 // 44100},
     ))
+    # Ogg Opus (round 5): page-walk container triage with verified
+    # per-page CRCs (ogg.py; no packet decode)
+    from medical_ocr_pipeline_spark.ogg import encode_ogg_skeleton
+
+    rows.append((
+        "aud_ogg", "audio",
+        encode_ogg_skeleton("opus", n_pages=8, samples=144000),
+        {"mime": "audio/ogg", "width": 0, "height": 0,
+         "duration_ms": (144000 - 312) * 1000 // 48000},
+    ))
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     feats = media_features(media, real_decode=True)
     return feats.select(
@@ -277,6 +287,16 @@ def media_thumbnails_smoke(spark, sf_dir):
     rows.append(("jpg_bad", "image", b"\xff\xd8\xff\xe0 not decodable",
                  {"mime": "image/jpeg", "width": 0, "height": 0,
                   "duration_ms": 0}))
+    # Ogg Opus (round 5): page-walk container triage with verified
+    # per-page CRCs (ogg.py; no packet decode)
+    from medical_ocr_pipeline_spark.ogg import encode_ogg_skeleton
+
+    rows.append((
+        "aud_ogg", "audio",
+        encode_ogg_skeleton("opus", n_pages=8, samples=144000),
+        {"mime": "audio/ogg", "width": 0, "height": 0,
+         "duration_ms": (144000 - 312) * 1000 // 48000},
+    ))
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     thumbs = media_thumbnails(media, out_w=3, out_h=3)
     return thumbs.select(
