@@ -99,6 +99,7 @@ def run_monitors(spark, args, out: str) -> None:
     t0 = time.time()
     docs = spark.read.parquet(args.input).persist()
     n_docs = docs.count()
+    print(f"SETUP secs={time.time() - t0:.1f}", flush=True)
 
     def run_stage(item):
         name, core = item
@@ -132,6 +133,7 @@ def run_monitors(spark, args, out: str) -> None:
             # list() re-raises the first stage failure, if any
             list(pool.map(run_stage, STAGES))
 
+    t_sum = time.time()
     chi2 = spark.read.parquet(f"{out}/monitor_chi2")
     drift = spark.read.parquet(f"{out}/monitor_drift")
     oov = spark.read.parquet(f"{out}/monitor_oov")
@@ -179,6 +181,7 @@ def run_monitors(spark, args, out: str) -> None:
     ws(metrics, f"{out}/metrics", mode="append")
 
     docs.unpersist()
+    print(f"SUMMARY secs={time.time() - t_sum:.1f}", flush=True)
     print(
         f"RESULT docs={n_docs} chi2_cells={n_cells} "
         f"chi2_total_ppm={int(chi2_total)} max_drift_ppb={int(max_drift)} "
