@@ -6,6 +6,7 @@ the fourth runtime surface next to job.py (extraction), job_corpus.py
         medical_ocr_pipeline_spark/job_monitor.py \
         --input /root/testdata/sf0.01/documents.parquet \
         --out /tmp/monitor_run [--master local[32]] [--resume]
+        [--parallel-stages 4]
 
 A production pipeline runs this job on every corpus snapshot and diffs
 the outputs run-over-run; every frame it writes is an oracle-checked
@@ -23,6 +24,10 @@ numbers the correctness gate pins:
                             drift (ks_frame)
   <out>/monitor_mw/         per-language Mann-Whitney 2U / AUC
                             (mw_frame)
+  <out>/monitor_quantiles/  per-split exact length quantiles
+                            (split_quantiles_frame)
+  <out>/monitor_head_coverage/  top-k token cumulative share
+                            (head_coverage_frame)
   <out>/eval_sample/        the deterministic fixed-k human-eval draw
                             (sample_frame)
   <out>/metrics/            one summary row per run (run_id, ts, doc
