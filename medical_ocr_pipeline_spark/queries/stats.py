@@ -55,11 +55,16 @@ _CORR_PAIRS = [("words~uniq", "a", "b"), ("words~chars", "a", "c"),
 
 
 def _corr_ppm_duck(x: str, y: str) -> str:
-    cov = f"(n * s{x}{y} - s{x} * s{y})"
-    vx = f"(n * s{x}{x} - s{x} * s{x})"
-    vy = f"(n * s{y}{y} - s{y} * s{y})"
+    # HUGEINT moments: n * S_cc ~ 3.7e19 already at a 20M-doc corpus
+    # (chars second moment), past BIGINT — mirrored by the Spark
+    # side's DECIMAL(38,0) (caught by the x4096 scaling capture)
+    n = "CAST(n AS HUGEINT)"
+    cov = f"({n} * s{x}{y} - CAST(s{x} AS HUGEINT) * s{y})"
+    vx = f"({n} * s{x}{x} - CAST(s{x} AS HUGEINT) * s{x})"
+    vy = f"({n} * s{y}{y} - CAST(s{y} AS HUGEINT) * s{y})"
     return (
-        f"CAST(FLOOR({cov} * 1000000.0 / sqrt(CAST({vx} AS DOUBLE)"
+        f"CAST(FLOOR(CAST({cov} AS DOUBLE) * 1000000.0"
+        f" / sqrt(CAST({vx} AS DOUBLE)"
         f" * CAST({vy} AS DOUBLE))) AS BIGINT)"
     )
 
@@ -123,11 +128,19 @@ def corr_frame(docs):
     )
 
     def corr_ppm(x, y):
-        cov = F.col("n") * F.col(f"s{x}{y}") - F.col(f"s{x}") * F.col(f"s{y}")
-        vx = F.col("n") * F.col(f"s{x}{x}") - F.col(f"s{x}") * F.col(f"s{x}")
-        vy = F.col("n") * F.col(f"s{y}{y}") - F.col(f"s{y}") * F.col(f"s{y}")
+        # DECIMAL(38,0) moments (HUGEINT in the oracle): n * S_cc is
+        # ~3.7e19 at a 20M-doc corpus — BIGINT overflows under ANSI
+        # (x4096 scaling capture).  The decimal holds the integer
+        # exactly, so the final double expression is operand-identical
+        # to the oracle's.
+        def d(c):
+            return F.col(c).cast("decimal(38,0)")
+
+        cov = d("n") * d(f"s{x}{y}") - d(f"s{x}") * d(f"s{y}")
+        vx = d("n") * d(f"s{x}{x}") - d(f"s{x}") * d(f"s{x}")
+        vy = d("n") * d(f"s{y}{y}") - d(f"s{y}") * d(f"s{y}")
         return F.floor(
-            cov * 1000000.0
+            cov.cast("double") * 1000000.0
             / F.sqrt(vx.cast("double") * vy.cast("double"))
         ).cast("long")
 
@@ -1229,7 +1242,8 @@ def _ks_sql() -> str:
     SELECT lang, CAST(MAX(n_t) AS BIGINT) AS n_train,
            CAST(MAX(n_e) AS BIGINT) AS n_test,
            CAST(MAX(ABS(cum_t * n_e - cum_e * n_t)) AS BIGINT) AS d_num,
-           CAST(MAX(ABS(cum_t * n_e - cum_e * n_t)) * 1000000
+           CAST(CAST(MAX(ABS(cum_t * n_e - cum_e * n_t)) AS HUGEINT)
+                * 1000000
                 // GREATEST(MAX(n_t) * MAX(n_e), 1) AS BIGINT) AS ks_ppm
     FROM cum GROUP BY lang
     HAVING MAX(n_t) > 0 AND MAX(n_e) > 0
@@ -1275,8 +1289,14 @@ def ks_frame(docs):
             # on the filter being collapsed into the aggregate before
             # ANSI evaluates the div is planner-dependent (the
             # diversity_frame / qa.py guard convention)
+            # the cross-multiplied gap is O(n_t * n_e) (~1.8e13 at a
+            # 20M-doc corpus): the *1e6 ppm scale overflows BIGINT, so
+            # the product runs in DECIMAL(38,0) (HUGEINT in the
+            # oracle) — exact integer division either way.  Caught by
+            # the x4096 monitor-scaling capture under ANSI mode.
             F.expr(
-                "cast(max(abs(cum_t * n_e - cum_e * n_t)) * 1000000"
+                "cast(cast(max(abs(cum_t * n_e - cum_e * n_t))"
+                " as decimal(38,0)) * 1000000"
                 " div greatest(max(n_t) * max(n_e), 1) as bigint)"
             ).alias("ks_ppm"),
         )
@@ -1293,7 +1313,8 @@ def _mw_sql() -> str:
     SELECT lang, CAST(MAX(n_t) AS BIGINT) AS n_train,
            CAST(MAX(n_e) AS BIGINT) AS n_test,
            CAST(SUM(ct * (2 * (cum_e - ce) + ce)) AS BIGINT) AS u2,
-           CAST(SUM(ct * (2 * (cum_e - ce) + ce)) * 1000000
+           CAST(CAST(SUM(ct * (2 * (cum_e - ce) + ce)) AS HUGEINT)
+                * 1000000
                 // GREATEST(2 * MAX(n_t) * MAX(n_e), 1) AS BIGINT)
              AS auc_ppm
     FROM cum GROUP BY lang
@@ -1336,9 +1357,12 @@ def mw_frame(docs):
             F.max("n_e").cast("long").alias("n_test"),
             F.sum(u2t).cast("long").alias("u2"),
             # greatest guard: same ANSI divide-by-zero rationale as
-            # ks_frame above
+            # ks_frame above.  2U is O(n_t * n_e), so like ks_ppm the
+            # *1e6 ppm scale runs in DECIMAL(38,0)/HUGEINT — BIGINT
+            # overflows at a ~20M-doc corpus (x4096 scaling capture).
             F.expr(
-                "cast(sum(ct * (2 * (cum_e - ce) + ce)) * 1000000"
+                "cast(cast(sum(ct * (2 * (cum_e - ce) + ce))"
+                " as decimal(38,0)) * 1000000"
                 " div greatest(2 * max(n_t) * max(n_e), 1) as bigint)"
             ).alias("auc_ppm"),
         )

@@ -1763,20 +1763,30 @@ def length_quantile_sketch(spark, sf_dir):
              CAST(SUM(y * y) AS BIGINT) AS syy
       FROM d GROUP BY lang
     )
+    , m AS (
+      SELECT lang, n,
+             CAST(n AS HUGEINT) * sxy
+               - CAST(sx AS HUGEINT) * sy AS cov,
+             CAST(n AS HUGEINT) * sxx
+               - CAST(sx AS HUGEINT) * sx AS vx,
+             CAST(n AS HUGEINT) * syy
+               - CAST(sy AS HUGEINT) * sy AS vy,
+             CAST(sy AS HUGEINT) * sxx
+               - CAST(sx AS HUGEINT) * sxy AS icept_num
+      FROM s
+    )
     SELECT lang, n,
-           CAST(FLOOR((n * sxy - sx * sy) * 1000000.0
-                      / (n * sxx - sx * sx)) AS BIGINT) AS slope_ppm,
-           CAST(FLOOR((sy * sxx - sx * sxy) * 1000000.0
-                      / (n * sxx - sx * sx)) AS BIGINT)
+           CAST(FLOOR(CAST(cov AS DOUBLE) * 1000000.0
+                      / CAST(vx AS DOUBLE)) AS BIGINT) AS slope_ppm,
+           CAST(FLOOR(CAST(icept_num AS DOUBLE) * 1000000.0
+                      / CAST(vx AS DOUBLE)) AS BIGINT)
              AS intercept_e6,
            CAST(FLOOR(
-             CAST((n * sxy - sx * sy) AS DOUBLE)
-             * CAST((n * sxy - sx * sy) AS DOUBLE) * 1000000.0
-             / (CAST((n * sxx - sx * sx) AS DOUBLE)
-                * CAST((n * syy - sy * sy) AS DOUBLE))
+             CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE) * 1000000.0
+             / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
            ) AS BIGINT) AS r2_ppm
-    FROM s
-    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    FROM m
+    WHERE vx > 0 AND vy > 0
     ORDER BY lang
     """,
 )
@@ -1805,22 +1815,29 @@ def ols_chars_vs_words(spark, sf_dir):
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # DECIMAL(38,0) moments (HUGEINT in the oracle): n * Syy with
+    # y = n_chars passes BIGINT range around a per-group ~2e7 x 9e4
+    # second moment — the corr_frame overflow family (x4096 scaling
+    # capture); the decimal holds the integers exactly, so the final
+    # double expressions stay operand-identical cross-engine.
+    def _d(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    vx = _d("n") * _d("sxx") - _d("sx") * _d("sx")
+    vy = _d("n") * _d("syy") - _d("sy") * _d("sy")
+    cov = _d("n") * _d("sxy") - _d("sx") * _d("sy")
     return (
         s.where((vx > 0) & (vy > 0))
         .select(
             "lang",
             "n",
-            F.floor(cov * 1000000.0 / vx).cast("long").alias("slope_ppm"),
+            F.floor(cov.cast("double") * 1000000.0 / vx.cast("double"))
+            .cast("long").alias("slope_ppm"),
             F.floor(
-                (
-                    F.col("sy") * F.col("sxx")
-                    - F.col("sx") * F.col("sxy")
-                )
+                (_d("sy") * _d("sxx") - _d("sx") * _d("sxy"))
+                .cast("double")
                 * 1000000.0
-                / vx
+                / vx.cast("double")
             )
             .cast("long")
             .alias("intercept_e6"),
